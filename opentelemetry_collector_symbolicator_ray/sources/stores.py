@@ -1,0 +1,166 @@
+"""Debug-artifact stores (operators S4-S9, SURVEY.md §2.1).
+
+Each store mirrors the key-derivation and error semantics of its Go
+counterpart (sourcemapprocessor/store.go:21-92, proguardprocessor/
+store.go:18-55, dsymprocessor/store.go:18-45).  Stores are plain Python
+objects constructed once per symbolizer actor (``__init__``), so artifact
+reads happen inside the actor pool, never on the driver.
+
+The ``fetch`` callable abstracts the backend: local filesystem by
+default; any ``pyarrow.fs``-resolvable URI (s3://, gs://) via
+``pyarrow_fetcher`` — the Ray-native equivalent of the reference's
+S3/GCS store variants (sourcemapprocessor/store.go:94-166).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from typing import Callable
+from urllib.parse import urlparse
+
+from ..errors import (
+    ERR_FAILED_TO_FIND_DSYM,
+    ERR_FAILED_TO_FIND_SOURCE_FILE,
+    ERR_FAILED_TO_FIND_SOURCE_MAP,
+    ERR_FAILED_TO_FIND_SOURCE_MAP_LOCATION,
+    StoreError,
+)
+
+# sourcemapprocessor/store.go:21 — the LAST match wins (store.go:64-65).
+_MAPPING_URL_RE = re.compile(rb"//[#@]\s*sourceMappingURL\s*=\s*(\S+)")
+
+Fetch = Callable[[str], bytes]
+
+
+def _go_base(path: str) -> str:
+    """filepath.Base semantics (trailing slashes stripped, "" -> ".")."""
+    if path == "":
+        return "."
+    path = path.rstrip("/")
+    if path == "":
+        return "/"
+    return path.rsplit("/", 1)[-1]
+
+
+def _go_join(*parts: str) -> str:
+    """filepath.Join semantics: join then Clean, "" parts skipped."""
+    parts = tuple(p for p in parts if p != "")
+    if not parts:
+        return ""
+    return posixpath.normpath(posixpath.join(*parts))
+
+
+def local_fetcher() -> Fetch:
+    def fetch(key: str) -> bytes:
+        with open(key, "rb") as f:
+            return f.read()
+
+    return fetch
+
+
+def pyarrow_fetcher(fs_uri: str) -> Fetch:
+    """Backend for object stores: resolves s3:// / gs:// via pyarrow.fs
+    once per actor, then streams keys.  Config-only in this sandbox."""
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(fs_uri)
+
+    def fetch(key: str) -> bytes:
+        with fs.open_input_stream(posixpath.join(root, key.lstrip("/"))) as f:
+            return f.read()
+
+    return fetch
+
+
+class SourceMapStore:
+    """GetSourceMap (sourcemapprocessor/store.go:33-78): URL -> basename,
+    optional uuid prefix dir, preserved query string; fetch minified
+    source; resolve the last ``sourceMappingURL`` comment relative to the
+    source's directory; fetch the map."""
+
+    def __init__(self, prefix: str, fetch: Fetch | None = None) -> None:
+        self.prefix = prefix
+        self.fetch = fetch or local_fetcher()
+
+    def get_source_map(self, url: str, uuid: str) -> tuple[bytes, bytes]:
+        u = urlparse(url)
+        base = _go_base(u.path)
+        if uuid != "":
+            base = _go_join(uuid, base)
+        path = _go_join(self.prefix, base)
+        if u.query != "":
+            path += "?" + u.query
+
+        try:
+            source = self.fetch(path)
+        except OSError:
+            raise StoreError(f"{ERR_FAILED_TO_FIND_SOURCE_FILE}: {path}")
+
+        matches = _MAPPING_URL_RE.findall(source)
+        if not matches:
+            raise StoreError(f"{ERR_FAILED_TO_FIND_SOURCE_MAP_LOCATION}: {path}")
+        map_name = matches[-1].decode("utf-8", errors="replace")
+
+        # the map name is relative to the source file (store.go:67-68)
+        path = _go_join(posixpath.dirname(path), map_name)
+
+        try:
+            source_map = self.fetch(path)
+        except OSError:
+            raise StoreError(f"{ERR_FAILED_TO_FIND_SOURCE_MAP}: {path}")
+
+        return source, source_map
+
+
+class ProguardStore:
+    """GetProguardMapping (proguardprocessor/store.go:24-40):
+    key = <prefix>/<uuid>.txt."""
+
+    def __init__(self, prefix: str, fetch: Fetch | None = None) -> None:
+        self.prefix = prefix
+        self.fetch = fetch or local_fetcher()
+
+    def get_proguard_mapping(self, uuid: str) -> bytes:
+        key = _go_join(self.prefix, f"{uuid}.txt")
+        try:
+            return self.fetch(key)
+        except OSError:
+            # Mirrors Go's wrapped os.ReadFile error text
+            # (proguardprocessor/store.go:32-35).
+            raise StoreError(
+                f"failed to fetch proguard mapping: open {key}: no such file or directory"
+            )
+
+
+class DsymStore:
+    """GetDSYM (dsymprocessor/store.go:28-38):
+    key = <prefix>/<debugId>.dSYM/Contents/Resources/DWARF/<binaryName>;
+    misses carry the errFailedToFindDSYM sentinel identity, which the
+    processor uses to leave frames untouched
+    (dsymprocessor/logs_processor.go:256-258)."""
+
+    def __init__(self, prefix: str, fetch: Fetch | None = None) -> None:
+        self.prefix = prefix
+        self.fetch = fetch or local_fetcher()
+
+    def get_dsym(self, debug_id: str, binary_name: str) -> bytes:
+        path = _go_join(
+            self.prefix, f"{debug_id}.dSYM", "Contents", "Resources", "DWARF", binary_name
+        )
+        try:
+            return self.fetch(path)
+        except OSError:
+            raise StoreError(f"{ERR_FAILED_TO_FIND_DSYM}: {path}", dsym_missing=True)
+
+
+def make_store(kind: str, prefix: str, store_cls):
+    """Store selection by config key (operator S9;
+    sourcemapprocessor/factory.go:62-69 and twins).  ``file_store`` reads
+    the local filesystem; ``s3_store`` / ``gcs_store`` route through
+    pyarrow.fs using the prefix as a URI."""
+    if kind == "file_store":
+        return store_cls(prefix)
+    if kind in ("s3_store", "gcs_store"):
+        return store_cls("", fetch=pyarrow_fetcher(prefix))
+    raise ValueError(f"unknown store kind: {kind}")

@@ -1,0 +1,160 @@
+"""Deterministic debug-artifact fixture generators (FIXTURES.md §3).
+
+Generates the side-input artifact trees consumed by the symbolizer
+actors: JS sourcemap pairs (with decoy embedded ``sourceMappingURL``
+strings so the resolver must take the LAST match, mirroring
+/root/reference/test_assets/basic-mapping.js + store.go:58-65), ProGuard
+``mapping.txt`` files (public R8 format), and synthetic dSYM symbol
+tables laid out under the exact store key paths
+(dsymprocessor/store.go:29, proguardprocessor/store.go:25-26).
+
+Everything is seeded/deterministic; no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .functions.sourcemap import encode_mappings
+
+
+def write_js_sourcemap(dir_path: str, file_name: str, fn_a: str = "foo", fn_b: str = "bar") -> None:
+    """Write <dir>/<file_name> and <dir>/<file_name>.map.
+
+    The minified file carries two decoy Blob lines with embedded
+    sourceMappingURL strings before the real trailing comment; the map
+    reproduces the reference fixture's shape (two functions + two call
+    sites, names [fn_a, fn_b]).  With the pinned lookup semantics
+    (functions/sourcemap.py), any frame with column >= 1 resolves to the
+    final token: (fn_b, <file_name>, line 8, col 1)."""
+    os.makedirs(dir_path, exist_ok=True)
+
+    minified = (
+        f"function {fn_a}() {{ return 42 }} "
+        f"function {fn_b}() {{ return 24 }} {fn_a}(); {fn_b}();"
+    )
+    decoy = (
+        "var worker=new Blob(['function doWork(){};\\n"
+        "//# sourceMappingURL=embedded-content.js.map\\n'],"
+        '{type:"text/javascript;charset=utf-8"});'
+    )
+    source = "\n".join(
+        [minified, decoy, decoy.replace("worker", "worker2"),
+         f"//# sourceMappingURL={file_name}.map", ""]
+    )
+
+    brace_a = minified.index("{")
+    def_b = minified.index(f"function {fn_b}")
+    call_a = minified.index(f"{fn_a}();")
+    call_b = minified.index(f"{fn_b}();")
+    # (gen_line, gen_col, src_line, src_col, name_idx|None)
+    tokens = [
+        (0, 0, 0, 0, None),
+        (0, 9, 0, 9, 0),
+        (0, brace_a, 1, 2, None),
+        (0, def_b, 3, 0, None),
+        (0, def_b + 9, 3, 9, 1),
+        (0, call_a, 6, 0, 0),
+        (0, call_b, 7, 0, 1),
+    ]
+    source_map = {
+        "version": 3,
+        "names": [fn_a, fn_b],
+        "sources": [file_name],
+        "mappings": encode_mappings(tokens),
+    }
+
+    with open(os.path.join(dir_path, file_name), "w") as f:
+        f.write(source)
+    with open(os.path.join(dir_path, f"{file_name}.map"), "w") as f:
+        json.dump(source_map, f)
+
+
+def write_proguard_mapping(
+    dir_path: str,
+    uuid: str,
+    *,
+    app_class: str = "com.example.app.MainActivity",
+    obf_class: str = "a.b.c",
+    source_file: str = "MainActivity.java",
+) -> None:
+    """Write <dir>/<uuid>.txt in the public ProGuard/R8 mapping format,
+    including an R8 sourceFile metadata comment and one inline (1->N)
+    range so the expansion path (proguardprocessor/log_processor.go:
+    295-304) is exercised."""
+    os.makedirs(dir_path, exist_ok=True)
+    lines = [
+        f"{app_class} -> {obf_class}:",
+        f'# {{"id":"sourceFile","fileName":"{source_file}"}}',
+        "    int value -> b",
+        f"    1:10:void onCreate(android.os.Bundle):40:49 -> a",
+        # inline pair: helper() lines 7-8 inlined into onClick() at 90
+        f"    11:12:void helper():7:8 -> d",
+        f"    11:12:void onClick():90:90 -> d",
+        f"    20:29:java.lang.String toString():100:109 -> e",
+        # no-line-info method
+        f"    void finish() -> f",
+        f"com.example.app.Util -> a.b.d:",
+        f'# {{"id":"sourceFile","fileName":"Util.java"}}',
+        f"    5:15:int compute(int):200:210 -> a",
+    ]
+    with open(os.path.join(dir_path, f"{uuid}.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_dsym(
+    dir_path: str,
+    debug_id: str,
+    binary_name: str,
+    symbols: list[dict] | None = None,
+) -> None:
+    """Write a synthetic dSYM under the reference's store key layout:
+    <dir>/<debug_id>.dSYM/Contents/Resources/DWARF/<binary_name>.
+
+    The reference's real DWARF blob is absent from its repo
+    (.MISSING_LARGE_BLOBS), so the engine defines its archive format as a
+    JSON symbol table: {"debug_id": ..., "symbols": [{"sym_addr", "end",
+    "symbol", "path", "line", "lang", "inlines": [...]}]}, consumed by
+    functions/dsymfile.py with bisect lookup.  The default table anchors
+    the reference's integration golden
+    (dsymprocessor/symbolicator_test.go:31-41): lookup(100436) ->
+    symbol "main", sym_addr 100372 (0x18834), line 0."""
+    dwarf_dir = os.path.join(
+        dir_path, f"{debug_id}.dSYM", "Contents", "Resources", "DWARF"
+    )
+    os.makedirs(dwarf_dir, exist_ok=True)
+    if symbols is None:
+        symbols = [
+            {
+                "sym_addr": 4096,
+                "end": 8192,
+                "symbol": "start",
+                "path": f"/src/{binary_name}/start.swift",
+                "line": 12,
+                "lang": "swift",
+            },
+            {
+                "sym_addr": 100372,
+                "end": 101000,
+                "symbol": "main",
+                "path": f"/src/{binary_name}/{binary_name.replace(' ', '_')}App.swift",
+                "line": 0,
+                "lang": "swift",
+            },
+            {
+                "sym_addr": 101000,
+                "end": 102000,
+                "symbol": "render",
+                "path": f"/src/{binary_name}/Render.swift",
+                "line": 33,
+                "lang": "swift",
+                # inline chain: innermost first, like a DWARF inline expansion
+                "inlines": [
+                    {"symbol": "drawFrame", "path": f"/src/{binary_name}/Draw.swift", "line": 7},
+                ],
+            },
+        ]
+    payload = {"debug_id": debug_id.lower(), "symbols": symbols}
+    with open(os.path.join(dwarf_dir, binary_name), "w") as f:
+        json.dump(payload, f)

@@ -1,0 +1,381 @@
+"""JS processor operator tests with an injected fake symbolicator,
+ported from sourcemapprocessor/processor_test.go (fake transform at
+:67-79: line*2, col+10, "mapped_{fn}_{line}_{col}", "original_{url}")."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_symbolicator_ray.config import SourceMapConfig
+from opentelemetry_collector_symbolicator_ray.errors import (
+    SourceMapFetchError,
+    SymbolicationError,
+)
+from opentelemetry_collector_symbolicator_ray.stages.js_processor import (
+    JsLogProcessor,
+    MappedStackFrame,
+)
+
+MAX_U32 = 4294967295
+
+
+class FakeSymbolicator:
+    def __init__(self, should_error=False, error_msg="", fetch_error=False):
+        self.calls = []
+        self.should_error = should_error
+        self.error_msg = error_msg
+        self.fetch_error = fetch_error
+
+    def symbolicate(self, line, column, function, url, uuid):
+        self.calls.append((line, column, function, url))
+        if self.should_error:
+            if self.fetch_error:
+                raise SourceMapFetchError(url, SymbolicationError(self.error_msg))
+            raise SymbolicationError(self.error_msg)
+        if column < 0 or column > MAX_U32:
+            raise SymbolicationError(f"column must be uint32: {column}")
+        return MappedStackFrame(
+            function_name=f"mapped_{function}_{line}_{column}",
+            url=f"original_{url}",
+            line=line * 2,
+            col=column + 10,
+        )
+
+
+def make_processor(**cfg_kw):
+    sym = FakeSymbolicator()
+    proc = JsLogProcessor(cfg=SourceMapConfig(**cfg_kw), symbolicator=sym)
+    return proc, sym
+
+
+def test_skip_without_stacktrace_attribute():
+    proc, sym = make_processor()
+    attrs = {"http.method": "GET", "http.status_code": 200}
+    processed = proc.process_attributes(attrs, {})
+    assert not processed
+    assert sym.calls == []
+    assert attrs == {"http.method": "GET", "http.status_code": 200}
+
+
+def test_structured_route():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.columns_attribute_key: [42],
+        cfg.lines_attribute_key: [42],
+        cfg.functions_attribute_key: ["function"],
+        cfg.urls_attribute_key: ["url"],
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "Test error!",
+        cfg.stack_trace_attribute_key: "Error: Test error!\n    at function (url:42:42)",
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [(42, 42, "function", "url")]
+    assert attrs["honeycomb.processor_type"] == "source_map_symbolicator"
+    assert attrs["honeycomb.processor_version"] == "1.0.4"
+    assert (
+        attrs[cfg.stack_trace_attribute_key]
+        == "Error: Test error!\n    at mapped_function_42_42(original_url:84:52)"
+    )
+    assert attrs[cfg.columns_attribute_key] == [52]
+    assert attrs[cfg.lines_attribute_key] == [84]
+    assert attrs[cfg.functions_attribute_key] == ["mapped_function_42_42"]
+    assert attrs[cfg.urls_attribute_key] == ["original_url"]
+    assert attrs[cfg.symbolicator_failure_attribute_key] is False
+    assert cfg.symbolicator_error_attribute_key not in attrs
+    assert (
+        attrs[cfg.symbolicator_parsing_method_attribute_key]
+        == "structured_stacktrace_attributes"
+    )
+
+
+RAW3 = (
+    "Error: test error\n    at func1 (url1:4:1)\n"
+    "    at func2 (url2:5:2)\n    at func3 (url3:6:3)"
+)
+
+
+def _structured3(cfg):
+    return {
+        cfg.columns_attribute_key: [1, 2, 3],
+        cfg.lines_attribute_key: [4, 5, 6],
+        cfg.functions_attribute_key: ["func1", "func2", "func3"],
+        cfg.urls_attribute_key: ["url1", "url2", "url3"],
+        cfg.stack_trace_attribute_key: RAW3,
+    }
+
+
+def test_preserve_originals_default_on():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = _structured3(cfg)
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [
+        (4, 1, "func1", "url1"),
+        (5, 2, "func2", "url2"),
+        (6, 3, "func3", "url3"),
+    ]
+    assert attrs[cfg.original_columns_attribute_key] == [1, 2, 3]
+    assert attrs[cfg.original_lines_attribute_key] == [4, 5, 6]
+    assert attrs[cfg.original_functions_attribute_key] == ["func1", "func2", "func3"]
+    assert attrs[cfg.original_urls_attribute_key] == ["url1", "url2", "url3"]
+    assert attrs[cfg.original_stack_trace_attribute_key] == RAW3
+
+
+def test_preserve_originals_off():
+    proc, _ = make_processor(preserve_stack_trace=False)
+    cfg = proc.cfg
+    attrs = _structured3(cfg)
+    assert proc.process_attributes(attrs, {})
+    for key in (
+        cfg.original_columns_attribute_key,
+        cfg.original_lines_attribute_key,
+        cfg.original_functions_attribute_key,
+        cfg.original_urls_attribute_key,
+        cfg.original_stack_trace_attribute_key,
+    ):
+        assert key not in attrs
+
+
+def test_mismatched_lengths():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.columns_attribute_key: [42, 42],
+        cfg.lines_attribute_key: [42],
+        cfg.functions_attribute_key: ["function"],
+        cfg.urls_attribute_key: ["url"],
+        cfg.stack_trace_attribute_key: "raw",
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == []
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    assert attrs[cfg.symbolicator_error_attribute_key] == (
+        "mismatched stacktrace attribute lengths: "
+        "(exception.structured_stacktrace.columns 2) "
+        "(exception.structured_stacktrace.functions 1) "
+        "(exception.structured_stacktrace.lines 1) "
+        "(exception.structured_stacktrace.urls 1)"
+    )
+    # Output slices were already emptied; raw stack untouched.
+    assert attrs[cfg.columns_attribute_key] == []
+    assert attrs[cfg.stack_trace_attribute_key] == "raw"
+
+
+def test_partial_symbolication_failure():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = _structured3(cfg)
+    attrs[cfg.columns_attribute_key] = [1, MAX_U32 + 1, 3]
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls[1] == (5, MAX_U32 + 1, "func2", "url2")
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    assert (
+        attrs[cfg.symbolicator_error_attribute_key]
+        == "symbolication failed for some stack frames"
+    )
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert (
+        "\tFailed to symbolicate func2 at url2:5:4294967296: "
+        "column must be uint32: 4294967296" in st
+    )
+    assert attrs[cfg.columns_attribute_key] == [11, -1, 13]
+    assert attrs[cfg.functions_attribute_key][1] == ""
+    assert attrs[cfg.lines_attribute_key][1] == -1
+    assert attrs[cfg.urls_attribute_key][1] == ""
+
+
+def test_parsed_route():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "Test error!",
+        cfg.stack_trace_attribute_key: (
+            "Error: Test error!\n"
+            "    at myFunction (https://example.com/app.js:10:15)\n"
+            "    at anotherFunc (https://example.com/app.js:20:25)"
+        ),
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [
+        (10, 15, "myFunction", "https://example.com/app.js"),
+        (20, 25, "anotherFunc", "https://example.com/app.js"),
+    ]
+    assert attrs[cfg.symbolicator_parsing_method_attribute_key] == "processor_parsed"
+    assert attrs[cfg.symbolicator_failure_attribute_key] is False
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert "Error: Test error!" in st
+    assert "mapped_myFunction_10_15" in st
+    assert "original_https://example.com/app.js:20:25" in st
+    assert "mapped_anotherFunc_20_25" in st
+    assert "original_https://example.com/app.js:40:35" in st
+    # Raw-trace route does NOT rebuild structured output slices.
+    assert cfg.columns_attribute_key not in attrs
+    # Preserved original (default on).
+    assert attrs[cfg.original_stack_trace_attribute_key].startswith("Error: Test error!")
+
+
+def test_native_frames_not_symbolicated():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "test",
+        cfg.stack_trace_attribute_key: (
+            "Error: test\n    at Array.forEach (native)\n"
+            "    at funcA (http://example.com/bundle.js:10:5)\n    at Array.map (native)"
+        ),
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [(10, 5, "funcA", "http://example.com/bundle.js")]
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert "at Array.forEach (native)" in st
+    assert "at Array.map (native)" in st
+    assert "mapped_funcA_10_5" in st
+
+
+def test_native_code_url_not_symbolicated():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "test",
+        cfg.stack_trace_attribute_key: (
+            "Error: test\neval@[native code]\nfoo@http://example.com/bundle.js:10:5"
+        ),
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [(10, 5, "foo", "http://example.com/bundle.js")]
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert "at eval (native)" in st
+    assert "mapped_foo_10_5" in st
+
+
+def test_react_native_address_at():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "test",
+        cfg.stack_trace_attribute_key: (
+            "Error: test\n"
+            "    at anonymous (address at index.android.bundle:1:2347115)\n"
+            "    at call (native)\n"
+            "    at apply (native)\n"
+            "    at _with (address at index.android.bundle:1:1414154)"
+        ),
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [
+        (1, 2347115, "anonymous", "index.android.bundle"),
+        (1, 1414154, "_with", "index.android.bundle"),
+    ]
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert "at call (native)" in st
+    assert "at apply (native)" in st
+    assert "mapped_anonymous_1_2347115" in st
+    assert "mapped__with_1_1414154" in st
+    assert attrs[cfg.symbolicator_parsing_method_attribute_key] == "processor_parsed"
+
+
+def test_anonymous_urls_not_symbolicated():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "test error",
+        cfg.stack_trace_attribute_key: (
+            "Error: test error\n    at JSON.parse (<anonymous>)\n"
+            "    at foo (http://example.com/bundle.js:10:5)"
+        ),
+    }
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == [(10, 5, "foo", "http://example.com/bundle.js")]
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert "at JSON.parse (<anonymous>)" in st
+    assert "mapped_foo_10_5" in st
+
+
+def test_unparseable_raw_stack():
+    proc, sym = make_processor()
+    cfg = proc.cfg
+    attrs = {cfg.stack_trace_attribute_key: "not a stack\nrandom text\nmore"}
+    assert proc.process_attributes(attrs, {})
+    assert sym.calls == []
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    assert attrs[cfg.symbolicator_error_attribute_key] == (
+        "failed to parse raw stack trace from exception.stacktrace: "
+        "failed to parse stack trace"
+    )
+
+
+def test_fetch_error_cached_one_call_per_url():
+    """1 store call for 10 frames sharing a missing artifact
+    (processor_test.go:1203-1209)."""
+    sym = FakeSymbolicator(should_error=True, error_msg="file not found", fetch_error=True)
+    proc = JsLogProcessor(cfg=SourceMapConfig(), symbolicator=sym)
+    cfg = proc.cfg
+    n = 10
+    attrs = {
+        cfg.columns_attribute_key: list(range(1, n + 1)),
+        cfg.lines_attribute_key: list(range(1, n + 1)),
+        cfg.functions_attribute_key: [f"f{i}" for i in range(n)],
+        cfg.urls_attribute_key: ["http://missing.example.com/app.js"] * n,
+        cfg.stack_trace_attribute_key: "raw",
+    }
+    assert proc.process_attributes(attrs, {})
+    assert len(sym.calls) == 1
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    st = attrs[cfg.stack_trace_attribute_key]
+    assert st.count("Failed to symbolicate") == n
+    assert "failed to fetch source map for http://missing.example.com/app.js: file not found" in st
+
+
+def test_non_fetch_errors_not_cached():
+    """3 store calls for 3 frames on parse error
+    (processor_test.go:1266-1269)."""
+    sym = FakeSymbolicator(should_error=True, error_msg="invalid source map", fetch_error=False)
+    proc = JsLogProcessor(cfg=SourceMapConfig(), symbolicator=sym)
+    cfg = proc.cfg
+    attrs = {
+        cfg.columns_attribute_key: [1, 2, 3],
+        cfg.lines_attribute_key: [1, 2, 3],
+        cfg.functions_attribute_key: ["a", "b", "c"],
+        cfg.urls_attribute_key: ["u"] * 3,
+        cfg.stack_trace_attribute_key: "raw",
+    }
+    assert proc.process_attributes(attrs, {})
+    assert len(sym.calls) == 3
+
+
+@pytest.mark.parametrize(
+    "allowed,attr_lang,resource_lang,expect_processed",
+    [
+        ([], None, None, True),  # no filtering
+        (["webjs"], "webjs", None, True),
+        (["webjs"], "WebJS", None, True),  # case-insensitive
+        (["webjs"], "java", None, False),
+        (["webjs"], None, "webjs", True),  # resource attr fallback
+        (["webjs"], None, None, False),  # missing attr => skip
+        (["webjs", "javascript"], "javascript", None, True),
+        (["webjs"], "java", "webjs", False),  # record attr wins
+    ],
+)
+def test_language_filtering(allowed, attr_lang, resource_lang, expect_processed):
+    proc, sym = make_processor(allowed_languages=allowed)
+    cfg = proc.cfg
+    attrs = {
+        cfg.exception_type_attribute_key: "Error",
+        cfg.exception_message_attribute_key: "m",
+        cfg.stack_trace_attribute_key: "Error: m\n    at f (http://e.com/a.js:1:2)",
+    }
+    if attr_lang is not None:
+        attrs[cfg.language_attribute_key] = attr_lang
+    resource = {}
+    if resource_lang is not None:
+        resource[cfg.language_attribute_key] = resource_lang
+    processed = proc.process_attributes(attrs, resource)
+    assert processed == expect_processed
+    assert (len(sym.calls) > 0) == expect_processed
+    assert ("honeycomb.processor_type" in attrs) == expect_processed
