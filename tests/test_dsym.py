@@ -1,0 +1,336 @@
+"""dSYM symbolicator + processor tests, mirroring
+dsymprocessor/symbolicator_test.go and logs_processor_test.go (fake
+symbolicator keyed to one UUID; golden full-stack strings for the
+generic route and both MetricKit JSON shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from opentelemetry_collector_symbolicator_ray.config import DsymConfig
+from opentelemetry_collector_symbolicator_ray.errors import (
+    ERR_FAILED_TO_FIND_DSYM,
+    DsymFetchError,
+    StoreError,
+    SymbolicationError,
+)
+from opentelemetry_collector_symbolicator_ray.functions.dsymfile import DsymLocation
+from opentelemetry_collector_symbolicator_ray.sources.stores import DsymStore
+from opentelemetry_collector_symbolicator_ray.stages.dsym_processor import (
+    DsymLogsProcessor,
+    DsymSymbolicator,
+    format_metrickit_stack_frames,
+)
+from opentelemetry_collector_symbolicator_ray.synth_artifacts import write_dsym
+
+UUID = "6A8CB813-45F6-3652-AD33-778FD1EAB196"
+BINARY = "Chateaux Bufeaux"
+
+
+@pytest.fixture(scope="module")
+def dsym_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dsyms")
+    write_dsym(str(d), UUID, BINARY)
+    return str(d)
+
+
+def test_symbolicator_golden(dsym_dir):
+    sym = DsymSymbolicator(DsymStore(dsym_dir))
+    frame = {
+        "binaryUUID": UUID,
+        "offsetIntoBinaryTextSegment": 100436,
+        "binaryName": "chateaux-bufeaux",
+    }
+    locations = sym.symbolicate_frame(UUID, BINARY, 100436)
+    line = format_metrickit_stack_frames(frame, locations)
+    # Mirrors dsymprocessor/symbolicator_test.go:41 with our synthetic
+    # symbol table's path; 0x18854 == 100436, sym_addr 100372.
+    assert line == (
+        "chateaux-bufeaux\t\t\t0x18854 main "
+        "(/src/Chateaux Bufeaux/Chateaux_BufeauxApp.swift:0) + 100372"
+    )
+
+    # UUID doesn't exist -> FetchError carrying the dsym-missing sentinel.
+    with pytest.raises(DsymFetchError) as ei:
+        sym.symbolicate_frame("2DBDCA05-2BAA-3BFE-9EF3-15A157D84058", BINARY, 100436)
+    assert ei.value.dsym_missing
+    assert "failed to fetch dSYM for 2DBDCA05-2BAA-3BFE-9EF3-15A157D84058" in str(ei.value)
+    assert ERR_FAILED_TO_FIND_DSYM in str(ei.value)
+
+    # binary doesn't exist in the store
+    with pytest.raises(DsymFetchError):
+        sym.symbolicate_frame(UUID, "other binary", 100436)
+
+    # nothing at that offset
+    with pytest.raises(SymbolicationError, match="could not find symbol at location 9999999999"):
+        sym.symbolicate_frame(UUID, BINARY, 9999999999)
+
+    assert len(sym.cache) == 1  # only the successful fetch is cached
+
+
+def test_symbolicator_inline_expansion(dsym_dir):
+    sym = DsymSymbolicator(DsymStore(dsym_dir))
+    locations = sym.symbolicate_frame(UUID, BINARY, 101500)
+    assert [loc.symbol for loc in locations] == ["drawFrame", "render"]
+
+
+# ---------- processor with fake symbolicator ----------
+
+class FakeDsymSymbolicator:
+    """Mirror of logs_processor_test.go:48-61: known UUID returns one
+    'main' frame; anything else raises the bare dsym-missing sentinel."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def symbolicate_frame(self, debug_id, binary_name, addr):
+        self.calls += 1
+        if debug_id != UUID:
+            raise StoreError(ERR_FAILED_TO_FIND_DSYM, dsym_missing=True)
+        return [
+            DsymLocation(
+                path="MyFile.swift", instr_addr=1, lang="swift", line=1, sym_addr=1, symbol="main"
+            )
+        ]
+
+
+STACKTRACE = """0   CoreFoundation                      0x00000001835df228 7821F73C-378B-3A10-BE90-EF526B7DBA93 + 1155624
+1   libobjc.A.dylib                     0x0000000180a79abc objc_exception_throw + 88
+2   CoreFoundation                      0x00000001835e15fc 7821F73C-378B-3A10-BE90-EF526B7DBA93 + 1164796
+3   Chateaux Bufeaux                    0x00000001025a0758 Chateaux Bufeaux + 231256
+4   Chateaux Bufeaux                    0x00000001025a0834 Chateaux Bufeaux + 231476
+5   Chateaux Bufeaux                    0x000000010259f2ac Chateaux Bufeaux + 225964
+6   Chateaux Bufeaux                    0x0000000102577fd1 Chateaux Bufeaux + 65489
+7   libswift_Concurrency.dylib          0x000000018f0a9241 DCB9E73A-92BA-3782-BC6D-3E1906622689 + 414273"""
+
+EXPECTED = """0   CoreFoundation                      0x00000001835df228 7821F73C-378B-3A10-BE90-EF526B7DBA93 + 1155624
+1   libobjc.A.dylib                     0x0000000180a79abc objc_exception_throw + 88
+2   CoreFoundation                      0x00000001835e15fc 7821F73C-378B-3A10-BE90-EF526B7DBA93 + 1164796
+3   Chateaux Bufeaux                    0x00000001025a0758 main (in Chateaux Bufeaux) (MyFile.swift:1) + 231256
+4   Chateaux Bufeaux                    0x00000001025a0834 main (in Chateaux Bufeaux) (MyFile.swift:1) + 231476
+5   Chateaux Bufeaux                    0x000000010259f2ac main (in Chateaux Bufeaux) (MyFile.swift:1) + 225964
+6   Chateaux Bufeaux                    0x0000000102577fd1 main (in Chateaux Bufeaux) (MyFile.swift:1) + 65489
+7   libswift_Concurrency.dylib          0x000000018f0a9241 DCB9E73A-92BA-3782-BC6D-3E1906622689 + 414273"""
+
+
+@pytest.mark.parametrize("preserve", [True, False])
+def test_generic_route_golden(preserve):
+    proc = DsymLogsProcessor(
+        cfg=DsymConfig(preserve_stack_trace=preserve), symbolicator=FakeDsymSymbolicator()
+    )
+    cfg = proc.cfg
+    attrs = {cfg.stack_trace_attribute_key: STACKTRACE}
+    resource = {
+        cfg.build_uuid_attribute_key: UUID,
+        cfg.app_executable_attribute_key: BINARY,
+    }
+    assert proc.process_record("error", attrs, resource)
+    assert attrs[cfg.stack_trace_attribute_key] == EXPECTED
+    assert attrs["honeycomb.processor_type"] == "dsym_symbolicator"
+    assert attrs["honeycomb.processor_version"] == "1.0.2"
+    # Unknown-binary frames left unchanged carry NO failure (bare
+    # dsym-missing sentinel is not a FetchError in the fake).
+    assert attrs[cfg.symbolicator_failure_attribute_key] is False
+    if preserve:
+        assert attrs[cfg.original_stack_trace_attribute_key] == STACKTRACE
+    else:
+        assert cfg.original_stack_trace_attribute_key not in attrs
+
+
+def test_generic_route_missing_resource_attrs():
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=FakeDsymSymbolicator())
+    cfg = proc.cfg
+    attrs = {cfg.stack_trace_attribute_key: STACKTRACE}
+    assert proc.process_record("error", attrs, {})
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    assert attrs["exception.symbolicator.error"] == "missing attribute: app.debug.build_uuid"
+
+    attrs2 = {cfg.stack_trace_attribute_key: STACKTRACE}
+    assert proc.process_record("error", attrs2, {cfg.build_uuid_attribute_key: UUID})
+    assert attrs2["exception.symbolicator.error"] == "missing attribute: app.bundle.executable"
+
+
+APPLE_METRICKIT_JSON = json.dumps(
+    {
+        "callStacks": [
+            {
+                "threadAttributed": True,
+                "callStackRootFrames": [
+                    {
+                        "binaryUUID": "6527276E-A3D1-30FB-BA68-ACA33324D618",
+                        "offsetIntoBinaryTextSegment": 933484,
+                        "binaryName": "SwiftUI",
+                        "subFrames": [
+                            {
+                                "binaryUUID": "6527276E-A3D1-30FB-BA68-ACA33324D618",
+                                "offsetIntoBinaryTextSegment": 933200,
+                                "binaryName": "SwiftUI",
+                                "subFrames": [
+                                    {
+                                        "binaryUUID": UUID,
+                                        "offsetIntoBinaryTextSegment": 100436,
+                                        "binaryName": BINARY,
+                                        "subFrames": [
+                                            {
+                                                "binaryUUID": "189FE480-5D5B-3B89-9289-58BC88624420",
+                                                "offsetIntoBinaryTextSegment": 68312,
+                                                "binaryName": "dyld",
+                                            }
+                                        ],
+                                    }
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+)
+
+OTEL_METRICKIT_JSON = json.dumps(
+    {
+        "callStacks": [
+            {
+                "threadAttributed": True,
+                "callStackFrames": [
+                    {
+                        "binaryUUID": "6527276E-A3D1-30FB-BA68-ACA33324D618",
+                        "offsetAddress": 933484,
+                        "binaryName": "SwiftUI",
+                    },
+                    {
+                        "binaryUUID": "6527276E-A3D1-30FB-BA68-ACA33324D618",
+                        "offsetAddress": 933200,
+                        "binaryName": "SwiftUI",
+                    },
+                    {
+                        "binaryUUID": UUID,
+                        "offsetAddress": 100436,
+                        "binaryName": BINARY,
+                    },
+                    {
+                        "binaryUUID": "189FE480-5D5B-3B89-9289-58BC88624420",
+                        "offsetAddress": 68312,
+                        "binaryName": "dyld",
+                    },
+                ],
+            }
+        ]
+    }
+)
+
+EXPECTED_METRICKIT = (
+    "SwiftUI(6527276E-A3D1-30FB-BA68-ACA33324D618) +933484\n"
+    "    SwiftUI(6527276E-A3D1-30FB-BA68-ACA33324D618) +933200\n"
+    "    Chateaux Bufeaux\t\t\t0x18854 main (MyFile.swift:1) + 1\n"
+    "    dyld(189FE480-5D5B-3B89-9289-58BC88624420) +68312"
+)
+
+
+@pytest.mark.parametrize("jsonstr", [APPLE_METRICKIT_JSON, OTEL_METRICKIT_JSON],
+                         ids=["apple-recursive", "otel-flat"])
+@pytest.mark.parametrize("preserve", [True, False])
+def test_metrickit_route_golden(jsonstr, preserve):
+    proc = DsymLogsProcessor(
+        cfg=DsymConfig(preserve_stack_trace=preserve), symbolicator=FakeDsymSymbolicator()
+    )
+    cfg = proc.cfg
+    attrs = {cfg.metrickit_stack_trace_attribute_key: jsonstr}
+    assert proc.process_record("metrickit.diagnostic.crash", attrs, {})
+    assert attrs[cfg.output_metrickit_stack_trace_attribute_key] == EXPECTED_METRICKIT
+    assert attrs[cfg.symbolicator_failure_attribute_key] is False
+    assert "exception.symbolicator.error" not in attrs
+    if preserve:
+        assert attrs[cfg.metrickit_stack_trace_attribute_key] == jsonstr
+    else:
+        assert cfg.metrickit_stack_trace_attribute_key not in attrs
+    assert attrs[cfg.output_metrickit_exception_type_attribute_key] == "Unknown Error"
+    assert attrs[cfg.output_metrickit_exception_message_attribute_key] == "Unknown Error"
+
+
+def test_metrickit_dispatch_via_event_name():
+    """exception.stacktrace attr + metrickit.diagnostic.* eventName goes
+    down the MetricKit route (logs_processor.go:100-110)."""
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=FakeDsymSymbolicator())
+    cfg = proc.cfg
+    attrs = {
+        cfg.stack_trace_attribute_key: "whatever",
+        cfg.metrickit_stack_trace_attribute_key: OTEL_METRICKIT_JSON,
+    }
+    assert proc.process_record("metrickit.diagnostic.crash", attrs, {})
+    assert attrs[cfg.output_metrickit_stack_trace_attribute_key] == EXPECTED_METRICKIT
+
+
+def test_metrickit_exception_attr_fallbacks():
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=FakeDsymSymbolicator())
+    cfg = proc.cfg
+    attrs = {
+        cfg.metrickit_stack_trace_attribute_key: '{ "callStacks": [] }',
+        "metrickit.diagnostic.crash.exception.signal.name": "SIGSEGV",
+        "metrickit.diagnostic.crash.exception.termination_reason": "Segfault",
+    }
+    assert proc.process_record("metrickit.diagnostic.crash", attrs, {})
+    assert attrs[cfg.output_metrickit_exception_type_attribute_key] == "SIGSEGV"
+    assert attrs[cfg.output_metrickit_exception_message_attribute_key] == "Segfault"
+    assert attrs[cfg.output_metrickit_stack_trace_attribute_key] == ""
+
+
+def test_metrickit_invalid_json():
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=FakeDsymSymbolicator())
+    cfg = proc.cfg
+    attrs = {cfg.metrickit_stack_trace_attribute_key: "not json"}
+    assert proc.process_record("metrickit.diagnostic.crash", attrs, {})
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    assert cfg.output_metrickit_stack_trace_attribute_key not in attrs or (
+        cfg.output_metrickit_stack_trace_attribute_key == cfg.stack_trace_attribute_key
+    )
+
+
+def test_no_attrs_not_processed():
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=FakeDsymSymbolicator())
+    attrs = {"foo": "bar"}
+    assert not proc.process_record("error", attrs, {})
+    assert attrs == {"foo": "bar"}
+
+
+def test_language_gate_skips():
+    proc = DsymLogsProcessor(
+        cfg=DsymConfig(allowed_languages=["swift"]), symbolicator=FakeDsymSymbolicator()
+    )
+    cfg = proc.cfg
+    attrs = {cfg.stack_trace_attribute_key: STACKTRACE, cfg.language_attribute_key: "webjs"}
+    assert not proc.process_record("error", attrs, {})
+    attrs2 = {cfg.stack_trace_attribute_key: STACKTRACE}
+    resource = {
+        cfg.language_attribute_key: "Swift",
+        cfg.build_uuid_attribute_key: UUID,
+        cfg.app_executable_attribute_key: BINARY,
+    }
+    assert proc.process_record("error", attrs2, resource)
+
+
+def test_cached_fetch_error_marks_failure_on_repeat(dsym_dir):
+    """With the real symbolizer, a store miss is a cacheable FetchError:
+    the FIRST frame with a missing uuid is left unchanged (dsym-missing
+    sentinel), subsequent frames with the same uuid hit the per-record
+    cache and mark the record failed (logs_processor.go:241-243 quirk)."""
+    proc = DsymLogsProcessor(
+        cfg=DsymConfig(), symbolicator=DsymSymbolicator(DsymStore(dsym_dir))
+    )
+    cfg = proc.cfg
+    stack = (
+        "0   Lib                      0x0000000000000001 2DBDCA05-2BAA-3BFE-9EF3-15A157D84058 + 10\n"
+        "1   Lib                      0x0000000000000002 2DBDCA05-2BAA-3BFE-9EF3-15A157D84058 + 20"
+    )
+    attrs = {cfg.stack_trace_attribute_key: stack}
+    resource = {
+        cfg.build_uuid_attribute_key: UUID,
+        cfg.app_executable_attribute_key: BINARY,
+    }
+    assert proc.process_record("error", attrs, resource)
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    # both lines remain unchanged
+    assert attrs[cfg.stack_trace_attribute_key] == stack
