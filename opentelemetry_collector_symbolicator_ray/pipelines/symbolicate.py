@@ -1,0 +1,234 @@
+"""The flagship routed symbolication pipeline (SURVEY.md §3.4, §7.1).
+
+    read_parquet -> [salted routing-key repartition] ->
+    map_batches(SymbolicatorChain actor pool) ->
+    per-sink parquet writers + groupby("sink") aggregate,
+    with per-shard checkpoint lineage (state/checkpoint.py).
+
+Everything streams: the only driver-side materialization is the tiny
+per-batch writer summaries and the 4-row aggregate table.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid as uuidlib
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..codec import decode_batch_tokens
+from ..config import PipelineConfig
+from ..stages.symbolicate_stage import (
+    SymbolicatorChain,
+    config_to_dict,
+)
+
+SINKS = ("js", "android", "apple", "unsymbolicated")
+
+
+def symbolicate(ds: "ray.data.Dataset", cfg: PipelineConfig, *, salted: bool = False) -> "ray.data.Dataset":
+    """Attach the symbolizer actor-pool stage to a token Dataset."""
+    if salted:
+        ds = salted_repartition(ds, cfg)
+    # (The chain's output schema intentionally omits the routing_shard
+    # helper column, so no post-projection is needed.)
+    return ds.map_batches(
+        SymbolicatorChain,
+        fn_constructor_args=(config_to_dict(cfg),),
+        concurrency=cfg.concurrency,
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def _routing_key_batch(batch: pa.Table, salt_buckets: int) -> pa.Table:
+    """Stateless map_batches fn: derive a salted debug-id routing shard
+    (SURVEY.md §7.3).  Salting spreads each hot debug-id over
+    ``salt_buckets`` actors at the cost of duplicate artifact parses."""
+    records = decode_batch_tokens(batch)
+    doc_ids = batch.column("doc_id").to_pylist()
+    shards = []
+    for doc_id, record in zip(doc_ids, records):
+        resource = record.get("resource_attributes", {})
+        attrs = record.get("attributes", {})
+        debug_id = (
+            resource.get("app.debug.build_uuid")
+            or attrs.get("app.debug.proguard_uuid")
+            or resource.get("app.debug.proguard_uuid")
+            or resource.get("app.debug.source_map_uuid")
+            or resource.get("telemetry.sdk.language", "")
+        )
+        salt = zlib.crc32(doc_id.encode()) % salt_buckets
+        shard = (zlib.crc32(str(debug_id).encode()) * salt_buckets + salt) % (1 << 20)
+        shards.append(shard)
+    return batch.append_column("routing_shard", pa.array(shards, type=pa.int32()))
+
+
+def salted_repartition(ds: "ray.data.Dataset", cfg: PipelineConfig) -> "ray.data.Dataset":
+    """Range-partition by salted debug-id so each symbolizer actor sees a
+    cache-friendly, skew-bounded key range.  (Ray Data's sort is the
+    range-shuffle primitive; a hash repartition-by-column would work
+    equally.)  Opt-in: at small scale the per-actor LRU already covers
+    the whole artifact set."""
+    ds = ds.map_batches(
+        _routing_key_batch,
+        fn_kwargs={"salt_buckets": cfg.salt_buckets},
+        batch_format="pyarrow",
+    )
+    return ds.sort("routing_shard")
+
+
+def _batch_token_hash(batch: pa.Table, mask) -> int:
+    """Order-insensitive content hash: sum of per-row crc32 over
+    (doc_id, token bytes)."""
+    total = 0
+    doc_ids = batch.column("doc_id").to_pylist()
+    col = batch.column("tokens")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy()
+    values = col.values.to_numpy(zero_copy_only=False).astype("uint8").tobytes()
+    for i, doc_id in enumerate(doc_ids):
+        if mask is not None and not mask[i]:
+            continue
+        payload = doc_id.encode() + values[offsets[i]: offsets[i + 1]]
+        total = (total + zlib.crc32(payload)) % (1 << 61)
+    return total
+
+
+def make_shard_writer(output_dir: str, sid: int):
+    """Distributed per-sink writer: each task writes its batch's rows,
+    split by sink, to out/<sink>/part-<sid>-<uuid>.parquet and returns a
+    tiny summary batch (the only data that reaches the driver)."""
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        part = uuidlib.uuid4().hex[:12]
+        rows = []
+        sink_col = batch.column("sink").to_pylist()
+        for sink in sorted(set(sink_col)):
+            mask = [s == sink for s in sink_col]
+            sub = batch.filter(pa.array(mask))
+            sink_dir = os.path.join(output_dir, sink)
+            os.makedirs(sink_dir, exist_ok=True)
+            path = os.path.join(sink_dir, f"part-{sid:05d}-{part}.parquet")
+            pq.write_table(sub, path)
+            rows.append(
+                {
+                    "sink": sink,
+                    "rows": sub.num_rows,
+                    "failed_rows": sum(1 for v in sub.column("symbolicator_failed").to_pylist() if v),
+                    "frames_processed": sum(sub.column("frames_processed").to_pylist()),
+                    "frames_failed": sum(sub.column("frames_failed").to_pylist()),
+                    "fetch_failures": sum(sub.column("fetch_failures").to_pylist()),
+                    "token_hash": _batch_token_hash(batch, mask),
+                    "file": path,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return write_batch
+
+
+def input_files(input_dir: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+
+def run_checkpointed(
+    input_dir: str,
+    output_dir: str,
+    cfg: PipelineConfig,
+    *,
+    shard_size: int = 4,
+    salted: bool = False,
+    max_shards: int | None = None,
+) -> dict:
+    """Process all pending shards; returns per-sink aggregate totals
+    derived from committed manifests (resume-safe)."""
+    from ..state.checkpoint import ShardManifest
+
+    files = input_files(input_dir)
+    shards = [files[i: i + shard_size] for i in range(0, len(files), shard_size)]
+    manifest = ShardManifest(output_dir)
+
+    processed = 0
+    for sid, shard_files in enumerate(shards):
+        if manifest.is_committed(sid):
+            continue
+        if max_shards is not None and processed >= max_shards:
+            break
+        manifest.clean_orphan_outputs(sid)
+
+        ds = ray.data.read_parquet(shard_files)
+        out = symbolicate(ds, cfg, salted=salted)
+        summaries = out.map_batches(
+            make_shard_writer(output_dir, sid), batch_format="pyarrow"
+        ).take_all()
+
+        sinks: dict[str, dict[str, int]] = {}
+        outputs: list[str] = []
+        for row in summaries:
+            acc = sinks.setdefault(
+                row["sink"],
+                {
+                    "rows": 0,
+                    "failed_rows": 0,
+                    "frames_processed": 0,
+                    "frames_failed": 0,
+                    "fetch_failures": 0,
+                    "token_hash": 0,
+                },
+            )
+            for key in ("rows", "failed_rows", "frames_processed", "frames_failed", "fetch_failures"):
+                acc[key] += int(row[key])
+            acc["token_hash"] = (acc["token_hash"] + int(row["token_hash"])) % (1 << 61)
+            outputs.append(row["file"])
+
+        manifest.commit(
+            sid,
+            {"shard": sid, "input_files": shard_files, "sinks": sinks, "outputs": sorted(outputs)},
+        )
+        processed += 1
+
+    return manifest.aggregates()
+
+
+def per_sink_aggregates(out_ds: "ray.data.Dataset") -> pa.Table:
+    """The per-sink aggregate shuffle (SURVEY.md §2.7): partial per-block
+    combine inside map_batches, then a tiny 4-key groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sink_col = batch.column("sink").to_pylist()
+        rows = []
+        for sink in sorted(set(sink_col)):
+            mask = pa.array([s == sink for s in sink_col])
+            sub = batch.filter(mask)
+            rows.append(
+                {
+                    "sink": sink,
+                    "rows": sub.num_rows,
+                    "failed_rows": sum(1 for v in sub.column("symbolicator_failed").to_pylist() if v),
+                    "frames_processed": sum(sub.column("frames_processed").to_pylist()),
+                    "frames_failed": sum(sub.column("frames_failed").to_pylist()),
+                    "fetch_failures": sum(sub.column("fetch_failures").to_pylist()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    from ray.data.aggregate import Sum
+
+    partials = out_ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("sink").aggregate(
+        Sum("rows", alias_name="rows"),
+        Sum("failed_rows", alias_name="failed_rows"),
+        Sum("frames_processed", alias_name="frames_processed"),
+        Sum("frames_failed", alias_name="frames_failed"),
+        Sum("fetch_failures", alias_name="fetch_failures"),
+    )
+    table = pa.Table.from_pylist(sorted(agg.take_all(), key=lambda r: r["sink"]))
+    return table

@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests over the deterministic synthetic corpus:
+routing, per-sink aggregates, token roundtrip/determinism, checkpoint
+resume (SURVEY.md §5 layer 3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from opentelemetry_collector_symbolicator_ray.codec import decode_record, encode_record
+from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+    input_files,
+    per_sink_aggregates,
+    run_checkpointed,
+    symbolicate,
+)
+from opentelemetry_collector_symbolicator_ray.state.checkpoint import ShardManifest
+from opentelemetry_collector_symbolicator_ray.synth import generate_corpus, make_record
+
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    generate_corpus(d, N_ROWS, num_files=6, seed=42)
+    return d
+
+
+def make_cfg(corpus):
+    return PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=2, batch_size=128
+    )
+
+
+def test_codec_roundtrip():
+    for i in range(50):
+        _, record, _ = make_record(i, seed=7)
+        assert decode_record(encode_record(record)) == record
+
+
+def test_e2e_routing_and_aggregates(ray_session, corpus):
+    import ray.data
+
+    cfg = make_cfg(corpus)
+    ds = ray.data.read_parquet(input_files(corpus))
+    out = symbolicate(ds, cfg)
+    agg = per_sink_aggregates(out).to_pylist()
+    by_sink = {row["sink"]: row for row in agg}
+
+    assert set(by_sink) == {"js", "android", "apple", "unsymbolicated"}
+    total = sum(r["rows"] for r in agg)
+    assert total == N_ROWS
+    # mix roughly matches the generator weights
+    assert by_sink["js"]["rows"] > by_sink["apple"]["rows"]
+    assert by_sink["unsymbolicated"]["rows"] > 0
+    # symbolication actually happened and some edges failed
+    assert by_sink["js"]["frames_processed"] > 0
+    assert by_sink["android"]["frames_processed"] > 0
+    assert by_sink["apple"]["frames_processed"] > 0
+    assert by_sink["js"]["failed_rows"] > 0
+    assert by_sink["unsymbolicated"]["frames_processed"] == 0
+    assert by_sink["unsymbolicated"]["failed_rows"] == 0
+
+
+def test_e2e_rows_processed_and_deterministic(ray_session, corpus):
+    import ray.data
+
+    cfg = make_cfg(corpus)
+    out = symbolicate(ray.data.read_parquet(input_files(corpus)), cfg)
+    rows = sorted(
+        ((r["doc_id"], r["sink"], r["symbolicator_failed"], tuple(r["tokens"])) for r in out.take_all()),
+    )
+    # run again: byte-identical routed rows (token-array equality per doc_id)
+    out2 = symbolicate(ray.data.read_parquet(input_files(corpus)), cfg)
+    rows2 = sorted(
+        ((r["doc_id"], r["sink"], r["symbolicator_failed"], tuple(r["tokens"])) for r in out2.take_all()),
+    )
+    assert rows == rows2
+
+    # processed rows carry the processor tags; unsymbolicated rows are
+    # byte-identical to their inputs
+    inputs = {}
+    for i in range(N_ROWS):
+        doc_id, record, _ = make_record(i, seed=42)
+        inputs[doc_id] = record
+    for doc_id, sink, failed, tokens in rows[:200]:
+        record = decode_record(list(tokens))
+        if sink == "unsymbolicated":
+            assert record == inputs[doc_id]
+        else:
+            assert "honeycomb.processor_type" in record["attributes"]
+            expected_type = {
+                "js": "source_map_symbolicator",
+                "android": "proguard_symbolicator",
+                "apple": "dsym_symbolicator",
+            }[sink]
+            assert record["attributes"]["honeycomb.processor_type"] == expected_type
+            assert record["attributes"]["exception.symbolicator.failed"] == failed
+
+
+def test_e2e_salted_repartition_same_result(ray_session, corpus):
+    import ray.data
+
+    cfg = make_cfg(corpus)
+    plain = per_sink_aggregates(symbolicate(ray.data.read_parquet(input_files(corpus)), cfg)).to_pylist()
+    salted = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), cfg, salted=True)
+    ).to_pylist()
+    assert plain == salted
+
+
+def test_checkpoint_resume(ray_session, corpus, tmp_path):
+    out_a = str(tmp_path / "run_fresh")
+    out_b = str(tmp_path / "run_resumed")
+    cfg = make_cfg(corpus)
+
+    # fresh full run
+    agg_fresh = run_checkpointed(corpus, out_a, cfg, shard_size=2)
+
+    # killed run: only 1 shard completes, then resume
+    partial = run_checkpointed(corpus, out_b, cfg, shard_size=2, max_shards=1)
+    assert set(ShardManifest(out_b).committed_shards()) == {0}
+    assert sum(v["rows"] for v in partial.values()) < N_ROWS
+
+    manifest_path = os.path.join(out_b, "manifest", "shard-00000.json")
+    mtime_before = os.path.getmtime(manifest_path)
+    agg_resumed = run_checkpointed(corpus, out_b, cfg, shard_size=2)
+    # completed shard was not reprocessed
+    assert os.path.getmtime(manifest_path) == mtime_before
+
+    assert agg_fresh == agg_resumed
+    assert sum(v["rows"] for v in agg_resumed.values()) == N_ROWS
+    # content hash equality: resumed run output == fresh run output
+    for sink in agg_fresh:
+        assert agg_fresh[sink]["token_hash"] == agg_resumed[sink]["token_hash"]
