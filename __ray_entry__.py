@@ -1,44 +1,197 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native symbolication engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init`` / ``ray.shutdown`` here or in the library code.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operator suite (dedup / similarity /
+text analysis); ``oracle_sql()`` carries the DuckDB-equivalent SQL for
+every SQL-expressible query (symbolication and hash-based ops are
+inherently non-SQL and get the driver's rows-only check).
+
+The symbolication queries run over the deterministic synthetic
+pre-tokenized corpus (opentelemetry_collector_symbolicator_ray.synth),
+sized by the sf of the given directory and cached under /tmp.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+from opentelemetry_collector_symbolicator_ray.pipelines import analytics, dedup, similarity, text
+from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+    input_files,
+    per_sink_aggregates,
+    symbolicate,
+)
+from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+SEED = 42
+NGRAM_THRESHOLD = 0.8
+EMB_THRESHOLD = 0.85
+KNN_QUERIES = 5
+KNN_K = 10
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _sym_corpus(sf_dir: str) -> str:
+    sf = _sf_of(sf_dir)
+    rows = max(600, int(40000 * sf))
+    out = f"/tmp/ocsr_corpus/sf{sf}-r{rows}-s{SEED}"
+    generate_corpus(out, rows, num_files=8, seed=SEED)
+    return out
+
+
+def _sym_cfg(corpus: str) -> PipelineConfig:
+    # Autoscaling actor pool (min 1) so the stage never starves the
+    # upstream read tasks of CPUs on small clusters.
+    return PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=(1, 4), batch_size=512
+    )
+
+
+def _sym_out(sf_dir: str):
+    import ray.data
+
+    corpus = _sym_corpus(sf_dir)
+    ds = ray.data.read_parquet(input_files(corpus))
+    return symbolicate(ds, _sym_cfg(corpus))
+
+
+def sym_sink_counts(sf_dir: str):
+    return per_sink_aggregates(_sym_out(sf_dir))
+
+
+def sym_routed_rows(sf_dir: str):
+    out = _sym_out(sf_dir)
+    return out.select_columns(
+        ["doc_id", "sink", "symbolicator_failed", "n_tok", "frames_processed", "frames_failed"]
+    ).sort("doc_id")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full routed
+    symbolication + per-sink aggregate (driver checks rows>=0)."""
+    return per_sink_aggregates(_sym_out("/root/testdata/sf0.001")).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship symbolication pipeline (SURVEY.md §2; rows-only:
+        # the reference semantics are not SQL-expressible) ---
+        "sym_sink_counts": sym_sink_counts,
+        "sym_routed_rows": sym_routed_rows,
+        # --- training-data ops: text analysis ---
+        "docs_token_counts": lambda sf: text.token_counts(sf),
+        "docs_quality": lambda sf: text.quality_scores(sf),
+        "docs_fingerprint": lambda sf: text.fingerprints(sf),
+        "docs_lang_id": lambda sf: text.language_id(sf),
+        "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
+        # --- dedup suite ---
+        "docs_exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        "docs_dedup_stats": lambda sf: dedup.exact_dedup_stats(sf),
+        "docs_ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, NGRAM_THRESHOLD),
+        "docs_minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_dedup(sf, threshold=NGRAM_THRESHOLD),
+        "docs_simhash": lambda sf: dedup.simhash64(sf),
+        "emb_neardup_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, EMB_THRESHOLD),
+        # --- similarity search ---
+        "emb_knn": lambda sf: similarity.knn_bruteforce(sf, KNN_QUERIES, KNN_K),
+        "emb_ivf_knn": lambda sf: similarity.ivf_knn(sf, KNN_QUERIES, KNN_K),
+        # --- wide-operator demonstrations (groupby / join / top-k) ---
+        "events_by_type": lambda sf: analytics.events_by_type(sf),
+        "lineitem_pricing": lambda sf: analytics.lineitem_pricing_summary(sf),
+        "top_customers": lambda sf: analytics.top_customers(sf),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docs_token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(string_split(text, ' '))::BIGINT AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS avg_word_len
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "docs_dedup_stats": """
+            SELECT count(*)::BIGINT AS n_docs, count(DISTINCT md5(text))::BIGINT AS n_unique_texts
+            FROM documents
+        """,
+        "docs_ngram_jaccard_pairs": f"""
+            WITH w AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {NGRAM_THRESHOLD}
+            ORDER BY doc_a, doc_b
+        """,
+        "emb_neardup_pairs": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= {EMB_THRESHOLD}
+            ORDER BY vec_a, vec_b
+        """,
+        "emb_knn": f"""
+            WITH ranked AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                             CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                b.vec_id
+                     ) AS rank
+              FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < {KNN_QUERIES}
+            )
+            SELECT query_id, rank, neighbor_id FROM ranked
+            WHERE rank <= {KNN_K} ORDER BY query_id, rank
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*)::BIGINT AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   ROUND(SUM(o_totalprice), 2) AS total_spend,
+                   count(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spend DESC, c_custkey LIMIT 10
+        """,
+    }

@@ -1,0 +1,129 @@
+"""Relational demonstrations of the engine's wide operators (groupby
+aggregate with map-side partials, broadcast join, sort/limit top-k) over
+the driver's TPC-H-ish tables — each with an exact DuckDB oracle.
+
+Float sums are rounded to 2 decimals on BOTH sides so the driver's
+value-hash comparison is immune to summation-order ULP drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def events_by_type(sf_dir: str) -> pa.Table:
+    """groupby(event_type): count + sum(value) (rounded)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
+            "total_value": pa.array(
+                [round(float(r["total_value"]), 2) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
+def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary: groupby(returnflag, linestatus)
+    with sums pre-aggregated map-side by Ray's groupby."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice")
+        disc = batch.column("l_discount")
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity"),
+                "l_extendedprice": price,
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    rows = sorted(agg.take_all(), key=lambda r: (r["l_returnflag"], r["l_linestatus"]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows]),
+            "l_linestatus": pa.array([r["l_linestatus"] for r in rows]),
+            "sum_qty": pa.array([round(float(r["sum_qty"]), 2) for r in rows], type=pa.float64()),
+            "sum_base_price": pa.array(
+                [round(float(r["sum_base_price"]), 2) for r in rows], type=pa.float64()
+            ),
+            "sum_disc_price": pa.array(
+                [round(float(r["sum_disc_price"]), 2) for r in rows], type=pa.float64()
+            ),
+            "count_order": pa.array([int(r["count_order"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
+    """Broadcast join (orders -> customer) + groupby + top-k: the small
+    customer side is ray.put once and read per task, never re-shipped
+    per batch; orders stream through map_batches."""
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).take_all()
+    name_by_key = {r["c_custkey"]: r["c_name"] for r in customers}
+    lookup_ref = ray.put(name_by_key)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        names = [lookup.get(k, "") for k in keys]
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, type=pa.int64()),
+                "c_name": pa.array(names, type=pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby(["c_custkey", "c_name"])
+        .aggregate(Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders"))
+    )
+    rows = agg.take_all()
+    for r in rows:
+        r["total_spend"] = round(float(r["total_spend"]), 2)
+    rows.sort(key=lambda r: (-r["total_spend"], r["c_custkey"]))
+    rows = rows[:limit]
+    return pa.table(
+        {
+            "c_custkey": pa.array([r["c_custkey"] for r in rows], type=pa.int64()),
+            "c_name": pa.array([r["c_name"] for r in rows], type=pa.string()),
+            "total_spend": pa.array([r["total_spend"] for r in rows], type=pa.float64()),
+            "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
+        }
+    )

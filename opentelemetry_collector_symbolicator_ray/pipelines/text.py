@@ -1,0 +1,153 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline counterparts of the engine (language-ID, quality
+scoring, token counting, fingerprinting).  All are vectorized
+``map_batches`` stages over zero-copy Arrow batches; column pruning at
+the read keeps only what each operator needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# BPE-ish token regex shared verbatim with the SQL oracle (RE2-safe).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language ID (deterministic; no external models).
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "value", "data"},
+    "es": {"el", "la", "de", "y", "en", "es", "los", "una"},
+    "fr": {"le", "la", "de", "et", "en", "est", "les", "une"},
+    "de": {"der", "die", "das", "und", "in", "ist", "ein", "nicht"},
+    "zh": {"de", "shi", "le", "zai", "he", "you"},
+}
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, n_words (single-space split), n_tokens (BPE-ish regex).
+    Oracle: SQL in __ray_entry__.oracle_sql()["docs_token_counts"]."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.list_value_length(pc.split_pattern(text, " "))
+        n_tokens = pa.array(
+            [len(_TOKEN_RE.findall(t)) for t in text.to_pylist()], type=pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "n_tokens": n_tokens,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Length/word-shape quality metrics per document, all derived with
+    Arrow kernels; matches the SQL oracle formula exactly (integer inputs
+    -> IEEE doubles)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text)
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words)
+        no_space = pc.replace_substring(text, " ", "")
+        n_alpha = pc.utf8_length(no_space)
+        avg_word_len = pc.divide(
+            pc.cast(n_alpha, pa.float64()), pc.cast(n_words, pa.float64())
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "avg_word_len": avg_word_len,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (SQL-oracle-expressible canonical fingerprint)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(re.sub(r"\s+", " ", t.lower()).encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.string())}
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def language_id(sf_dir: str) -> "ray.data.Dataset":
+    """Stopword-profile language ID (deterministic heuristic; rows-only
+    check — not SQL-expressible).  Emits predicted language + score."""
+
+    profiles = {lang: frozenset(words) for lang, words in _LANG_PROFILES.items()}
+    langs = sorted(profiles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in batch.column("text").to_pylist():
+            words = set(t.lower().split())
+            best_lang, best = "und", 0
+            for lang in langs:
+                hits = len(words & profiles[lang])
+                if hits > best:
+                    best, best_lang = hits, lang
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "predicted_lang": pa.array(preds, type=pa.string()),
+                "stopword_hits": pa.array(scores, type=pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_hash_fingerprints(sf_dir: str, window: int = 16) -> "ray.data.Dataset":
+    """Winnowing-style rolling-hash fingerprint: min crc32 over byte
+    windows — numpy-vectorized per document (rows-only check)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            data = t.encode()
+            if len(data) <= window:
+                out.append(zlib.crc32(data))
+                continue
+            out.append(
+                min(
+                    zlib.crc32(data[i: i + window])
+                    for i in range(0, len(data) - window + 1, 4)
+                )
+            )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "rolling_fp": pa.array(out, type=pa.int64())}
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

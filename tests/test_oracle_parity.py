@@ -1,0 +1,92 @@
+"""Mirror of the driver's correctness gate: run every queries() entry at
+sf0.001 and compare row-count + schema + order-insensitive values
+against oracle_sql() via DuckDB."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        result = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        result = result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(ray_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str):
+    a, b = normalize(ray_df), normalize(oracle_df)
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                assert math.isclose(float(x), float(y), rel_tol=0, abs_tol=1e-9), (
+                    f"{name}.{col}[{i}]: {x} != {y}"
+                )
+            else:
+                assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(ray_session, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    ray_df = to_pandas(q(SF_DIR))
+    oracle_df = con.execute(sql).fetchdf()
+    assert_frames_match(ray_df, oracle_df, name)
+
+
+def test_rows_only_queries_run(ray_session):
+    qs = entry_mod.queries()
+    for name in sorted(set(qs) - set(ORACLE_KEYS)):
+        if name.startswith("sym_"):
+            continue  # covered in test_entry_contract
+        df = to_pandas(qs[name](SF_DIR))
+        assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_entry_contract(ray_session):
+    df = to_pandas(entry_mod.entry())
+    assert len(df) >= 1
+    assert "sink" in df.columns
+
+    counts = to_pandas(entry_mod.queries()["sym_sink_counts"](SF_DIR))
+    assert set(counts["sink"]) == {"js", "android", "apple", "unsymbolicated"}
+    routed = to_pandas(entry_mod.queries()["sym_routed_rows"](SF_DIR))
+    assert len(routed) == counts["rows"].sum()
