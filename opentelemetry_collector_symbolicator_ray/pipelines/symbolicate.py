@@ -13,11 +13,9 @@ from __future__ import annotations
 
 import glob
 import os
-import uuid as uuidlib
 import zlib
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -84,55 +82,70 @@ def salted_repartition(ds: "ray.data.Dataset", cfg: PipelineConfig) -> "ray.data
     return ds.sort("routing_shard")
 
 
-def _batch_token_hash(batch: pa.Table, mask) -> int:
-    """Order-insensitive content hash: sum of per-row crc32 over
-    (doc_id, token bytes)."""
-    total = 0
-    doc_ids = batch.column("doc_id").to_pylist()
-    col = batch.column("tokens")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    offsets = col.offsets.to_numpy()
-    values = col.values.to_numpy(zero_copy_only=False).astype("uint8").tobytes()
-    for i, doc_id in enumerate(doc_ids):
-        if mask is not None and not mask[i]:
-            continue
-        payload = doc_id.encode() + values[offsets[i]: offsets[i + 1]]
-        total = (total + zlib.crc32(payload)) % (1 << 61)
-    return total
+def symbolicate_and_write(
+    ds: "ray.data.Dataset",
+    cfg: PipelineConfig,
+    output_dir: str,
+    shard_tag: str = "00000",
+    *,
+    salted: bool = False,
+) -> "ray.data.Dataset":
+    """Fused process+write stage: the symbolizer actor writes its own
+    per-sink parquet parts and emits only tiny summary rows, so the bulk
+    token payloads never transit the object store (the write-behind
+    pattern for the 100 TB path)."""
+    if salted:
+        ds = salted_repartition(ds, cfg)
+    return ds.map_batches(
+        SymbolicatorChain,
+        fn_constructor_args=(config_to_dict(cfg), "write", output_dir, shard_tag),
+        concurrency=cfg.concurrency,
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
 
 
-def make_shard_writer(output_dir: str, sid: int):
-    """Distributed per-sink writer: each task writes its batch's rows,
-    split by sink, to out/<sink>/part-<sid>-<uuid>.parquet and returns a
-    tiny summary batch (the only data that reaches the driver)."""
+def symbolicate_files(
+    files: list[str],
+    cfg: PipelineConfig,
+    output_dir: str,
+    shard_tag: str = "00000",
+) -> "ray.data.Dataset":
+    """Fragment-level fully-fused pipeline: a Dataset of (path,
+    row_group) descriptors streams into the SymbolicatorChainFromFiles
+    actor pool, which reads, symbolicates, and writes per-sink parquet
+    in place — only summary rows cross the object store."""
+    import pyarrow.parquet as pq
 
-    def write_batch(batch: pa.Table) -> pa.Table:
-        part = uuidlib.uuid4().hex[:12]
-        rows = []
-        sink_col = batch.column("sink").to_pylist()
-        for sink in sorted(set(sink_col)):
-            mask = [s == sink for s in sink_col]
-            sub = batch.filter(pa.array(mask))
-            sink_dir = os.path.join(output_dir, sink)
-            os.makedirs(sink_dir, exist_ok=True)
-            path = os.path.join(sink_dir, f"part-{sid:05d}-{part}.parquet")
-            pq.write_table(sub, path)
-            rows.append(
-                {
-                    "sink": sink,
-                    "rows": sub.num_rows,
-                    "failed_rows": sum(1 for v in sub.column("symbolicator_failed").to_pylist() if v),
-                    "frames_processed": sum(sub.column("frames_processed").to_pylist()),
-                    "frames_failed": sum(sub.column("frames_failed").to_pylist()),
-                    "fetch_failures": sum(sub.column("fetch_failures").to_pylist()),
-                    "token_hash": _batch_token_hash(batch, mask),
-                    "file": path,
-                }
-            )
-        return pa.Table.from_pylist(rows)
+    from ..stages.symbolicate_stage import SymbolicatorChainFromFiles
 
-    return write_batch
+    frags = []
+    for f in files:
+        for rg in range(pq.read_metadata(f).num_row_groups):
+            frags.append({"path": f, "row_group": rg})
+    ds = ray.data.from_items(frags)
+    return ds.map_batches(
+        SymbolicatorChainFromFiles,
+        fn_constructor_args=(config_to_dict(cfg), "write", output_dir, shard_tag),
+        concurrency=cfg.concurrency,
+        batch_size=1,
+        batch_format="default",
+    )
+
+
+def aggregates_from_summaries(summary_ds: "ray.data.Dataset") -> pa.Table:
+    """Reduce per-batch summaries (from symbolicate_and_write) to the
+    per-sink aggregate table."""
+    from ray.data.aggregate import Sum
+
+    agg = summary_ds.groupby("sink").aggregate(
+        Sum("rows", alias_name="rows"),
+        Sum("failed_rows", alias_name="failed_rows"),
+        Sum("frames_processed", alias_name="frames_processed"),
+        Sum("frames_failed", alias_name="frames_failed"),
+        Sum("fetch_failures", alias_name="fetch_failures"),
+    )
+    return pa.Table.from_pylist(sorted(agg.take_all(), key=lambda r: r["sink"]))
 
 
 def input_files(input_dir: str) -> list[str]:
@@ -165,9 +178,8 @@ def run_checkpointed(
         manifest.clean_orphan_outputs(sid)
 
         ds = ray.data.read_parquet(shard_files)
-        out = symbolicate(ds, cfg, salted=salted)
-        summaries = out.map_batches(
-            make_shard_writer(output_dir, sid), batch_format="pyarrow"
+        summaries = symbolicate_and_write(
+            ds, cfg, output_dir, f"{sid:05d}", salted=salted
         ).take_all()
 
         sinks: dict[str, dict[str, int]] = {}

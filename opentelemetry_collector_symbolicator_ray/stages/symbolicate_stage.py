@@ -56,11 +56,42 @@ def config_from_dict(d: dict) -> PipelineConfig:
     return PipelineConfig(**d)
 
 
+SUMMARY_SCHEMA = pa.schema(
+    [
+        ("sink", pa.string()),
+        ("rows", pa.int64()),
+        ("failed_rows", pa.int64()),
+        ("frames_processed", pa.int64()),
+        ("frames_failed", pa.int64()),
+        ("fetch_failures", pa.int64()),
+        ("token_hash", pa.int64()),
+        ("file", pa.string()),
+    ]
+)
+
+
 class SymbolicatorChain:
-    def __init__(self, cfg: dict | PipelineConfig) -> None:
+    """output_mode="rows" returns the full routed-row batch (tests,
+    routed-row queries).  output_mode="write" additionally FUSES the
+    per-sink parquet write + map-side aggregation into the actor: each
+    batch is written to <output_dir>/<sink>/part-<tag>-<uuid>.parquet
+    and only a tiny per-sink summary leaves the actor — at scale this
+    keeps the bulk token payloads out of the object store entirely
+    (write-at-the-end-of-the-fused-stage; SURVEY.md §4)."""
+
+    def __init__(
+        self,
+        cfg: dict | PipelineConfig,
+        output_mode: str = "rows",
+        output_dir: str | None = None,
+        shard_tag: str = "00000",
+    ) -> None:
         if isinstance(cfg, dict):
             cfg = config_from_dict(cfg)
         self.cfg = cfg
+        self.output_mode = output_mode
+        self.output_dir = output_dir
+        self.shard_tag = shard_tag
 
         dsym_cfg = cfg.dsym
         self.dsym_stats = ProcessStats()
@@ -159,7 +190,7 @@ class SymbolicatorChain:
             fetches.append(fetch)
 
         tokens, n_tok = encode_batch_records(records)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "tokens": tokens,
@@ -173,3 +204,74 @@ class SymbolicatorChain:
             },
             schema=OUTPUT_SCHEMA,
         )
+        if self.output_mode == "rows":
+            return out
+        return write_sink_partitions(out, self.output_dir, self.shard_tag)
+
+
+class SymbolicatorChainFromFiles(SymbolicatorChain):
+    """Fully-fused variant: consumes a Dataset of parquet fragment
+    descriptors ({path, row_group}) and performs read -> decode ->
+    symbolicate -> per-sink write inside the actor, so neither the input
+    token blocks nor the routed outputs ever transit the object store —
+    only per-fragment summary rows do.  This is the
+    memory-bandwidth-optimal layout for the 100 TB path; the fragment
+    list is the partition/resume unit."""
+
+    def __call__(self, batch) -> pa.Table:  # batch: {"path": [...], "row_group": [...]}
+        import pyarrow.parquet as pq
+
+        paths = list(batch["path"])
+        row_groups = list(batch["row_group"])
+        summaries = []
+        for path, rg in zip(paths, row_groups):
+            pf = pq.ParquetFile(path)
+            table = pf.read_row_group(int(rg))
+            for lo in range(0, table.num_rows, self.cfg.batch_size):
+                sub = table.slice(lo, self.cfg.batch_size)
+                summaries.append(SymbolicatorChain.__call__(self, sub))
+        return pa.concat_tables(summaries) if summaries else pa.Table.from_pylist([], schema=SUMMARY_SCHEMA)
+
+
+def write_sink_partitions(out: pa.Table, output_dir: str, shard_tag: str) -> pa.Table:
+    """Split a routed batch by sink, write each split as a parquet part
+    file, and return the per-sink summary rows (the only data that
+    reaches the driver / downstream aggregate)."""
+    import os
+    import uuid as uuidlib
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    part = uuidlib.uuid4().hex[:12]
+    rows = []
+    sink_col = out.column("sink")
+    for sink_val in sorted(set(sink_col.to_pylist())):
+        sub = out.filter(pc.equal(sink_col, sink_val))
+        sink_dir = os.path.join(output_dir, sink_val)
+        os.makedirs(sink_dir, exist_ok=True)
+        path = os.path.join(sink_dir, f"part-{shard_tag}-{part}.parquet")
+        pq.write_table(sub, path)
+
+        token_hash = 0
+        col = sub.column("tokens").combine_chunks()
+        offsets = col.offsets.to_numpy()
+        values = pc.cast(col.values, pa.uint8(), safe=False).to_numpy(zero_copy_only=False).tobytes()
+        for i, doc_id in enumerate(sub.column("doc_id").to_pylist()):
+            payload = doc_id.encode() + values[offsets[i]: offsets[i + 1]]
+            token_hash = (token_hash + zlib.crc32(payload)) % (1 << 61)
+
+        rows.append(
+            {
+                "sink": sink_val,
+                "rows": sub.num_rows,
+                "failed_rows": int(pc.sum(pc.cast(sub.column("symbolicator_failed"), pa.int64())).as_py() or 0),
+                "frames_processed": int(pc.sum(sub.column("frames_processed")).as_py() or 0),
+                "frames_failed": int(pc.sum(sub.column("frames_failed")).as_py() or 0),
+                "fetch_failures": int(pc.sum(sub.column("fetch_failures")).as_py() or 0),
+                "token_hash": token_hash,
+                "file": path,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=SUMMARY_SCHEMA)

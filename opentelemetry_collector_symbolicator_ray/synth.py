@@ -367,7 +367,7 @@ def generate_corpus(
 ) -> str:
     """Write tokens-<k>.parquet shards + artifacts/ under out_dir.
     Idempotent: skips generation if the marker file matches."""
-    marker = os.path.join(out_dir, f".complete-{num_rows}-{num_files}-{seed}")
+    marker = os.path.join(out_dir, f".complete-v2-{num_rows}-{num_files}-{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -394,7 +394,11 @@ def generate_corpus(
             },
             schema=SCHEMA,
         )
-        pq.write_table(table, os.path.join(out_dir, f"tokens-{k:05d}.parquet"))
+        # Modest row groups give fragment-level readers a fine-grained
+        # work unit (stages/symbolicate_stage.SymbolicatorChainFromFiles).
+        pq.write_table(
+            table, os.path.join(out_dir, f"tokens-{k:05d}.parquet"), row_group_size=4096
+        )
 
     with open(marker, "w") as f:
         f.write("ok")
