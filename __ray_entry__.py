@@ -31,7 +31,10 @@ from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
 
 SEED = 42
 NGRAM_THRESHOLD = 0.8
-EMB_THRESHOLD = 0.85
+# embeddings in the driver tables are random (max pairwise cosine ~0.5);
+# 0.35 yields a non-trivial near-dup pair set with a wide margin from
+# any float boundary.
+EMB_THRESHOLD = 0.35
 KNN_QUERIES = 5
 KNN_K = 10
 
@@ -174,24 +177,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= {KNN_K} ORDER BY query_id, rank
         """,
         "events_by_type": """
-            SELECT event_type, count(*)::BIGINT AS n_events, ROUND(SUM(value), 2) AS total_value
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(ROUND(SUM(l_quantity), 2) * 100 AS BIGINT) AS sum_qty_cents,
+                   CAST(ROUND(SUM(l_extendedprice), 2) * 100 AS BIGINT) AS sum_base_price_cents,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) * 100 AS BIGINT) AS sum_disc_price_cents,
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "top_customers": """
             SELECT c_custkey, c_name,
-                   ROUND(SUM(o_totalprice), 2) AS total_spend,
+                   CAST(ROUND(SUM(o_totalprice), 2) * 100 AS BIGINT) AS total_spend_cents,
                    count(*)::BIGINT AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
-            ORDER BY total_spend DESC, c_custkey LIMIT 10
+            ORDER BY total_spend_cents DESC, c_custkey LIMIT 10
         """,
     }

@@ -2,8 +2,9 @@
 aggregate with map-side partials, broadcast join, sort/limit top-k) over
 the driver's TPC-H-ish tables — each with an exact DuckDB oracle.
 
-Float sums are rounded to 2 decimals on BOTH sides so the driver's
-value-hash comparison is immune to summation-order ULP drift.
+Float sums are emitted as integer cents (round-to-2-decimals, x100,
+cast to int64) on BOTH sides so the driver's value-hash comparison is
+fully immune to summation-order / rounding-implementation ULP drift.
 """
 
 from __future__ import annotations
@@ -28,8 +29,9 @@ def events_by_type(sf_dir: str) -> pa.Table:
         {
             "event_type": pa.array([r["event_type"] for r in rows]),
             "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
-            "total_value": pa.array(
-                [round(float(r["total_value"]), 2) for r in rows], type=pa.float64()
+            "total_value_cents": pa.array(
+                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
             ),
         }
     )
@@ -72,12 +74,16 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
         {
             "l_returnflag": pa.array([r["l_returnflag"] for r in rows]),
             "l_linestatus": pa.array([r["l_linestatus"] for r in rows]),
-            "sum_qty": pa.array([round(float(r["sum_qty"]), 2) for r in rows], type=pa.float64()),
-            "sum_base_price": pa.array(
-                [round(float(r["sum_base_price"]), 2) for r in rows], type=pa.float64()
+            "sum_qty_cents": pa.array(
+                [int(round(round(float(r["sum_qty"]), 2) * 100)) for r in rows], type=pa.int64()
             ),
-            "sum_disc_price": pa.array(
-                [round(float(r["sum_disc_price"]), 2) for r in rows], type=pa.float64()
+            "sum_base_price_cents": pa.array(
+                [int(round(round(float(r["sum_base_price"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
+            ),
+            "sum_disc_price_cents": pa.array(
+                [int(round(round(float(r["sum_disc_price"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
             ),
             "count_order": pa.array([int(r["count_order"]) for r in rows], type=pa.int64()),
         }
@@ -116,14 +122,16 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
     )
     rows = agg.take_all()
     for r in rows:
-        r["total_spend"] = round(float(r["total_spend"]), 2)
-    rows.sort(key=lambda r: (-r["total_spend"], r["c_custkey"]))
+        r["total_spend_cents"] = int(round(round(float(r["total_spend"]), 2) * 100))
+    rows.sort(key=lambda r: (-r["total_spend_cents"], r["c_custkey"]))
     rows = rows[:limit]
     return pa.table(
         {
             "c_custkey": pa.array([r["c_custkey"] for r in rows], type=pa.int64()),
             "c_name": pa.array([r["c_name"] for r in rows], type=pa.string()),
-            "total_spend": pa.array([r["total_spend"] for r in rows], type=pa.float64()),
+            "total_spend_cents": pa.array(
+                [r["total_spend_cents"] for r in rows], type=pa.int64()
+            ),
             "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
         }
     )
