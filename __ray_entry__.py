@@ -21,7 +21,13 @@ from collections.abc import Callable
 from typing import Any
 
 from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
-from opentelemetry_collector_symbolicator_ray.pipelines import analytics, dedup, similarity, text
+from opentelemetry_collector_symbolicator_ray.pipelines import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
     input_files,
     per_sink_aggregates,
@@ -110,6 +116,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "emb_knn": lambda sf: similarity.knn_bruteforce(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_knn": lambda sf: similarity.ivf_knn(sf, KNN_QUERIES, KNN_K),
+        # --- multimodal binary columns (actor-pool decode stages over a
+        # deterministic synthetic media table; codec stubs documented in
+        # pipelines/multimodal.py; rows-only) ---
+        "media_stats": lambda sf: multimodal.media_stats(sf),
+        "media_image_thumbnails": lambda sf: multimodal.image_thumbnails(sf),
+        "media_audio_features": lambda sf: multimodal.audio_features(sf),
+        "media_video_frame_index": lambda sf: multimodal.video_frame_index(sf),
         # --- wide-operator demonstrations (groupby / join / top-k) ---
         "events_by_type": lambda sf: analytics.events_by_type(sf),
         "lineitem_pricing": lambda sf: analytics.lineitem_pricing_summary(sf),

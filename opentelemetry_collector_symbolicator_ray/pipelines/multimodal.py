@@ -1,0 +1,333 @@
+"""Multimodal (image/audio/video) columns as opaque ``binary`` payloads
+with typed metadata — the training-data-pipeline pattern for media at
+100 TB scale.
+
+Payloads are stored as Arrow ``binary`` columns; decode /
+feature-extract / resize / frame-sample run as actor-pool ``map_batches``
+stages with small batch sizes (large payloads x concurrency must fit the
+worker heap).  The container ships no image/audio codecs, so real-world
+codec decodes are STUBBED behind ``NotImplementedError`` with a clear
+message; the engine's own deterministic container format (synthesized by
+``synth_media``) exercises the full Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — with real vectorized numpy
+compute on the payload bytes.
+
+Container format (deterministic, seeded):
+  image: b"IMG1" + u16 width + u16 height + width*height gray bytes
+  audio: b"AUD1" + u32 sample_rate + u32 n_samples + int8 samples
+  video: b"VID1" + u16 width + u16 height + u16 n_frames + frames
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("codec", pa.string()),  # "ocsr-raw" (decodable) or a stubbed real codec
+        ("source", pa.string()),
+    ]
+)
+
+
+def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> str:
+    """Deterministic media table; idempotent per (rows, seed)."""
+    marker = os.path.join(out_dir, f".complete-{rows}-{seed}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows_per_file = (rows + num_files - 1) // num_files
+    for k in range(num_files):
+        ids, kinds, payloads, codecs, sources = [], [], [], [], []
+        for i in range(k * rows_per_file, min(rows, (k + 1) * rows_per_file)):
+            rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
+            kind = ("image", "audio", "video")[i % 3]
+            if kind == "image":
+                w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+                body = rng.randint(0, 256, size=w * h, dtype=np.int32).astype(np.uint8)
+                payload = b"IMG1" + struct.pack("<HH", w, h) + body.tobytes()
+            elif kind == "audio":
+                sr, n = 16000, int(rng.randint(256, 4096))
+                body = rng.randint(-128, 128, size=n, dtype=np.int32).astype(np.int8)
+                payload = b"AUD1" + struct.pack("<II", sr, n) + body.tobytes()
+            else:
+                w, h, f = 16, 16, int(rng.randint(4, 24))
+                body = rng.randint(0, 256, size=w * h * f, dtype=np.int32).astype(np.uint8)
+                payload = b"VID1" + struct.pack("<HHH", w, h, f) + body.tobytes()
+            ids.append(f"media-{kind}-{i:06d}")
+            kinds.append(kind)
+            payloads.append(payload)
+            codecs.append("ocsr-raw")
+            sources.append(f"synth-media-v1/{kind}")
+        table = pa.table(
+            {
+                "media_id": ids,
+                "kind": kinds,
+                "payload": pa.array(payloads, type=pa.binary()),
+                "codec": codecs,
+                "source": sources,
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        pq.write_table(table, os.path.join(out_dir, f"media-{k:04d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def decode_real_codec(codec: str) -> None:
+    """Real-world codec decode (jpeg/png/mp3/h264) — STUB: the sandbox
+    ships no media libraries.  The actor-pool plumbing around this call
+    is real and tested; swap this function for PIL/soundfile/pyav in a
+    full deployment."""
+    raise NotImplementedError(
+        f"codec {codec!r} requires an external media library (PIL/pyav) "
+        "that is intentionally not bundled; only the deterministic "
+        "'ocsr-raw' container is decodable in-sandbox"
+    )
+
+
+class MediaDecoder:
+    """Stateful decode stage: an actor-pool class so real codecs would
+    pay their (expensive) init once per actor.  Small batch_size keeps
+    payload x concurrency inside the worker heap."""
+
+    MAGIC = {b"IMG1": "image", b"AUD1": "audio", b"VID1": "video"}
+
+    def __init__(self) -> None:
+        self.decoded = 0  # per-actor counter (telemetry)
+
+    def decode(self, payload: bytes, codec: str) -> dict:
+        if codec != "ocsr-raw":
+            decode_real_codec(codec)
+        magic = bytes(payload[:4])
+        kind = self.MAGIC.get(magic)
+        if kind is None:
+            raise ValueError("unknown media container")
+        self.decoded += 1
+        if kind == "image":
+            w, h = struct.unpack("<HH", payload[4:8])
+            pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
+            return {"kind": kind, "width": w, "height": h, "pixels": pixels}
+        if kind == "audio":
+            sr, n = struct.unpack("<II", payload[4:12])
+            samples = np.frombuffer(payload, dtype=np.int8, count=n, offset=12)
+            return {"kind": kind, "sample_rate": sr, "samples": samples}
+        w, h, f = struct.unpack("<HHH", payload[4:10])
+        frames = np.frombuffer(payload, dtype=np.uint8, count=w * h * f, offset=10)
+        return {"kind": kind, "width": w, "height": h, "n_frames": f,
+                "frames": frames.reshape(f, h * w)}
+
+
+def _read_media(media_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{media_dir}/")
+
+
+class MediaStatsStage(MediaDecoder):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            d = self.decode(payload, codec)
+            if kind == "image":
+                dims, items = f'{d["width"]}x{d["height"]}', d["width"] * d["height"]
+                mean = float(d["pixels"].mean())
+            elif kind == "audio":
+                dims, items = f'{d["sample_rate"]}Hz', int(d["samples"].shape[0])
+                mean = float(d["samples"].astype(np.float64).mean())
+            else:
+                dims, items = f'{d["width"]}x{d["height"]}x{d["n_frames"]}', int(d["frames"].size)
+                mean = float(d["frames"].mean())
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "kind": kind,
+                    "dims": dims,
+                    "n_items": items,
+                    "payload_bytes": len(payload),
+                    "mean_value": round(mean, 6),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+
+class ImageResizeStage(MediaDecoder):
+    """Nearest-neighbor resize to a fixed thumbnail — real vectorized
+    numpy over the decoded pixels; emits the resized payload back as a
+    binary column (decode -> transform -> re-encode plumbing)."""
+
+    def __init__(self, size: int = 8) -> None:
+        super().__init__()
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            d = self.decode(payload, codec)
+            img = d["pixels"].reshape(d["height"], d["width"])
+            ys = (np.arange(self.size) * d["height"] // self.size)
+            xs = (np.arange(self.size) * d["width"] // self.size)
+            thumb = img[np.ix_(ys, xs)]
+            out_payload = (
+                b"IMG1" + struct.pack("<HH", self.size, self.size) + thumb.tobytes()
+            )
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "width": self.size,
+                    "height": self.size,
+                    "payload": out_payload,
+                    "thumb_sha1": hashlib.sha1(out_payload).hexdigest(),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.string()),
+                    ("width", pa.int64()),
+                    ("height", pa.int64()),
+                    ("payload", pa.binary()),
+                    ("thumb_sha1", pa.string()),
+                ]
+            ),
+        )
+
+
+class AudioFeatureStage(MediaDecoder):
+    """Frame-level energy features over int8 samples (vectorized)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            d = self.decode(payload, codec)
+            x = d["samples"].astype(np.float64)
+            n_frames = max(1, len(x) // 256)
+            frames = x[: n_frames * 256].reshape(n_frames, 256)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            zc = (np.diff(np.signbit(frames), axis=1) != 0).sum(axis=1)
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "n_samples": int(len(x)),
+                    "n_frames": int(n_frames),
+                    "rms_mean": round(float(rms.mean()), 6),
+                    "zero_crossings": int(zc.sum()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+
+class VideoFrameSampleStage(MediaDecoder):
+    """Sample every k-th frame; emit per-sampled-frame checksums (the
+    frame-sampling layout for clip extraction)."""
+
+    def __init__(self, stride: int = 4) -> None:
+        super().__init__()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            d = self.decode(payload, codec)
+            for idx in range(0, d["n_frames"], self.stride):
+                frame = d["frames"][idx]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "frame_index": idx,
+                        "frame_sha1": hashlib.sha1(frame.tobytes()).hexdigest(),
+                        "frame_mean": round(float(frame.mean()), 6),
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+
+def _media_dir(sf: float, seed: int = 42) -> str:
+    rows = max(120, int(12000 * sf))
+    out = f"/tmp/ocsr_media/sf{sf}-r{rows}-s{seed}"
+    return synth_media(out, rows, seed)
+
+
+def media_stats(sf_dir: str) -> "ray.data.Dataset":
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        MediaStatsStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    ).sort("media_id")
+
+
+def image_thumbnails(sf_dir: str) -> "ray.data.Dataset":
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        ImageResizeStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    ).select_columns(["media_id", "width", "height", "thumb_sha1"]).sort("media_id")
+
+
+def audio_features(sf_dir: str) -> "ray.data.Dataset":
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        AudioFeatureStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    ).sort("media_id")
+
+
+def video_frame_index(sf_dir: str) -> "ray.data.Dataset":
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        VideoFrameSampleStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    ).sort(["media_id", "frame_index"])
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing tests: deterministic container decode,
+actor-pool stages, codec stub behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+    AudioFeatureStage,
+    ImageResizeStage,
+    MediaDecoder,
+    MediaStatsStage,
+    VideoFrameSampleStage,
+    decode_real_codec,
+    media_stats,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("media"))
+    return synth_media(d, 60, seed=7)
+
+
+def _load(media_dir):
+    import pyarrow.parquet as pq
+    import glob
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(f"{media_dir}/*.parquet"))]
+    )
+
+
+def test_synth_deterministic(media_dir, tmp_path):
+    other = synth_media(str(tmp_path / "m2"), 60, seed=7)
+    a, b = _load(media_dir), _load(other)
+    assert a.equals(b)
+    assert set(a.column("kind").to_pylist()) == {"image", "audio", "video"}
+
+
+def test_decoder_roundtrip(media_dir):
+    table = _load(media_dir)
+    dec = MediaDecoder()
+    for kind, payload in zip(table.column("kind").to_pylist()[:12],
+                             table.column("payload").to_pylist()[:12]):
+        d = dec.decode(payload, "ocsr-raw")
+        assert d["kind"] == kind
+        if kind == "image":
+            assert d["pixels"].shape[0] == d["width"] * d["height"]
+        elif kind == "audio":
+            assert d["samples"].dtype == np.int8
+        else:
+            assert d["frames"].shape[0] == d["n_frames"]
+    assert dec.decoded == 12
+
+
+def test_real_codec_stubbed():
+    with pytest.raises(NotImplementedError, match="media library"):
+        decode_real_codec("jpeg")
+    dec = MediaDecoder()
+    with pytest.raises(NotImplementedError):
+        dec.decode(b"\xff\xd8\xff", "jpeg")
+
+
+def test_stats_stage(media_dir):
+    table = _load(media_dir)
+    out = MediaStatsStage()(table)
+    assert out.num_rows == table.num_rows
+    assert set(out.column_names) == {
+        "media_id", "kind", "dims", "n_items", "payload_bytes", "mean_value"
+    }
+
+
+def test_resize_stage(media_dir):
+    table = _load(media_dir)
+    out = ImageResizeStage(size=8)(table)
+    assert out.num_rows == sum(1 for k in table.column("kind").to_pylist() if k == "image")
+    assert set(out.column("width").to_pylist()) == {8}
+    # re-encoded payloads decode again
+    dec = MediaDecoder()
+    d = dec.decode(out.column("payload")[0].as_py(), "ocsr-raw")
+    assert (d["width"], d["height"]) == (8, 8)
+
+
+def test_audio_and_video_stages(media_dir):
+    table = _load(media_dir)
+    audio = AudioFeatureStage()(table)
+    assert audio.num_rows == sum(1 for k in table.column("kind").to_pylist() if k == "audio")
+    assert all(v >= 0 for v in audio.column("rms_mean").to_pylist())
+    video = VideoFrameSampleStage(stride=4)(table)
+    assert video.num_rows > 0
+    assert all(i % 4 == 0 for i in video.column("frame_index").to_pylist())
+
+
+def test_media_pipeline_e2e(ray_session):
+    ds = media_stats("/root/testdata/sf0.001")
+    rows = ds.take_all()
+    assert len(rows) >= 120
+    # deterministic across runs
+    rows2 = media_stats("/root/testdata/sf0.001").take_all()
+    assert rows == rows2
