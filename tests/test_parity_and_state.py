@@ -1,0 +1,87 @@
+"""Parity-checking mode (sourcemapprocessor/parity.go port) and state
+primitives (LRU)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_symbolicator_ray.config import SourceMapConfig
+from opentelemetry_collector_symbolicator_ray.stages.js_processor import JsLogProcessor
+from opentelemetry_collector_symbolicator_ray.state.lru import LRUCache
+
+from tests.test_js_processor import FakeSymbolicator
+
+
+def _attrs_consistent(cfg):
+    # structured arrays exactly match what the raw-stack parser produces
+    return {
+        cfg.columns_attribute_key: [17, 5],
+        cfg.lines_attribute_key: [13, 20],
+        cfg.functions_attribute_key: ["bar", "foo"],
+        cfg.urls_attribute_key: ["http://path/to/file.js", "http://path/to/file.js"],
+        cfg.exception_type_attribute_key: "TypeError",
+        cfg.exception_message_attribute_key: "boom",
+        cfg.stack_trace_attribute_key: (
+            "TypeError: boom\n"
+            "    at bar (http://path/to/file.js:13:17)\n"
+            "    at foo (http://path/to/file.js:20:5)"
+        ),
+    }
+
+
+def test_parity_consistent():
+    proc = JsLogProcessor(
+        cfg=SourceMapConfig(enable_parity_checking=True), symbolicator=FakeSymbolicator()
+    )
+    cfg = proc.cfg
+    attrs = _attrs_consistent(cfg)
+    assert proc.process_attributes(attrs, {})
+    assert attrs["parity.status"] == "consistent"
+    assert attrs["parity.totalMismatches"] == 0
+    assert attrs["parity.stackframe.comparison"] == ["consistent", "consistent"]
+    assert attrs["tracekit.lines"] == [13, 20]
+    assert attrs["processorParser.lines"] == [13, 20]
+    assert attrs["processorParser.functions"] == ["bar", "foo"]
+
+
+def test_parity_different():
+    proc = JsLogProcessor(
+        cfg=SourceMapConfig(enable_parity_checking=True), symbolicator=FakeSymbolicator()
+    )
+    cfg = proc.cfg
+    attrs = _attrs_consistent(cfg)
+    attrs[cfg.columns_attribute_key] = [99, 5]  # first frame disagrees
+    assert proc.process_attributes(attrs, {})
+    assert attrs["parity.status"] == "different"
+    assert attrs["parity.totalMismatches"] == 1
+    assert attrs["parity.stackframe.comparison"] == ["different", "consistent"]
+
+
+def test_parity_processor_parser_failed():
+    proc = JsLogProcessor(
+        cfg=SourceMapConfig(enable_parity_checking=True), symbolicator=FakeSymbolicator()
+    )
+    cfg = proc.cfg
+    attrs = _attrs_consistent(cfg)
+    attrs[cfg.stack_trace_attribute_key] = "unparseable\ngarbage\nlines"
+    assert proc.process_attributes(attrs, {})
+    assert attrs["parity.status"] == "processor-parser-failed"
+
+
+def test_parity_disabled_by_default():
+    proc = JsLogProcessor(cfg=SourceMapConfig(), symbolicator=FakeSymbolicator())
+    attrs = _attrs_consistent(proc.cfg)
+    assert proc.process_attributes(attrs, {})
+    assert "parity.status" not in attrs
+
+
+def test_lru_eviction_and_refresh():
+    cache: LRUCache[int] = LRUCache(2)
+    cache.put("a", 1)
+    cache.put("b", 2)
+    assert cache.get("a") == 1  # refresh a
+    cache.put("c", 3)  # evicts b
+    assert "b" not in cache
+    assert cache.get("b") is None
+    assert cache.get("a") == 1
+    assert cache.get("c") == 3
+    assert len(cache) == 2
+    assert cache.hits == 3 and cache.misses == 1
