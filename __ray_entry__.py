@@ -88,6 +88,36 @@ def sym_routed_rows(sf_dir: str):
     ).sort("doc_id")
 
 
+def sym_sink_counts_salted(sf_dir: str):
+    """Same aggregate through the salted debug-id repartition path
+    (skew handling; must equal sym_sink_counts)."""
+    import ray.data
+
+    corpus = _sym_corpus(sf_dir)
+    ds = ray.data.read_parquet(input_files(corpus))
+    return per_sink_aggregates(symbolicate(ds, _sym_cfg(corpus), salted=True))
+
+
+def sym_checkpointed_agg(sf_dir: str):
+    """Checkpointed run with per-shard lineage manifests; aggregates are
+    derived from committed manifests only (resume-safe, idempotent)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import run_checkpointed
+
+    corpus = _sym_corpus(sf_dir)
+    tag = hashlib.md5(corpus.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/ocsr_ckpt/{tag}"
+    totals = run_checkpointed(corpus, out_dir, _sym_cfg(corpus), shard_size=2)
+    rows = [
+        {"sink": sink, **{k: int(v) for k, v in counters.items()}}
+        for sink, counters in sorted(totals.items())
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full routed
     symbolication + per-sink aggregate (driver checks rows>=0)."""
@@ -99,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship symbolication pipeline (SURVEY.md §2; rows-only:
         # the reference semantics are not SQL-expressible) ---
         "sym_sink_counts": sym_sink_counts,
+        "sym_sink_counts_salted": sym_sink_counts_salted,
+        "sym_checkpointed_agg": sym_checkpointed_agg,
         "sym_routed_rows": sym_routed_rows,
         # --- training-data ops: text analysis ---
         "docs_token_counts": lambda sf: text.token_counts(sf),
