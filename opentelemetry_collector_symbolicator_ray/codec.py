@@ -70,7 +70,11 @@ def decode_batch_tokens(batch: pa.Table, column: str = "tokens") -> list[dict[st
 
 def encode_batch_records(records: list[dict[str, Any]]) -> tuple[pa.ListArray, pa.Int32Array]:
     """Encode records into (tokens list<int32> array, n_tok int32 array)."""
-    payloads = [_dumps(r) for r in records]
+    return encode_batch_payloads([_dumps(r) for r in records])
+
+
+def encode_batch_payloads(payloads: list[bytes]) -> tuple[pa.ListArray, pa.Int32Array]:
+    """Build (tokens, n_tok) arrays from pre-encoded canonical payloads."""
     lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
     offsets = np.zeros(len(payloads) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])

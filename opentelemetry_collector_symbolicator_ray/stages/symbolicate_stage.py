@@ -17,7 +17,7 @@ from dataclasses import asdict
 
 import pyarrow as pa
 
-from ..codec import decode_batch_tokens, encode_batch_records
+from ..codec import _dumps, _list_buffers, _loads, encode_batch_payloads
 from ..config import DsymConfig, PipelineConfig, ProguardConfig, SourceMapConfig
 from ..sources.stores import DsymStore, ProguardStore, SourceMapStore, make_store
 from .dsym_processor import DsymLogsProcessor, DsymSymbolicator
@@ -179,17 +179,24 @@ class SymbolicatorChain:
         return sink, failed, fp, ff, fetch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        records = decode_batch_tokens(batch)
+        offsets, data = _list_buffers(batch.column("tokens"))
         sinks, faileds, fps, ffs, fetches = [], [], [], [], []
-        for record in records:
+        payloads: list[bytes] = []
+        for i in range(len(offsets) - 1):
+            raw = data[offsets[i]: offsets[i + 1]]
+            record = _loads(raw)
             sink, failed, fp, ff, fetch = self.process_record(record)
+            # Untouched records keep their original payload bytes —
+            # re-encoding is skipped (the codec is canonical, so the
+            # bytes would be identical anyway).
+            payloads.append(raw if sink == SINK_UNSYMBOLICATED else _dumps(record))
             sinks.append(sink)
             faileds.append(failed)
             fps.append(fp)
             ffs.append(ff)
             fetches.append(fetch)
 
-        tokens, n_tok = encode_batch_records(records)
+        tokens, n_tok = encode_batch_payloads(payloads)
         out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
