@@ -144,19 +144,35 @@ class SymbolicatorChain:
         )
 
         sink = SINK_UNSYMBOLICATED
-        # Chain order mirrors the reference collector's logs pipeline
-        # (config.yaml:28-31) with the traces-pipeline sourcemap processor
-        # appended; disjoint language allowlists make the routes exclusive.
-        if self.dsym.process_record(event_name, attrs, resource):
-            sink = SINK_APPLE
-        if self.proguard.process_attributes(attrs, resource):
-            sink = SINK_ANDROID
-        if self.js.process_attributes(attrs, resource):
-            sink = SINK_JS
-
         failed = False
-        if sink != SINK_UNSYMBOLICATED:
-            failed = bool(attrs.get("exception.symbolicator.failed", False))
+        if isinstance(record.get("events"), list):
+            # Trace span record: the reference's traces pipeline runs only
+            # the sourcemap processor, over the span's own attributes AND
+            # each span event's attributes independently
+            # (sourcemapprocessor/processor.go:70-85, config.yaml:23-27).
+            processed = self.js.process_attributes(attrs, resource)
+            for event in record["events"]:
+                ev_attrs = event.setdefault("attributes", {})
+                if self.js.process_attributes(ev_attrs, resource):
+                    processed = True
+                failed = failed or bool(ev_attrs.get("exception.symbolicator.failed", False))
+            if processed:
+                sink = SINK_JS
+            failed = failed or bool(attrs.get("exception.symbolicator.failed", False))
+        else:
+            # Log record: chain order mirrors the reference collector's
+            # logs pipeline (config.yaml:28-31) with the traces-pipeline
+            # sourcemap processor appended; disjoint language allowlists
+            # make the routes exclusive.
+            if self.dsym.process_record(event_name, attrs, resource):
+                sink = SINK_APPLE
+            if self.proguard.process_attributes(attrs, resource):
+                sink = SINK_ANDROID
+            if self.js.process_attributes(attrs, resource):
+                sink = SINK_JS
+
+            if sink != SINK_UNSYMBOLICATED:
+                failed = bool(attrs.get("exception.symbolicator.failed", False))
 
         fp = (
             self.dsym_stats.frames_processed

@@ -156,6 +156,18 @@ def _js_record(i: int, rng: random.Random) -> tuple[dict, str]:
         del resource["telemetry.sdk.language"]  # skipped by language gate
         variant += "-nolang"
 
+    if rng.random() < 0.2:
+        # Trace span carrying the exception as a span EVENT (the
+        # reference traces pipeline processes span + span-event attrs;
+        # sourcemapprocessor/processor.go:78-82).
+        record = {
+            "event_name": "span",
+            "attributes": {"http.method": "GET", "span.kind": "client"},
+            "resource_attributes": resource,
+            "events": [{"name": "exception", "attributes": attrs}],
+        }
+        return record, f"synth-v1/js/span-{variant}"
+
     record = {"event_name": "exception", "attributes": attrs, "resource_attributes": resource}
     return record, f"synth-v1/js/{variant}"
 
@@ -367,7 +379,7 @@ def generate_corpus(
 ) -> str:
     """Write tokens-<k>.parquet shards + artifacts/ under out_dir.
     Idempotent: skips generation if the marker file matches."""
-    marker = os.path.join(out_dir, f".complete-v2-{num_rows}-{num_files}-{seed}")
+    marker = os.path.join(out_dir, f".complete-v3-{num_rows}-{num_files}-{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

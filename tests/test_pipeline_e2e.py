@@ -136,3 +136,52 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     # content hash equality: resumed run output == fresh run output
     for sink in agg_fresh:
         assert agg_fresh[sink]["token_hash"] == agg_resumed[sink]["token_hash"]
+
+
+def test_span_event_records():
+    """Trace spans: the sourcemap processor runs over span attrs AND each
+    span event's attrs (sourcemapprocessor/processor.go:70-85)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_symbolicator_ray.codec import encode_batch_records
+    from opentelemetry_collector_symbolicator_ray.stages.symbolicate_stage import (
+        SymbolicatorChain,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    d = "/tmp/ocsr_span_fixture"
+    generate_corpus(d, 50, num_files=1, seed=3)
+    cfg = PipelineConfig.with_default_routing(os.path.join(d, "artifacts"))
+    chain = SymbolicatorChain(cfg)
+
+    span_records, ids = [], []
+    for i in range(400):
+        doc_id, record, _ = make_record(i, seed=3)
+        if isinstance(record.get("events"), list):
+            span_records.append(record)
+            ids.append(doc_id)
+    assert span_records, "generator must emit span records"
+
+    tokens, n_tok = encode_batch_records(span_records)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": pa.array(["synth"] * len(ids)),
+        }
+    )
+    out = chain(batch)
+    sinks = out.column("sink").to_pylist()
+    assert "js" in sinks
+
+    for tok, sink in zip(out.column("tokens").to_pylist(), sinks):
+        record = decode_record(tok)
+        ev_attrs = record["events"][0]["attributes"]
+        if sink == "js":
+            assert ev_attrs["honeycomb.processor_type"] == "source_map_symbolicator"
+            # span's own non-exception attrs untouched
+            assert record["attributes"]["span.kind"] == "client"
+            assert "honeycomb.processor_type" not in record["attributes"]
+        else:
+            assert "honeycomb.processor_type" not in ev_attrs
