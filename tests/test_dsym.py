@@ -334,3 +334,63 @@ def test_cached_fetch_error_marks_failure_on_repeat(dsym_dir):
     assert attrs[cfg.symbolicator_failure_attribute_key] is True
     # both lines remain unchanged
     assert attrs[cfg.stack_trace_attribute_key] == stack
+
+
+class CountingFetchErrorSymbolicator:
+    """Always raises a cacheable FetchError (non-dsym-missing 404)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def symbolicate_frame(self, debug_id, binary_name, addr):
+        self.calls += 1
+        raise DsymFetchError(debug_id, SymbolicationError("404 not found"))
+
+
+def test_error_caching_generic_stack_trace():
+    """1 symbolicator call for 10 lines sharing a missing artifact
+    (dsymprocessor/logs_processor_test.go TestErrorCaching_GenericStackTrace)."""
+    sym = CountingFetchErrorSymbolicator()
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=sym)
+    cfg = proc.cfg
+    lines = "\n".join(
+        f"{i}   {BINARY}{' ' * 21}0x00000001025a07{i:02x} {BINARY} + {1000 + i}"
+        for i in range(10)
+    )
+    attrs = {cfg.stack_trace_attribute_key: lines}
+    resource = {
+        cfg.build_uuid_attribute_key: UUID,
+        cfg.app_executable_attribute_key: BINARY,
+    }
+    assert proc.process_record("error", attrs, resource)
+    assert sym.calls == 1
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    # all lines kept unchanged
+    assert attrs[cfg.stack_trace_attribute_key] == lines
+
+
+def test_error_caching_metrickit():
+    """MetricKit route: a cacheable FetchError aborts the record after a
+    single call (dsymprocessor/logs_processor_test.go TestErrorCaching_MetricKit)."""
+    sym = CountingFetchErrorSymbolicator()
+    proc = DsymLogsProcessor(cfg=DsymConfig(), symbolicator=sym)
+    cfg = proc.cfg
+    report = {
+        "callStacks": [
+            {
+                "threadAttributed": True,
+                "callStackFrames": [
+                    {"binaryUUID": UUID, "binaryName": BINARY, "offsetAddress": 100 + i}
+                    for i in range(4)
+                ],
+            }
+        ]
+    }
+    attrs = {cfg.metrickit_stack_trace_attribute_key: json.dumps(report)}
+    assert proc.process_record("metrickit.diagnostic.crash", attrs, {})
+    assert sym.calls == 1
+    assert attrs[cfg.symbolicator_failure_attribute_key] is True
+    assert cfg.output_metrickit_stack_trace_attribute_key not in attrs or (
+        cfg.output_metrickit_stack_trace_attribute_key == cfg.stack_trace_attribute_key
+        and cfg.stack_trace_attribute_key not in attrs
+    )
