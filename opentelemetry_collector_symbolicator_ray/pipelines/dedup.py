@@ -216,15 +216,28 @@ def minhash_lsh_dedup(
     candidates = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
     cand_pairs = {(r["doc_a"], r["doc_b"]) for r in candidates.take_all()}
 
-    # exact verification against the broadcast word-set matrix
-    doc_ids, mat = _word_sets(sf_dir)
-    index = {d: i for i, d in enumerate(doc_ids)}
-    sizes = mat.sum(axis=1)
+    # exact verification with the SAME k-shingle measure the LSH
+    # signatures estimate (not word sets)
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sets = [
+            sorted(int(h) for h in _shingle_hashes(t, k))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(sets, type=pa.list_(pa.int64())),
+            }
+        )
+
+    shingle_rows = _read_docs(sf_dir).map_batches(to_shingles, batch_format="pyarrow").take_all()
+    shingles = {r["doc_id"]: frozenset(r["shingles"]) for r in shingle_rows}
     verified = []
     for a_id, b_id in sorted(cand_pairs):
-        i, j = index[a_id], index[b_id]
-        inter = int((mat[i] & mat[j]).sum())
-        union = int(sizes[i] + sizes[j] - inter)
+        sa, sb = shingles[a_id], shingles[b_id]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
         if union and inter / union >= threshold:
             verified.append((a_id, b_id))
     return pa.table(
