@@ -26,6 +26,7 @@ from opentelemetry_collector_symbolicator_ray.pipelines import (
     dedup,
     multimodal,
     similarity,
+    streaming,
     text,
 )
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
@@ -157,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frame_index": lambda sf: multimodal.video_frame_index(sf),
         # --- wide-operator demonstrations (groupby / join / top-k) ---
         "events_by_type": lambda sf: analytics.events_by_type(sf),
+        "events_tumbling_windows": lambda sf: streaming.tumbling_event_counts(sf),
+        "events_user_sessions": lambda sf: streaming.user_sessions(sf),
         "lineitem_pricing": lambda sf: analytics.lineitem_pricing_summary(sf),
         "top_customers": lambda sf: analytics.top_customers(sf),
     }
@@ -225,6 +228,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_tumbling_windows": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS window_id,
+                   count(*)::BIGINT AS n_events,
+                   CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
+            FROM events GROUP BY event_type, window_id
+            ORDER BY event_type, window_id
+        """,
+        "events_user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                  > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   SUM(new_session)::BIGINT AS n_sessions
+            FROM o GROUP BY user_id ORDER BY user_id
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

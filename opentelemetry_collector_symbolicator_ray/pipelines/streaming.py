@@ -1,0 +1,86 @@
+"""Streaming-shaped operators over the ordered ``events`` log.
+
+Ray Data has no event-time windows/watermarks; the engine expresses
+windowed semantics as batch operators over the partitioned log
+(guide-recommended shape): tumbling windows are a derived-window-key
+groupby; sessionization is ``groupby(user).map_groups`` with per-group
+ordering by ``ts``.  Ordering assumption: per-group windowing sorts by
+``ts`` inside the group (equal timestamps are session/window-neutral),
+so results are independent of physical row order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+US_PER_HOUR = 3600 * 1_000_000
+
+
+def tumbling_event_counts(sf_dir: str, window_us: int = US_PER_HOUR) -> pa.Table:
+    """Tumbling windows per event type: window key derived vectorized in
+    map_batches (no shuffle), then a grouped aggregate."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch.column("ts"), pa.int64())
+        window_id = pc.divide(epoch_us, pa.scalar(window_us, type=pa.int64()))
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_id": window_id,
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: (r["event_type"], r["window_id"]))
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "window_id": pa.array([int(r["window_id"]) for r in rows], type=pa.int64()),
+            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
+            "total_value_cents": pa.array(
+                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
+    """Gap-based sessionization: groupby(user).map_groups sorts each
+    user's events by ts and counts gap-breaks — the canonical Ray shape
+    for per-key stateful windowing (one group = one key's full log)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(group["ts"].astype("datetime64[us]").astype(np.int64).to_numpy())
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(group["user_id"].iloc[0])],
+                "n_events": [len(ts)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
+    return pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
+            "n_sessions": pa.array([int(r["n_sessions"]) for r in rows], type=pa.int64()),
+        }
+    )
