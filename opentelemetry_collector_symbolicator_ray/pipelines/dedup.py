@@ -252,18 +252,25 @@ def simhash64(sf_dir: str) -> "ray.data.Dataset":
     """64-bit SimHash over blake2b word hashes (deterministic across
     processes; rows-only check)."""
 
+    word_hash_cache: dict[str, int] = {}
+
+    def word_hash(w: str) -> int:
+        h = word_hash_cache.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            word_hash_cache[w] = h
+        return h
+
+    bit_positions = np.arange(64, dtype=np.uint64)
+
     def fn(batch: pa.Table) -> pa.Table:
         out = []
         for t in batch.column("text").to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for w in t.split(" "):
-                h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                bits = np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64)
-                acc += bits * 2 - 1
-            sim = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    sim |= 1 << b
+            hashes = np.array([word_hash(w) for w in t.split(" ")], dtype=np.uint64)
+            # (n_words, 64) bit matrix, accumulated as +/-1 votes
+            bits = (hashes[:, None] >> bit_positions) & np.uint64(1)
+            acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            sim = int(((acc > 0).astype(np.uint64) << bit_positions).sum(dtype=np.uint64))
             # interpret as signed int64 for Arrow
             if sim >= 1 << 63:
                 sim -= 1 << 64

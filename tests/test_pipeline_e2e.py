@@ -185,3 +185,26 @@ def test_span_event_records():
             assert "honeycomb.processor_type" not in record["attributes"]
         else:
             assert "honeycomb.processor_type" not in ev_attrs
+
+
+def test_semantic_drift_golden(ray_session):
+    """Pinned per-sink aggregates for the seed corpus (generator v3,
+    600 rows, seed 42).  If the generator or any processor semantics
+    change, this golden changes WITH INTENT — update it only alongside a
+    deliberate semantic change."""
+    import __ray_entry__ as entry_mod
+
+    table = entry_mod.queries()["sym_checkpointed_agg"]("/root/testdata/sf0.001")
+    got = {
+        r["sink"]: (
+            r["rows"], r["failed_rows"], r["frames_processed"],
+            r["frames_failed"], r["fetch_failures"], r["token_hash"],
+        )
+        for r in table.to_pylist()
+    }
+    assert got == {
+        "android": (134, 6, 460, 6, 2, 291784222525),
+        "apple": (120, 24, 399, 3, 123, 260694383757),
+        "js": (244, 13, 803, 8, 1, 557556908402),
+        "unsymbolicated": (102, 0, 0, 0, 0, 228402330263),
+    }
