@@ -117,6 +117,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "emb_knn",
         "emb_neardup_pairs",
         "events_by_type",
+        "events_tumbling_windows",
+        "events_user_sessions",
+        "media_stats",
         "lineitem_pricing",
         "top_customers",
     ]
