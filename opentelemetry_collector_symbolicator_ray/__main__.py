@@ -1,0 +1,83 @@
+"""CLI entry point — the `ray job submit` surface.
+
+    python -m opentelemetry_collector_symbolicator_ray synth --out DIR --rows N
+    python -m opentelemetry_collector_symbolicator_ray run --input DIR --output DIR
+    python -m opentelemetry_collector_symbolicator_ray aggregates --output DIR
+
+`run` is checkpointed: re-submitting the same job after a kill resumes
+from the per-shard manifest without reprocessing completed partitions
+(state/checkpoint.py).  Only this CLI owns the Ray session; library code
+never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="opentelemetry_collector_symbolicator_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth", help="generate a deterministic pre-tokenized corpus")
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--rows", type=int, default=10000)
+    p_synth.add_argument("--files", type=int, default=16)
+    p_synth.add_argument("--seed", type=int, default=42)
+
+    p_run = sub.add_parser("run", help="checkpointed routed symbolication run")
+    p_run.add_argument("--input", required=True, help="corpus dir (tokens-*.parquet)")
+    p_run.add_argument("--output", required=True, help="output dir (sinks + manifest)")
+    p_run.add_argument("--artifacts", default=None, help="artifact dir (default <input>/artifacts)")
+    p_run.add_argument("--shard-size", type=int, default=4)
+    p_run.add_argument("--concurrency", type=int, default=None)
+    p_run.add_argument("--batch-size", type=int, default=2048)
+    p_run.add_argument("--salted", action="store_true", help="salted debug-id repartition")
+
+    p_agg = sub.add_parser("aggregates", help="print per-sink totals from committed manifests")
+    p_agg.add_argument("--output", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .synth import generate_corpus
+
+        generate_corpus(args.out, args.rows, num_files=args.files, seed=args.seed)
+        print(json.dumps({"out": args.out, "rows": args.rows, "files": args.files}))
+        return 0
+
+    if args.cmd == "aggregates":
+        from .state.checkpoint import ShardManifest
+
+        print(json.dumps(ShardManifest(args.output).aggregates(), sort_keys=True))
+        return 0
+
+    # run
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+    try:
+        from .config import PipelineConfig
+        from .pipelines.symbolicate import run_checkpointed
+
+        artifacts = args.artifacts or os.path.join(args.input, "artifacts")
+        cfg = PipelineConfig.with_default_routing(
+            artifacts,
+            concurrency=args.concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
+            batch_size=args.batch_size,
+        )
+        totals = run_checkpointed(
+            args.input, args.output, cfg, shard_size=args.shard_size, salted=args.salted
+        )
+        print(json.dumps(totals, sort_keys=True))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
