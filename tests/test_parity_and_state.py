@@ -85,3 +85,31 @@ def test_lru_eviction_and_refresh():
     assert cache.get("c") == 3
     assert len(cache) == 2
     assert cache.hits == 3 and cache.misses == 1
+
+
+# ---------- codec property tests ----------
+
+from hypothesis import given, settings, strategies as st
+
+_attr_values = st.recursive(
+    st.one_of(
+        st.text(max_size=40),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.booleans(),
+    ),
+    lambda children: st.lists(children, max_size=4),
+    max_leaves=8,
+)
+_attr_maps = st.dictionaries(st.text(min_size=1, max_size=20), _attr_values, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(event_name=st.text(max_size=20), attrs=_attr_maps, resource=_attr_maps)
+def test_codec_bijective(event_name, attrs, resource):
+    from opentelemetry_collector_symbolicator_ray.codec import decode_record, encode_record
+
+    record = {"event_name": event_name, "attributes": attrs, "resource_attributes": resource}
+    tokens = encode_record(record)
+    assert decode_record(tokens) == record
+    # canonical: re-encoding the decoded record is byte-stable
+    assert encode_record(decode_record(tokens)) == tokens
