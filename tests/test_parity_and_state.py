@@ -113,3 +113,48 @@ def test_codec_bijective(event_name, attrs, resource):
     assert decode_record(tokens) == record
     # canonical: re-encoding the decoded record is byte-stable
     assert encode_record(decode_record(tokens)) == tokens
+
+
+# ---------- per-lookup timeout -> FetchError("timeout") ----------
+
+def test_timeout_produces_fetch_error_texts(tmp_path):
+    """Per-lookup wall-clock timeout yields the reference's FetchError
+    texts (symbolicator.go:113-117 twins).  timeout=0 forces the path."""
+    import pytest
+
+    from opentelemetry_collector_symbolicator_ray.errors import (
+        DsymFetchError,
+        ProguardFetchError,
+        SourceMapFetchError,
+    )
+    from opentelemetry_collector_symbolicator_ray.sources.stores import (
+        DsymStore,
+        ProguardStore,
+        SourceMapStore,
+    )
+    from opentelemetry_collector_symbolicator_ray.stages.dsym_processor import DsymSymbolicator
+    from opentelemetry_collector_symbolicator_ray.stages.js_processor import JsSymbolicator
+    from opentelemetry_collector_symbolicator_ray.stages.proguard_processor import (
+        ProguardSymbolicator,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        write_dsym,
+        write_js_sourcemap,
+        write_proguard_mapping,
+    )
+
+    write_js_sourcemap(str(tmp_path), "t.js")
+    write_proguard_mapping(str(tmp_path), "u-1")
+    write_dsym(str(tmp_path), "AAAABBBB-1111-2222-3333-444455556666", "Bin")
+
+    js = JsSymbolicator(SourceMapStore(str(tmp_path)), timeout=0.0)
+    with pytest.raises(SourceMapFetchError, match="failed to fetch source map for t.js: timeout"):
+        js.symbolicate(0, 1, "f", "t.js", "")
+
+    pg = ProguardSymbolicator(ProguardStore(str(tmp_path)), timeout=0.0)
+    with pytest.raises(ProguardFetchError, match="failed to fetch ProGuard mapping for u-1: timeout"):
+        pg.symbolicate("u-1", "a.b.c", "a", 5)
+
+    ds = DsymSymbolicator(DsymStore(str(tmp_path)), timeout=0.0)
+    with pytest.raises(DsymFetchError, match="failed to fetch dSYM for AAAABBBB-1111-2222-3333-444455556666: timeout"):
+        ds.symbolicate_frame("AAAABBBB-1111-2222-3333-444455556666", "Bin", 100436)
