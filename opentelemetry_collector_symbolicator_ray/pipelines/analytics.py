@@ -9,7 +9,6 @@ fully immune to summation-order / rounding-implementation ULP drift.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -6,7 +6,7 @@ proguardprocessor/log_processor.go and symbolicator.go.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..config import PROGUARD_PROCESSOR_TYPE, PROGUARD_PROCESSOR_VERSION, ProguardConfig
 from ..errors import (
