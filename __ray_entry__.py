@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frame_index": lambda sf: multimodal.video_frame_index(sf),
         # --- wide-operator demonstrations (groupby / join / top-k) ---
         "events_by_type": lambda sf: analytics.events_by_type(sf),
+        "events_errors_by_user": lambda sf: analytics.error_events_by_user(sf),
         "events_tumbling_windows": lambda sf: streaming.tumbling_event_counts(sf),
         "events_user_sessions": lambda sf: streaming.user_sessions(sf),
         "lineitem_pricing": lambda sf: analytics.lineitem_pricing_summary(sf),
@@ -228,6 +229,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_errors_by_user": """
+            SELECT user_id, count(*)::BIGINT AS n_errors,
+                   CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id ORDER BY user_id
         """,
         "events_tumbling_windows": """
             SELECT event_type,

@@ -134,3 +134,30 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
             "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def error_events_by_user(sf_dir: str) -> pa.Table:
+    """Predicate + projection pushdown at the read: only the 'error'
+    rows of the two needed columns leave storage (read_parquet row
+    filter), then a small groupby."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        filter=pads.field("event_type") == "error",
+    )
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_errors"), Sum("value", alias_name="total_value")
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["user_id"])
+    return pa.table(
+        {
+            "user_id": pa.array([int(r["user_id"]) for r in rows], type=pa.int64()),
+            "n_errors": pa.array([int(r["n_errors"]) for r in rows], type=pa.int64()),
+            "total_value_cents": pa.array(
+                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
+            ),
+        }
+    )

@@ -45,38 +45,74 @@ def symbolicate(ds: "ray.data.Dataset", cfg: PipelineConfig, *, salted: bool = F
     )
 
 
-def _routing_key_batch(batch: pa.Table, salt_buckets: int) -> pa.Table:
+def _routing_key_batch(
+    batch: pa.Table, salt_buckets: int, hot_ids: frozenset | None = None
+) -> pa.Table:
     """Stateless map_batches fn: derive a salted debug-id routing shard
-    (SURVEY.md §7.3).  Salting spreads each hot debug-id over
-    ``salt_buckets`` actors at the cost of duplicate artifact parses."""
+    (SURVEY.md §7.3).  Salting spreads a hot debug-id over
+    ``salt_buckets`` actors at the cost of duplicate artifact parses;
+    with ``hot_ids`` given, only detected-hot ids are salted and cold
+    ids keep full cache affinity."""
     records = decode_batch_tokens(batch)
     doc_ids = batch.column("doc_id").to_pylist()
     shards = []
     for doc_id, record in zip(doc_ids, records):
-        resource = record.get("resource_attributes", {})
-        attrs = record.get("attributes", {})
-        debug_id = (
-            resource.get("app.debug.build_uuid")
-            or attrs.get("app.debug.proguard_uuid")
-            or resource.get("app.debug.proguard_uuid")
-            or resource.get("app.debug.source_map_uuid")
-            or resource.get("telemetry.sdk.language", "")
-        )
-        salt = zlib.crc32(doc_id.encode()) % salt_buckets
-        shard = (zlib.crc32(str(debug_id).encode()) * salt_buckets + salt) % (1 << 20)
+        debug_id = _record_debug_id(record)
+        if hot_ids is None or debug_id in hot_ids:
+            salt = zlib.crc32(doc_id.encode()) % salt_buckets
+        else:
+            salt = 0
+        shard = (zlib.crc32(debug_id.encode()) * salt_buckets + salt) % (1 << 20)
         shards.append(shard)
     return batch.append_column("routing_shard", pa.array(shards, type=pa.int32()))
 
 
-def salted_repartition(ds: "ray.data.Dataset", cfg: PipelineConfig) -> "ray.data.Dataset":
+def _record_debug_id(record: dict) -> str:
+    resource = record.get("resource_attributes", {})
+    attrs = record.get("attributes", {})
+    return str(
+        resource.get("app.debug.build_uuid")
+        or attrs.get("app.debug.proguard_uuid")
+        or resource.get("app.debug.proguard_uuid")
+        or resource.get("app.debug.source_map_uuid")
+        or resource.get("telemetry.sdk.language", "")
+    )
+
+
+def detect_hot_debug_ids(
+    input_paths: list[str],
+    sample_rows: int = 4096,
+    hot_fraction: float = 0.10,
+) -> set[str]:
+    """Cheap pre-count for skew handling (SURVEY.md §4): decode a small
+    sample of rows and return debug-ids holding more than
+    ``hot_fraction`` of the sample.  Only hot ids get salted fan-out —
+    cold ids keep full artifact-cache affinity."""
+    sample = ray.data.read_parquet(input_paths).limit(sample_rows)
+    counts: dict[str, int] = {}
+    total = 0
+    for batch in sample.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for record in decode_batch_tokens(batch):
+            key = _record_debug_id(record)
+            counts[key] = counts.get(key, 0) + 1
+            total += 1
+    if total == 0:
+        return set()
+    return {key for key, n in counts.items() if n / total > hot_fraction}
+
+
+def salted_repartition(
+    ds: "ray.data.Dataset", cfg: PipelineConfig, hot_ids: frozenset | None = None
+) -> "ray.data.Dataset":
     """Range-partition by salted debug-id so each symbolizer actor sees a
     cache-friendly, skew-bounded key range.  (Ray Data's sort is the
     range-shuffle primitive; a hash repartition-by-column would work
     equally.)  Opt-in: at small scale the per-actor LRU already covers
-    the whole artifact set."""
+    the whole artifact set.  Pass ``hot_ids`` (from
+    ``detect_hot_debug_ids``) to salt only the detected-hot keys."""
     ds = ds.map_batches(
         _routing_key_batch,
-        fn_kwargs={"salt_buckets": cfg.salt_buckets},
+        fn_kwargs={"salt_buckets": cfg.salt_buckets, "hot_ids": hot_ids},
         batch_format="pyarrow",
     )
     return ds.sort("routing_shard")

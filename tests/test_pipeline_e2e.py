@@ -208,3 +208,33 @@ def test_semantic_drift_golden(ray_session):
         "js": (244, 13, 803, 8, 1, 557556908402),
         "unsymbolicated": (102, 0, 0, 0, 0, 228402330263),
     }
+
+
+def test_hot_key_detection_and_targeted_salting(ray_session, corpus):
+    """detect_hot_debug_ids finds the Zipf-hot build ids from a small
+    sample; salting only those keys still yields identical aggregates."""
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        detect_hot_debug_ids,
+        salted_repartition,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import (
+        APPLE_BUILDS,
+        JS_UUIDS,
+        PROGUARD_UUIDS,
+    )
+
+    files = input_files(corpus)
+    hot = detect_hot_debug_ids(files, sample_rows=600, hot_fraction=0.05)
+    # the generator makes the first id of each platform hot (~30% of its
+    # platform's rows)
+    assert JS_UUIDS[0] in hot or PROGUARD_UUIDS[0] in hot or APPLE_BUILDS[0][0] in hot
+
+    cfg = make_cfg(corpus)
+    plain = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(files), cfg)
+    ).to_pylist()
+    ds = salted_repartition(ray.data.read_parquet(files), cfg, hot_ids=frozenset(hot))
+    targeted = per_sink_aggregates(symbolicate(ds, cfg)).to_pylist()
+    assert plain == targeted
