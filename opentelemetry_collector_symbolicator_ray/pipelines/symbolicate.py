@@ -241,6 +241,13 @@ def run_checkpointed(
             sid,
             {"shard": sid, "input_files": shard_files, "sinks": sinks, "outputs": sorted(outputs)},
         )
+        # Exactly-once reconciliation: a retried task may have written a
+        # part file before dying whose summary never reached the driver;
+        # delete any shard-tagged file not recorded in the manifest.
+        recorded = set(outputs)
+        for path in glob.glob(os.path.join(output_dir, "*", f"part-{sid:05d}-*.parquet")):
+            if path not in recorded:
+                os.remove(path)
         processed += 1
 
     return manifest.aggregates()

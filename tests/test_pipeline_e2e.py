@@ -238,3 +238,37 @@ def test_hot_key_detection_and_targeted_salting(ray_session, corpus):
     ds = salted_repartition(ray.data.read_parquet(files), cfg, hot_ids=frozenset(hot))
     targeted = per_sink_aggregates(symbolicate(ds, cfg)).to_pylist()
     assert plain == targeted
+
+
+def test_orphan_part_reconciliation(ray_session, corpus, tmp_path):
+    """Part files written by failed/retried attempts (present on disk but
+    absent from the committed manifest) are removed, so out/<sink>/ is
+    exactly the manifest's output set."""
+    import glob
+    import json
+
+    out_dir = str(tmp_path / "run")
+    cfg = make_cfg(corpus)
+    run_checkpointed(corpus, out_dir, cfg, shard_size=2, max_shards=1)
+
+    # plant an orphan "retry ghost" for shard 0, then resume the rest
+    ghost = os.path.join(out_dir, "js", "part-00000-deadbeef0000.parquet")
+    with open(ghost, "wb") as f:
+        f.write(b"not really parquet")
+    # shard 0 is committed; its reconciliation already ran — simulate a
+    # ghost for the NEXT shard instead (uncommitted -> cleaned at start)
+    ghost1 = os.path.join(out_dir, "js", "part-00001-deadbeef0001.parquet")
+    with open(ghost1, "wb") as f:
+        f.write(b"not really parquet")
+
+    run_checkpointed(corpus, out_dir, cfg, shard_size=2)
+    assert not os.path.exists(ghost1)  # cleaned before reprocessing
+
+    all_parts = set(glob.glob(os.path.join(out_dir, "*", "part-*.parquet")))
+    recorded = set()
+    for mf in glob.glob(os.path.join(out_dir, "manifest", "shard-*.json")):
+        with open(mf) as f:
+            recorded.update(json.load(f)["outputs"])
+    # everything on disk (minus the shard-0 ghost we planted after its
+    # commit) is manifest-recorded
+    assert all_parts - recorded == {ghost}
