@@ -272,3 +272,25 @@ def test_orphan_part_reconciliation(ray_session, corpus, tmp_path):
     # everything on disk (minus the shard-0 ghost we planted after its
     # commit) is manifest-recorded
     assert all_parts - recorded == {ghost}
+
+
+def test_fused_file_reader_matches_two_stage(ray_session, corpus, tmp_path):
+    """SymbolicatorChainFromFiles (read+process+write fused in the actor)
+    produces the same per-sink aggregates as the two-stage pipeline."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        aggregates_from_summaries,
+        symbolicate_and_write,
+        symbolicate_files,
+    )
+
+    import ray.data
+
+    cfg = make_cfg(corpus)
+    files = input_files(corpus)
+    a = aggregates_from_summaries(
+        symbolicate_and_write(ray.data.read_parquet(files), cfg, str(tmp_path / "a"), "t")
+    ).to_pylist()
+    b = aggregates_from_summaries(
+        symbolicate_files(files, cfg, str(tmp_path / "b"), "t")
+    ).to_pylist()
+    assert a == b

@@ -464,3 +464,27 @@ def test_proc_language_filter():
     assert not proc.process_attributes(attrs, {})
     attrs2 = _structured(cfg)
     assert proc.process_attributes(attrs2, {cfg.language_attribute_key: "Kotlin"})
+
+
+def test_per_record_error_cache_isolation():
+    """The negative cache is per RECORD, not per actor: a second record
+    with the same uuid re-attempts the fetch (multi-UUID dedup tests,
+    proguardprocessor/log_processor_test.go:1050-1221)."""
+    err = ProguardFetchError(UUID, SymbolicationError("boom"))
+    proc, sym = make_proc(sym=FakeProguardSymbolicator(err=err))
+    cfg = proc.cfg
+
+    def attrs():
+        return {
+            cfg.classes_attribute_key: ["a", "b"],
+            cfg.methods_attribute_key: ["m", "m"],
+            cfg.lines_attribute_key: [1, 2],
+            cfg.source_files_attribute_key: ["S", "S"],
+            cfg.stack_trace_attribute_key: "raw",
+            cfg.proguard_uuid_attribute_key: UUID,
+        }
+
+    assert proc.process_attributes(attrs(), {})
+    assert sym.call_count == 1  # cached within record 1
+    assert proc.process_attributes(attrs(), {})
+    assert sym.call_count == 2  # fresh cache for record 2
