@@ -16,8 +16,10 @@ from opentelemetry_collector_symbolicator_ray.functions.js_stack_parser import (
     compute_stack_trace,
 )
 
-CORPUS_PATH = Path(__file__).parent / "data" / "js_parser_corpus.json"
-CASES = json.loads(CORPUS_PATH.read_text())
+_DATA = Path(__file__).parent / "data"
+CASES = json.loads((_DATA / "js_parser_corpus_a.json").read_text()) + json.loads(
+    (_DATA / "js_parser_corpus_b.json").read_text()
+)
 
 
 @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
