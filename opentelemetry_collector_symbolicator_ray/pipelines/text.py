@@ -99,29 +99,51 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-def language_id(sf_dir: str) -> "ray.data.Dataset":
-    """Stopword-profile language ID (deterministic heuristic; rows-only
-    check — not SQL-expressible).  Emits predicted language + score."""
+def _char_ngrams(text: str, n: int = 3) -> set[str]:
+    padded = f" {text} "
+    return {padded[i: i + n] for i in range(max(1, len(padded) - n + 1))}
 
-    profiles = {lang: frozenset(words) for lang, words in _LANG_PROFILES.items()}
-    langs = sorted(profiles)
+
+def language_id(sf_dir: str) -> "ray.data.Dataset":
+    """Character-n-gram + stopword language ID (deterministic heuristic;
+    rows-only check — not SQL-expressible).  Per language, a trigram
+    profile is derived from its stopword list; documents score by
+    Jaccard overlap of their trigram set with each profile, with
+    whole-word stopword hits as a tie-dominant signal."""
+
+    word_profiles = {lang: frozenset(words) for lang, words in _LANG_PROFILES.items()}
+    trigram_profiles = {
+        lang: frozenset().union(*(_char_ngrams(w) for w in words))
+        for lang, words in _LANG_PROFILES.items()
+    }
+    langs = sorted(word_profiles)
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
+        preds, word_scores, tri_scores = [], [], []
         for t in batch.column("text").to_pylist():
-            words = set(t.lower().split())
-            best_lang, best = "und", 0
+            lower = t.lower()
+            words = set(lower.split())
+            trigrams = _char_ngrams(lower)
+            best_lang, best_key = "und", (0, 0.0)
+            best_tri = 0.0
             for lang in langs:
-                hits = len(words & profiles[lang])
-                if hits > best:
-                    best, best_lang = hits, lang
-            preds.append(best_lang)
-            scores.append(best)
+                hits = len(words & word_profiles[lang])
+                overlap = len(trigrams & trigram_profiles[lang])
+                union = len(trigrams | trigram_profiles[lang])
+                tri = overlap / union if union else 0.0
+                if (hits, tri) > best_key:
+                    best_key = (hits, tri)
+                    best_lang = lang
+                    best_tri = tri
+            preds.append(best_lang if best_key > (0, 0.0) else "und")
+            word_scores.append(best_key[0])
+            tri_scores.append(round(best_tri, 6))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "predicted_lang": pa.array(preds, type=pa.string()),
-                "stopword_hits": pa.array(scores, type=pa.int64()),
+                "stopword_hits": pa.array(word_scores, type=pa.int64()),
+                "trigram_score": pa.array(tri_scores, type=pa.float64()),
             }
         )
 
