@@ -279,7 +279,7 @@ def simhash64(sf_dir: str) -> "ray.data.Dataset":
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(out, type=pa.int64())}
         )
 
-    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.85) -> pa.Table:

@@ -53,7 +53,7 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 def quality_scores(sf_dir: str) -> "ray.data.Dataset":
@@ -80,7 +80,7 @@ def quality_scores(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
@@ -96,7 +96,7 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
             {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.string())}
         )
 
-    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 def _char_ngrams(text: str, n: int = 3) -> set[str]:
@@ -147,7 +147,7 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
 def rolling_hash_fingerprints(sf_dir: str, window: int = 16) -> "ray.data.Dataset":
@@ -172,4 +172,4 @@ def rolling_hash_fingerprints(sf_dir: str, window: int = 16) -> "ray.data.Datase
             {"doc_id": batch.column("doc_id"), "rolling_fp": pa.array(out, type=pa.int64())}
         )
 
-    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
