@@ -294,3 +294,33 @@ def test_fused_file_reader_matches_two_stage(ray_session, corpus, tmp_path):
         symbolicate_files(files, cfg, str(tmp_path / "b"), "t")
     ).to_pylist()
     assert a == b
+
+
+def test_empty_batch_handling():
+    """The chain preserves the output schema on zero-row batches."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_symbolicator_ray.codec import encode_batch_records
+    from opentelemetry_collector_symbolicator_ray.stages.symbolicate_stage import (
+        OUTPUT_SCHEMA,
+        SymbolicatorChain,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    d = "/tmp/ocsr_span_fixture"
+    generate_corpus(d, 50, num_files=1, seed=3)
+    chain = SymbolicatorChain(
+        PipelineConfig.with_default_routing(os.path.join(d, "artifacts"))
+    )
+    tokens, n_tok = encode_batch_records([])
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": pa.array([], type=pa.string()),
+        }
+    )
+    out = chain(empty)
+    assert out.num_rows == 0
+    assert out.schema.equals(OUTPUT_SCHEMA)
