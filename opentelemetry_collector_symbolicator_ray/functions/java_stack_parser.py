@@ -16,8 +16,8 @@ ERR_INVALID_STACK_TRACE = "invalid stack trace format"
 ERR_NO_FRAMES_PARSED = "no valid stack frames found in stack trace"
 
 # proguardprocessor/stack_trace_parser.go:51 and :66.
-_HEADER_RE = re.compile(r"^([^\s:]+)\s*:\s*(.*)$")
-_FRAME_RE = re.compile(r"^\s*at\s+([^\s(]+)\.([^\s.(]+)\(([^:)]+)(?::(-?\d+))?\)\s*$")
+_HEADER_RE = re.compile(r"^([^\s:]+)\s*:\s*(.*)$", re.A)
+_FRAME_RE = re.compile(r"^\s*at\s+([^\s(]+)\.([^\s.(]+)\(([^:)]+)(?::(-?\d+))?\)\s*$", re.A)
 
 
 class JavaParseError(Exception):

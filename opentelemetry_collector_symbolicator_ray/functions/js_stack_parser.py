@@ -22,39 +22,39 @@ PARSE_MODE_MULTILINE = "multiline"
 
 # Regexes translated from sourcemapprocessor/stack_trace_parser.go:20-46.
 _REACT_NATIVE_RE = re.compile(
-    r"^\s*at (.*?) ?\(address at (.+?)(?::(\d+))?(?::(\d+))?\)\s*$", re.I
+    r"^\s*at (.*?) ?\(address at (.+?)(?::(\d+))?(?::(\d+))?\)\s*$", re.I | re.A
 )
 _CHROME_RE = re.compile(
     r"^\s*at (.*?) ?\(((?:file|https?|blob|chrome-extension|native|eval|webpack|<anonymous>|\/).*?)"
     r"(?::(\d+))?(?::(\d+))?\)?\s*$",
-    re.I,
+    re.I | re.A,
 )
 _GECKO_RE = re.compile(
     r"^\s*(.*?)(?:\((.*?)\))?(?:^|@)((?:file|https?|blob|chrome|webpack|resource|\[native).*?|[^@]*bundle)"
     r"(?::(\d+))?(?::(\d+))?\s*$",
-    re.I,
+    re.I | re.A,
 )
 _WINJS_RE = re.compile(
     r"^\s*at (?:((?:\[object object\])?.+) )?\(?((?:file|ms-appx|https?|webpack|blob):.*?):(\d+)(?::(\d+))?\)?\s*$",
-    re.I,
+    re.I | re.A,
 )
-_GECKO_EVAL_RE = re.compile(r"(\S+) line (\d+)(?: > eval line \d+)* > eval", re.I)
-_CHROME_EVAL_RE = re.compile(r"\((\S*)(?::(\d+))(?::(\d+))\)")
+_GECKO_EVAL_RE = re.compile(r"(\S+) line (\d+)(?: > eval line \d+)* > eval", re.I | re.A)
+_CHROME_EVAL_RE = re.compile(r"\((\S*)(?::(\d+))(?::(\d+))\)", re.A)
 
-_OPERA11_RE = re.compile(r" line (\d+).*script (?:in )?(\S+)(?:: in function (\S+))?$", re.I)
+_OPERA11_RE = re.compile(r" line (\d+).*script (?:in )?(\S+)(?:: in function (\S+))?$", re.I | re.A)
 _OPERA11_COLUMN_RE = re.compile(
     r" line (\d+), column (\d+)\s*(?:in (?:<anonymous function: ([^>]+)>|([^\)]+))\((.*)\))? in (.*):\s*$",
-    re.I,
+    re.I | re.A,
 )
 
 _OPERA9_LINKED_RE = re.compile(
-    r"^\s*Line (\d+) of linked script ((?:file|https?|blob)\S+)(?:: in function (\S+))?\s*$", re.I
+    r"^\s*Line (\d+) of linked script ((?:file|https?|blob)\S+)(?:: in function (\S+))?\s*$", re.I | re.A
 )
 _OPERA9_INLINE_RE = re.compile(
     r"^\s*Line (\d+) of inline#(\d+) script in ((?:file|https?|blob)\S+)(?:: in function (\S+))?\s*$",
-    re.I,
+    re.I | re.A,
 )
-_OPERA9_FUNCTION_RE = re.compile(r"^\s*Line (\d+) of function script\s*$", re.I)
+_OPERA9_FUNCTION_RE = re.compile(r"^\s*Line (\d+) of function script\s*$", re.I | re.A)
 
 
 @dataclass

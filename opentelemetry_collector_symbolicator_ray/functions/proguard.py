@@ -27,9 +27,10 @@ import json
 import re
 from dataclasses import dataclass, field
 
-_CLASS_RE = re.compile(r"^(\S+) -> (\S+):$")
+_CLASS_RE = re.compile(r"^(\S+) -> (\S+):$", re.A)
 _MEMBER_RE = re.compile(
-    r"^\s+(?:(\d+):(\d+):)?(\S+)\s+([^\s(]+)\((.*?)\)(?::(-?\d+))?(?::(-?\d+))?\s*->\s*(\S+)\s*$"
+    r"^\s+(?:(\d+):(\d+):)?(\S+)\s+([^\s(]+)\((.*?)\)(?::(-?\d+))?(?::(-?\d+))?\s*->\s*(\S+)\s*$",
+    re.A,
 )
 
 

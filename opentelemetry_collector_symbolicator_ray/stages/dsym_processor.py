@@ -22,7 +22,8 @@ from .js_processor import ProcessStats
 # dsymprocessor/logs_processor.go:210-211.
 # groups: stack index, library name, hex address, uuid or binary name, offset
 _STACK_LINE_RE = re.compile(
-    r"^([0-9]+)\s+([\w _\-\.]+[\w_\-\.])\s+(0x[\da-f]+)\s+([\w _\-\.]*) \+ (\d+)"
+    r"^([0-9]+)\s+([\w _\-\.]+[\w_\-\.])\s+(0x[\da-f]+)\s+([\w _\-\.]*) \+ (\d+)",
+    re.A,  # RE2 \w/\d/\s are ASCII-only
 )
 _UUID_RE = re.compile(r"[0-9A-Z]{8}-[0-9A-Z]{4}-[0-9A-Z]{4}-[0-9A-Z]{4}-[0-9A-Z]{12}")
 
