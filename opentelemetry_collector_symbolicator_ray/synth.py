@@ -133,21 +133,36 @@ def _js_record(i: int, rng: random.Random) -> tuple[dict, str]:
                 variant = "edge-missing-artifact"
     else:
         variant = "raw"
-        style = rng.choice(["chrome", "gecko", "rn"])
-        lines = [f"Error: boom {i % 97}"]
-        for f in frames:
-            fn, u, ln, col = f
-            if u == "<anonymous>":
-                lines.append(f"    at {fn} (<anonymous>)")
-            elif u in ("(native)", "[native]"):
-                lines.append("    at call (native)" if style != "gecko" else "eval@[native code]")
-            elif style == "chrome":
-                lines.append(f"    at {fn} ({u}:{ln}:{col})")
-            elif style == "gecko":
-                lines.append(f"{fn}@{u}:{ln}:{col}")
-            else:
-                lines.append(f"    at {fn} (address at {u}:{ln}:{col})")
-        attrs["exception.stacktrace"] = "\n".join(lines)
+        style = rng.choice(["chrome", "gecko", "rn", "safari", "opera11"])
+        if style == "opera11":
+            # Opera 11+ stacktrace format: frame line + source line pairs
+            lines = []
+            for idx, (fn, u, ln, col) in enumerate(frames):
+                if u in ("<anonymous>", "(native)", "[native]"):
+                    u = JS_URL.format(file)
+                lead = "Error thrown at" if idx == 0 else "called from"
+                lines.append(f"{lead} line {ln}, column {col} in {fn}() in {u}:")
+                lines.append("    source();")
+            attrs["exception.stacktrace"] = "\n".join(lines)
+        else:
+            lines = [f"Error: boom {i % 97}"]
+            for f in frames:
+                fn, u, ln, col = f
+                if u == "<anonymous>":
+                    lines.append(f"    at {fn} (<anonymous>)")
+                elif u in ("(native)", "[native]"):
+                    lines.append(
+                        "    at call (native)"
+                        if style not in ("gecko", "safari")
+                        else "eval@[native code]"
+                    )
+                elif style == "chrome":
+                    lines.append(f"    at {fn} ({u}:{ln}:{col})")
+                elif style in ("gecko", "safari"):
+                    lines.append(f"{fn}@{u}:{ln}:{col}")
+                else:
+                    lines.append(f"    at {fn} (address at {u}:{ln}:{col})")
+            attrs["exception.stacktrace"] = "\n".join(lines)
         if edge:
             attrs["exception.stacktrace"] = "completely unparseable\ngarbage text"
             variant = "edge-unparseable"
@@ -379,7 +394,7 @@ def generate_corpus(
 ) -> str:
     """Write tokens-<k>.parquet shards + artifacts/ under out_dir.
     Idempotent: skips generation if the marker file matches."""
-    marker = os.path.join(out_dir, f".complete-v3-{num_rows}-{num_files}-{seed}")
+    marker = os.path.join(out_dir, f".complete-v4-{num_rows}-{num_files}-{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -189,7 +189,7 @@ def test_span_event_records():
 
 def test_semantic_drift_golden(ray_session):
     """Pinned per-sink aggregates for the seed corpus (generator v3,
-    600 rows, seed 42).  If the generator or any processor semantics
+    600 rows, seed 42; generator v4 adds opera11/safari raw styles).  If the generator or any processor semantics
     change, this golden changes WITH INTENT — update it only alongside a
     deliberate semantic change."""
     import __ray_entry__ as entry_mod
@@ -205,8 +205,8 @@ def test_semantic_drift_golden(ray_session):
     assert got == {
         "android": (134, 6, 460, 6, 2, 291784222525),
         "apple": (120, 24, 399, 3, 123, 260694383757),
-        "js": (244, 13, 803, 8, 1, 557556908402),
-        "unsymbolicated": (102, 0, 0, 0, 0, 228402330263),
+        "js": (245, 13, 804, 8, 1, 536452325812),
+        "unsymbolicated": (101, 0, 0, 0, 0, 226112319990),
     }
 
 
