@@ -113,7 +113,13 @@ def sym_checkpointed_agg(sf_dir: str):
     out_dir = f"/tmp/ocsr_ckpt/{tag}"
     totals = run_checkpointed(corpus, out_dir, _sym_cfg(corpus), shard_size=2)
     rows = [
-        {"sink": sink, **{k: int(v) for k, v in counters.items()}}
+        {
+            "sink": sink,
+            **{
+                k: (float(v) if k == "symbolication_duration" else int(v))
+                for k, v in counters.items()
+            },
+        }
         for sink, counters in sorted(totals.items())
     ]
     return pa.Table.from_pylist(rows)

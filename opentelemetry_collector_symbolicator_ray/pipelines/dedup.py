@@ -1,14 +1,18 @@
 """Deduplication operators over the ``documents`` table: exact
 (hash-partition + per-group min), exact n-gram Jaccard pairs, MinHash+LSH
-near-dup, and SimHash — the training-data-pipeline dedup suite.
+near-dup, SimHash, and embedding-cosine near-dup — the
+training-data-pipeline dedup suite.
 
 Scale notes (100 TB): exact dedup is a hash-key groupby (map-side
-partial via the md5 projection, then a shuffle on the digest key).  The
-pairwise operators use the broadcast-small-side pattern: the comparison
-index (CSR shingle matrix / minhash band table) is built once, put in
-the object store with ``ray.put``, and read by every ``map_batches``
-task — no O(n^2) shuffle.  At full scale the LSH band groupby replaces
-the broadcast for the candidate-generation step.
+partial via the md5 projection, then a shuffle on the digest key).
+MinHash+LSH is fully distributed: band buckets shuffle with
+``groupby(bucket)`` (bucket-size capped) and exact-Jaccard verification
+runs inside the bucket groups, whose rows carry the shingle blobs — no
+whole-corpus state ever reaches the driver.  The exact all-pairs operators (n-gram Jaccard, embedding
+cosine) are the oracle-verifiable counterparts: inherently O(n^2)
+compute, but executed as block-pair Ray tasks over the Dataset's own
+Arrow block refs with memory bounded per task; at scale you run the LSH
+/ ANN paths instead.
 """
 
 from __future__ import annotations
@@ -57,71 +61,91 @@ def exact_dedup_stats(sf_dir: str) -> pa.Table:
     return pa.table({"n_docs": pa.array([n_docs]), "n_unique_texts": pa.array([n_unique])})
 
 
-# ---------- shared shingle / word-set machinery ----------
+# ---------- exact n-gram (word-set) Jaccard: block-pair tasks ----------
 
 
-def _word_sets(sf_dir: str) -> tuple[list[int], "object"]:
-    """Build the broadcast comparison index: per-doc word-set rows of a
-    CSR-style binary matrix over the corpus vocabulary.  Built with a
-    distributed pass; only (doc_id, word-id list) reaches the driver."""
+def _word_hash_rows(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, whashes) rows: each doc's distinct-word set as sorted
+    63-bit blake2b hashes (collision odds ~|vocab|^2 / 2^64 — nil), so
+    downstream set ops are pure numpy on int64 arrays instead of Python
+    string sets."""
 
-    def to_words(batch: pa.Table) -> pa.Table:
-        words = [sorted(set(t.split(" "))) for t in batch.column("text").to_pylist()]
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        lists = []
+        for t in batch.column("text").to_pylist():
+            hs = {
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big") >> 1
+                for w in t.split(" ")
+            }
+            lists.append(sorted(hs))
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "words": pa.array(words, type=pa.list_(pa.string()))}
+            {
+                "doc_id": batch.column("doc_id"),
+                "whashes": pa.array(lists, type=pa.list_(pa.int64())),
+            }
         )
 
-    rows = _read_docs(sf_dir).map_batches(to_words, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r["doc_id"])
-    vocab: dict[str, int] = {}
-    doc_ids = []
-    sets = []
-    for row in rows:
-        doc_ids.append(row["doc_id"])
-        ids = []
-        for w in row["words"]:
-            if w not in vocab:
-                vocab[w] = len(vocab)
-            ids.append(vocab[w])
-        sets.append(np.array(sorted(ids), dtype=np.int32))
-    # dense binary matrix (vocab is small for word-level shingles; a CSR
-    # sparse matrix is the drop-in at larger vocab)
-    mat = np.zeros((len(doc_ids), len(vocab)), dtype=np.int32)
-    for i, ids in enumerate(sets):
-        mat[i, ids] = 1
-    return doc_ids, mat
+    return _read_docs(sf_dir).map_batches(to_hashes, batch_format="pyarrow")
+
+
+def _table_id_lists(tbl: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, offsets, flat_values) numpy views of a list<int64> column."""
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = tbl.column(col).combine_chunks()
+    return ids, c.offsets.to_numpy(), c.values.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+@ray.remote
+def _block_pair_jaccard(ta: pa.Table, tb: pa.Table, threshold: float, chunk: int = 512) -> list:
+    """All-pairs exact Jaccard between two Arrow blocks.  Works in
+    (chunk x chunk) tiles: per tile, a local vocabulary from np.unique
+    and a dense binary matmul for intersection sizes — memory bounded by
+    chunk * |local vocab|, never n x vocab."""
+    ids_a, off_a, val_a = _table_id_lists(ta, "whashes")
+    ids_b, off_b, val_b = _table_id_lists(tb, "whashes")
+    sizes_a = np.diff(off_a)
+    sizes_b = np.diff(off_b)
+    out = []
+    for lo_a in range(0, len(ids_a), chunk):
+        hi_a = min(len(ids_a), lo_a + chunk)
+        va = val_a[off_a[lo_a]: off_a[hi_a]]
+        rows_a = np.repeat(np.arange(hi_a - lo_a), sizes_a[lo_a:hi_a])
+        for lo_b in range(0, len(ids_b), chunk):
+            hi_b = min(len(ids_b), lo_b + chunk)
+            vb = val_b[off_b[lo_b]: off_b[hi_b]]
+            vocab = np.unique(np.concatenate([va, vb]))
+            A = np.zeros((hi_a - lo_a, len(vocab)), dtype=np.int32)
+            A[rows_a, np.searchsorted(vocab, va)] = 1
+            B = np.zeros((hi_b - lo_b, len(vocab)), dtype=np.int32)
+            B[np.repeat(np.arange(hi_b - lo_b), sizes_b[lo_b:hi_b]), np.searchsorted(vocab, vb)] = 1
+            inter = A @ B.T
+            union = sizes_a[lo_a:hi_a][:, None] + sizes_b[lo_b:hi_b][None, :] - inter
+            jac = inter / np.maximum(union, 1)
+            ii, jj = np.nonzero(jac >= threshold)
+            ga = ids_a[lo_a + ii]
+            gb = ids_b[lo_b + jj]
+            keep = ga != gb
+            lo_ids = np.minimum(ga[keep], gb[keep])
+            hi_ids = np.maximum(ga[keep], gb[keep])
+            out.extend(zip(lo_ids.tolist(), hi_ids.tolist()))
+    return out
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
-    """Exact word-set Jaccard pairs >= threshold (doc_a < doc_b), via a
-    broadcast matrix multiply per batch block — the exact counterpart the
-    SQL oracle can verify."""
-    doc_ids, mat = _word_sets(sf_dir)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(np.array(doc_ids, dtype=np.int64))
-
-    n = len(doc_ids)
-    block = 512
-    blocks = [(lo, min(n, lo + block)) for lo in range(0, n, block)]
-
-    @ray.remote
-    def pairs_for_block(lo: int, hi: int, mat, ids):
-        sub = mat[lo:hi]
-        inter = sub @ mat.T  # (hi-lo, n) intersection sizes
-        sizes = mat.sum(axis=1)
-        union = sizes[lo:hi][:, None] + sizes[None, :] - inter
-        jac = inter / np.maximum(union, 1)
-        out = []
-        for i in range(hi - lo):
-            gi = lo + i
-            js = np.nonzero(jac[i] >= threshold)[0]
-            for j in js:
-                if j > gi:
-                    out.append((int(ids[gi]), int(ids[j])))
-        return out
-
-    results = ray.get([pairs_for_block.remote(lo, hi, mat_ref, ids_ref) for lo, hi in blocks])
-    pairs = sorted(p for chunk in results for p in chunk)
+    """Exact word-set Jaccard pairs >= threshold (doc_a < doc_b) — the
+    exact counterpart the SQL oracle verifies.  Distributed shape: the
+    word-hash Dataset's own Arrow block refs fan out to O(B^2/2)
+    block-pair tasks; no driver-side corpus materialization.  (Exact
+    all-pairs is O(n^2) by definition — use minhash_lsh_dedup at scale.)"""
+    refs = _word_hash_rows(sf_dir).to_arrow_refs()
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(_block_pair_jaccard.remote(refs[i], refs[j], threshold))
+    seen: set[tuple[int, int]] = set()
+    for chunk in ray.get(tasks):
+        seen.update(chunk)
+    pairs = sorted(seen)
     return pa.table(
         {
             "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
@@ -148,6 +172,27 @@ def _shingle_hashes(text: str, k: int = 2) -> np.ndarray:
     return np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
 
 
+def _shingle_rows(sf_dir: str, k: int) -> "ray.data.Dataset":
+    """(doc_id, shingles) rows: per-doc k-shingle crc32 set as a binary
+    blob of sorted little-endian int64s (binary, not list<int64>, so the
+    column survives Arrow hash joins as a payload field; np.frombuffer
+    restores the array zero-copy)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = [
+            np.sort(_shingle_hashes(t, k).astype(np.int64)).astype("<i8").tobytes()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_signatures(sf_dir: str, num_perm: int = 64, k: int = 2) -> "ray.data.Dataset":
     """Per-doc MinHash signature (shingle -> permuted min) as a
     vectorized numpy stage."""
@@ -155,8 +200,8 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, k: int = 2) -> "ray.data
 
     def fn(batch: pa.Table) -> pa.Table:
         sigs = []
-        for t in batch.column("text").to_pylist():
-            h = _shingle_hashes(t, k)
+        for blob in batch.column("shingles").to_pylist():
+            h = np.frombuffer(blob, dtype="<i8").astype(np.uint64)
             # (num_perm, n_shingles) permuted hashes, min over shingles
             perm = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
             sigs.append(perm.min(axis=1).astype(np.int64))
@@ -167,7 +212,7 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, k: int = 2) -> "ray.data
             }
         )
 
-    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _shingle_rows(sf_dir, k).map_batches(fn, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -176,81 +221,107 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     k: int = 2,
+    max_bucket: int = 256,
 ) -> pa.Table:
-    """MinHash+LSH near-dup detection: signature -> band buckets ->
-    groupby(bucket) candidate pairs -> exact-Jaccard verification.
+    """MinHash+LSH near-dup detection, fully distributed:
+
+    1. shingle stage (once; blobs of sorted int64 crc32 hashes) ->
+    2. band-bucket rows CARRYING each doc's shingle blob -> 3. ONE
+    ``groupby(bucket)`` shuffle co-locates every bucket's docs with
+    their shingles -> 4. exact-Jaccard verification runs inside
+    ``map_groups`` (vectorized intersections, bucket-size capped) ->
+    5. the tiny verified pair set dedups on the driver.
+
+    This is the in-shuffle verification shape: no whole-corpus state on
+    the driver, no second pass over the corpus.  Cost model: shingle
+    blobs are replicated x ``bands`` through the shuffle (the classic
+    LSH-dedup tradeoff vs. a candidate/shingle re-join), and a pair
+    sharing multiple bands is re-verified per band — bounded by
+    ``bands`` and only for near-identical docs.
+
+    Degenerate buckets (> ``max_bucket`` docs, e.g. thousands of
+    identical documents) verify a STAR around the min doc_id instead of
+    the O(n^2) clique — every member stays connected to its keeper, so
+    dedup connectivity is preserved without the quadratic blowup.
+
     Returns verified pairs (doc_a < doc_b), LSH-candidates only (the
     approximate/scalable counterpart of ngram_jaccard_pairs)."""
     rows_per_band = num_perm // bands
-    sig_ds = minhash_signatures(sf_dir, num_perm=num_perm, k=k)
+    shingles = _shingle_rows(sf_dir, k)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        doc_ids, buckets = [], []
+        a, b = _minhash_params(num_perm)
+        doc_ids, buckets, blobs = [], [], []
         ids = batch.column("doc_id").to_pylist()
-        for doc_id, sig in zip(ids, batch.column("signature").to_pylist()):
+        for i, blob in enumerate(batch.column("shingles").to_pylist()):
+            h = np.frombuffer(blob, dtype="<i8").astype(np.uint64)
+            perm = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+            sig = perm.min(axis=1).astype(np.int64)
             for band in range(bands):
                 chunk = sig[band * rows_per_band: (band + 1) * rows_per_band]
                 key = zlib.crc32((str(band) + ":" + ",".join(map(str, chunk))).encode())
-                doc_ids.append(doc_id)
+                doc_ids.append(int(ids[i]))
                 buckets.append((band << 32) | key)
+                blobs.append(blob)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "bucket": pa.array(buckets, type=pa.int64()),
+                "shingles": pa.array(blobs, type=pa.binary()),
             }
         )
 
-    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+    band_rows = shingles.map_batches(to_buckets, batch_format="pyarrow")
 
-    # bucket groupby -> candidate pairs (the LSH shuffle)
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    # the LSH shuffle: one bucket = one co-located group; candidate
+    # generation AND exact verification happen here, capped
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        blobs = group.column("shingles").to_pylist()
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        sets = [np.frombuffer(blobs[i], dtype="<i8") for i in order]
+        if len(ids) > max_bucket:
+            # degenerate bucket: star around the keeper, O(n) not O(n^2)
+            cand = [(0, j) for j in range(1, len(ids))]
+        else:
+            cand = [(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        keep_a, keep_b = [], []
+        for i, j in cand:
+            if ids[i] == ids[j]:
+                continue
+            xa, xb = sets[i], sets[j]
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            union = xa.size + xb.size - inter
+            if union and inter / union >= threshold:
+                keep_a.append(ids[i])
+                keep_b.append(ids[j])
         return pa.table(
             {
-                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
             }
         )
 
-    candidates = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
-    cand_pairs = {(r["doc_a"], r["doc_b"]) for r in candidates.take_all()}
-
-    # exact verification with the SAME k-shingle measure the LSH
-    # signatures estimate (not word sets)
-    def to_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sets = [
-            sorted(int(h) for h in _shingle_hashes(t, k))
-            for t in batch.column("text").to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "shingles": pa.array(sets, type=pa.list_(pa.int64())),
-            }
-        )
-
-    shingle_rows = _read_docs(sf_dir).map_batches(to_shingles, batch_format="pyarrow").take_all()
-    shingles = {r["doc_id"]: frozenset(r["shingles"]) for r in shingle_rows}
-    verified = []
-    for a_id, b_id in sorted(cand_pairs):
-        sa, sb = shingles[a_id], shingles[b_id]
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union >= threshold:
-            verified.append((a_id, b_id))
+    verified = (
+        band_rows.groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    # a pair verified in multiple bands collapses here (tiny result set)
+    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in verified})
     return pa.table(
         {
-            "doc_a": pa.array([p[0] for p in verified], type=pa.int64()),
-            "doc_b": pa.array([p[1] for p in verified], type=pa.int64()),
+            "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
         }
     )
 
 
-def simhash64(sf_dir: str) -> "ray.data.Dataset":
+def simhash64(sf_dir: str, cache_cap: int = 1 << 20) -> "ray.data.Dataset":
     """64-bit SimHash over blake2b word hashes (deterministic across
-    processes; rows-only check)."""
+    processes; rows-only check).  The per-worker word-hash memo is
+    capacity-bounded."""
 
     word_hash_cache: dict[str, int] = {}
 
@@ -258,7 +329,8 @@ def simhash64(sf_dir: str) -> "ray.data.Dataset":
         h = word_hash_cache.get(w)
         if h is None:
             h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            word_hash_cache[w] = h
+            if len(word_hash_cache) < cache_cap:
+                word_hash_cache[w] = h
         return h
 
     bit_positions = np.arange(64, dtype=np.uint64)
@@ -282,42 +354,45 @@ def simhash64(sf_dir: str) -> "ray.data.Dataset":
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+@ray.remote
+def _block_pair_cosine(ta: pa.Table, tb: pa.Table, threshold: float) -> list:
+    """Cosine >= threshold pairs between two embedding blocks (unit
+    normalization inside the task; one matmul per block pair)."""
+
+    def block(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("embedding").combine_chunks()
+        mat = c.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(c), -1)
+        return ids, mat / np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
+
+    ids_a, ua = block(ta)
+    ids_b, ub = block(tb)
+    sims = ua @ ub.T
+    ii, jj = np.nonzero(sims >= threshold)
+    ga, gb = ids_a[ii], ids_b[jj]
+    keep = ga != gb
+    lo = np.minimum(ga[keep], gb[keep])
+    hi = np.maximum(ga[keep], gb[keep])
+    return list(zip(lo.tolist(), hi.tolist()))
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.85) -> pa.Table:
-    """Embedding-cosine near-dup pairs via blocked brute force against a
-    broadcast matrix (float64; doc-pair output is float-free so the SQL
-    oracle hash-matches)."""
-    tbl = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .sort("vec_id")
-        .to_arrow_refs()
-    )
-    chunks = [ray.get(ref) for ref in tbl]
-    full = pa.concat_tables(chunks)
-    ids = np.array(full.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(full.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    unit = mat / np.maximum(norms[:, None], 1e-12)
-
-    unit_ref = ray.put(unit)
-    ids_ref = ray.put(ids)
-    n = len(ids)
-    block = 1024
-    blocks = [(lo, min(n, lo + block)) for lo in range(0, n, block)]
-
-    @ray.remote
-    def pairs_for_block(lo, hi, unit, ids):
-        sims = unit[lo:hi] @ unit.T
-        out = []
-        for i in range(hi - lo):
-            gi = lo + i
-            js = np.nonzero(sims[i] >= threshold)[0]
-            for j in js:
-                if j > gi:
-                    out.append((int(ids[gi]), int(ids[j])))
-        return out
-
-    results = ray.get([pairs_for_block.remote(lo, hi, unit_ref, ids_ref) for lo, hi in blocks])
-    pairs = sorted(p for chunk in results for p in chunk)
+    """Embedding-cosine near-dup pairs via blocked brute force: the
+    Dataset's own Arrow block refs fan out to block-pair Ray tasks —
+    the driver never ray.gets a block, only the (tiny) matching pairs.
+    (Exact all-pairs is the oracle-verifiable counterpart; the ANN scale
+    path is ivf_knn.)"""
+    refs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(_block_pair_cosine.remote(refs[i], refs[j], threshold))
+    seen: set[tuple[int, int]] = set()
+    for chunk in ray.get(tasks):
+        seen.update(chunk)
+    pairs = sorted(seen)
     return pa.table(
         {
             "vec_a": pa.array([p[0] for p in pairs], type=pa.int64()),

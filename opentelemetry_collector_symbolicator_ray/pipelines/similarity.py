@@ -1,29 +1,47 @@
 """Similarity search over the ``embeddings`` table: brute-force cosine
 top-k (baseline; numpy matmul per batch against a broadcast query
 matrix) and an IVF-bucketed variant (the scale path: coarse quantize ->
-probe only nearby buckets).
+``groupby("cell")`` shuffle -> probe only nearby cells).
+
+Nothing here materializes the corpus on the driver: queries/centroids
+are fetched with predicate-pushdown reads (a handful of rows), the scan
+stays a streaming ``map_batches``, and only tiny per-batch/per-cell
+top-k partials reach the driver for the final merge.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.dataset as pads
 
 import ray
 import ray.data
 
 
-def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    rows = ds.take_all()
+def _unit(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from an Arrow batch without a Python-object
+    hop: flatten the list<float> values buffer and reshape (fixed dim)."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column("embedding").combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, flat.reshape(len(col), -1) if len(col) else flat.reshape(0, 0)
+
+
+def _fetch_rows(sf_dir: str, expr) -> tuple[np.ndarray, np.ndarray]:
+    """Pruned read: only the filtered rows (queries / centroids) leave
+    the scan — never the whole table."""
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], filter=expr
+    ).take_all()
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     return ids, mat
-
-
-def _unit(mat: np.ndarray) -> np.ndarray:
-    return mat / np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
 
 
 def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10) -> pa.Table:
@@ -32,15 +50,20 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10) -> pa.Table:
     the embeddings Dataset in batches, matmul per batch, then a tiny
     driver-side top-k merge.  Ranking key is (round(sim, 6) desc, vec_id
     asc) so the SQL oracle hash-matches despite float summation order."""
-    ids, mat = _load_embeddings(sf_dir)
-    unit = _unit(mat)
-    query_ids = ids[:num_queries]
-    queries_ref = ray.put(unit[:num_queries])
+    query_ids, q_mat = _fetch_rows(sf_dir, pads.field("vec_id") < num_queries)
+    queries_ref = ray.put(_unit(q_mat))
 
     def score(batch: pa.Table) -> pa.Table:
         queries = ray.get(queries_ref)
-        sub_ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        sub = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sub_ids, sub = _batch_matrix(batch)
+        if not len(sub_ids):
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
         sub = _unit(sub)
         sims = queries @ sub.T  # (num_queries, batch)
         out_q, out_n, out_s = [], [], []
@@ -52,7 +75,7 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10) -> pa.Table:
             for j in order:
                 out_q.append(int(query_ids[qi]))
                 out_n.append(int(sub_ids[j]))
-                out_s.append(float(np.round(sims[qi][j], 6)))
+                out_s.append(float(rounded[j]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -63,8 +86,12 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10) -> pa.Table:
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k)
 
-    # tiny final merge: k rows per query
+
+def _merge_topk(partials: list[dict], k: int) -> pa.Table:
+    """Tiny driver-side merge of per-batch/per-cell top-k partials:
+    k rows per query, self excluded, (sim desc, id asc) order."""
     rows_out = []
     by_query: dict[int, list] = {}
     for r in partials:
@@ -86,38 +113,93 @@ def knn_bruteforce(sf_dir: str, num_queries: int = 5, k: int = 10) -> pa.Table:
 def ivf_knn(
     sf_dir: str, num_queries: int = 5, k: int = 10, n_cells: int = 16, n_probe: int = 4
 ) -> pa.Table:
-    """IVF-style approximate top-k: coarse centroids from a seeded
-    sample, vectors bucketed by nearest centroid, queries probe only the
-    ``n_probe`` nearest cells.  The 100 TB path replaces the broadcast
-    scan with a groupby("cell") shuffle so each cell is a co-located
-    partition.  Deterministic (seeded); rows-only check."""
-    ids, mat = _load_embeddings(sf_dir)
-    unit = _unit(mat)
-    rng = np.random.RandomState(7)
-    centroids = unit[rng.choice(len(unit), size=min(n_cells, len(unit)), replace=False)]
-    cells = np.argmax(unit @ centroids.T, axis=1)
+    """Distributed IVF approximate top-k — the ANN scale path.
 
-    query_ids = ids[:num_queries]
-    out = []
-    for qi in range(len(query_ids)):
-        q = unit[qi]
-        probe = np.argsort(-(centroids @ q))[:n_probe]
-        mask = np.isin(cells, probe)
-        cand_ids = ids[mask]
-        sims = np.round(unit[mask] @ q, 6)
-        order = np.lexsort((cand_ids, -sims))
-        rank = 0
-        for j in order:
-            if int(cand_ids[j]) == int(query_ids[qi]):
-                continue
-            rank += 1
-            out.append((int(query_ids[qi]), rank, int(cand_ids[j])))
-            if rank >= k:
-                break
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out], type=pa.int64()),
-            "rank": pa.array([r[1] for r in out], type=pa.int64()),
-            "neighbor_id": pa.array([r[2] for r in out], type=pa.int64()),
-        }
+    Pipeline shape (all stages stream; nothing whole-corpus reaches the
+    driver):
+
+    1. centroids: seeded sample fetched with an isin-pushdown read
+       (n_cells rows);
+    2. assign: ``map_batches`` tags every vector with its nearest-centroid
+       ``cell`` (vectorized argmax against the broadcast centroid matrix);
+    3. probe: ``groupby("cell").map_groups`` — the shuffle co-locates each
+       cell as one partition; only cells probed by >=1 query score their
+       vectors against the (broadcast) probing queries, emitting a
+       per-cell top-(k+1) partial;
+    4. a tiny driver merge ranks the union.
+
+    At 100 TB the cell assignment is computed once and the table is kept
+    partitioned by ``cell``, so a query batch touches only ``n_probe``
+    partitions.  Deterministic (seeded); rows-only check.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata only — no scan
+
+    # vec_ids are 0..n-1, so positional sampling == id sampling; keep the
+    # rng.choice ORDER (cell indices follow it, output ranking does not).
+    rng = np.random.RandomState(7)
+    chosen = rng.choice(n, size=min(n_cells, n), replace=False)
+    cent_ids, cent_mat = _fetch_rows(sf_dir, pads.field("vec_id").isin([int(c) for c in chosen]))
+    order = {int(v): i for i, v in enumerate(cent_ids)}
+    centroids = _unit(cent_mat)[[order[int(c)] for c in chosen]]
+
+    query_ids, q_mat = _fetch_rows(sf_dir, pads.field("vec_id") < num_queries)
+    q_unit = _unit(q_mat)
+    # n_probe nearest cells per query (driver-side: num_queries x n_cells)
+    probes = [np.argsort(-(centroids @ q))[:n_probe] for q in q_unit]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put(q_unit)
+    c2q_ref = ray.put(cell_to_queries)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return batch.append_column("cell", pa.array([], type=pa.int64()))
+        cells = np.argmax(_unit(mat) @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells, type=pa.int64()))
+
+    def per_cell_topk(group: pa.Table) -> pa.Table:
+        cell = int(group.column("cell")[0].as_py())
+        c2q = ray.get(c2q_ref)
+        q_idx = c2q.get(cell, [])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if not q_idx:
+            return empty
+        queries = ray.get(q_ref)[q_idx]
+        ids, mat = _batch_matrix(group)
+        sims = np.round(queries @ _unit(mat).T, 6)  # (n_probing_queries, cell_size)
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(q_idx):
+            order = np.lexsort((ids, -sims[row]))[: k + 1]
+            for j in order:
+                out_q.append(int(query_ids[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[row][j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell_topk, batch_format="pyarrow")
+        .take_all()
     )
+    return _merge_topk(partials, k)

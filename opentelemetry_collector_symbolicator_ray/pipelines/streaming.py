@@ -12,7 +12,6 @@ so results are independent of physical row order.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -60,22 +59,22 @@ def tumbling_event_counts(sf_dir: str, window_us: int = US_PER_HOUR) -> pa.Table
 def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
     """Gap-based sessionization: groupby(user).map_groups sorts each
     user's events by ts and counts gap-breaks — the canonical Ray shape
-    for per-key stateful windowing (one group = one key's full log)."""
+    for per-key stateful windowing (one group = one key's full log).
+    Arrow-native per group: zero-copy ts -> numpy, no pandas hop."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(group["ts"].astype("datetime64[us]").astype(np.int64).to_numpy())
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
-        return pd.DataFrame(
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False))
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table(
             {
-                "user_id": [int(group["user_id"].iloc[0])],
-                "n_events": [len(ts)],
-                "n_sessions": [n_sessions],
+                "user_id": pa.array([group.column("user_id")[0].as_py()], type=pa.int64()),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
     rows = sorted(out.take_all(), key=lambda r: r["user_id"])
     return pa.table(
         {

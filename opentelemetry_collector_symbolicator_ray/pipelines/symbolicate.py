@@ -16,6 +16,7 @@ import os
 import zlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -28,6 +29,29 @@ from ..stages.symbolicate_stage import (
 )
 
 SINKS = ("js", "android", "apple", "unsymbolicated")
+
+# Telemetry columns mirroring the reference's metric catalog
+# (sourcemapprocessor/metadata.yaml:16-60): wall-clock duration sums and
+# cache-size gauges.  They are real measurements, hence nondeterministic —
+# strip them when comparing two runs' aggregates for semantic equality.
+TELEMETRY_KEYS = (
+    "symbolication_duration",
+    "sourcemap_cache_size",
+    "proguard_cache_size",
+    "dsym_cache_size",
+)
+
+
+def drop_telemetry(obj):
+    """Remove nondeterministic telemetry keys from aggregate output —
+    accepts a list of row dicts (per_sink_aggregates/.to_pylist()) or a
+    {sink: counters} dict (run_checkpointed / CLI aggregates)."""
+    if isinstance(obj, list):
+        return [{k: v for k, v in row.items() if k not in TELEMETRY_KEYS} for row in obj]
+    return {
+        sink: {k: v for k, v in counters.items() if k not in TELEMETRY_KEYS}
+        for sink, counters in obj.items()
+    }
 
 
 def symbolicate(ds: "ray.data.Dataset", cfg: PipelineConfig, *, salted: bool = False) -> "ray.data.Dataset":
@@ -171,8 +195,10 @@ def symbolicate_files(
 
 def aggregates_from_summaries(summary_ds: "ray.data.Dataset") -> pa.Table:
     """Reduce per-batch summaries (from symbolicate_and_write) to the
-    per-sink aggregate table."""
-    from ray.data.aggregate import Sum
+    per-sink aggregate table.  Duration sums (the reference's
+    symbolication-duration histogram total); cache sizes are gauges and
+    take the max observed."""
+    from ray.data.aggregate import Max, Sum
 
     agg = summary_ds.groupby("sink").aggregate(
         Sum("rows", alias_name="rows"),
@@ -180,6 +206,10 @@ def aggregates_from_summaries(summary_ds: "ray.data.Dataset") -> pa.Table:
         Sum("frames_processed", alias_name="frames_processed"),
         Sum("frames_failed", alias_name="frames_failed"),
         Sum("fetch_failures", alias_name="fetch_failures"),
+        Sum("symbolication_duration", alias_name="symbolication_duration"),
+        Max("sourcemap_cache_size", alias_name="sourcemap_cache_size"),
+        Max("proguard_cache_size", alias_name="proguard_cache_size"),
+        Max("dsym_cache_size", alias_name="dsym_cache_size"),
     )
     return pa.Table.from_pylist(sorted(agg.take_all(), key=lambda r: r["sink"]))
 
@@ -218,6 +248,8 @@ def run_checkpointed(
             ds, cfg, output_dir, f"{sid:05d}", salted=salted
         ).take_all()
 
+        from ..stages.symbolicate_stage import GAUGE_KEYS
+
         sinks: dict[str, dict[str, int]] = {}
         outputs: list[str] = []
         for row in summaries:
@@ -229,11 +261,16 @@ def run_checkpointed(
                     "frames_processed": 0,
                     "frames_failed": 0,
                     "fetch_failures": 0,
+                    "symbolication_duration": 0.0,
+                    **{k: 0 for k in GAUGE_KEYS},
                     "token_hash": 0,
                 },
             )
             for key in ("rows", "failed_rows", "frames_processed", "frames_failed", "fetch_failures"):
                 acc[key] += int(row[key])
+            acc["symbolication_duration"] += float(row["symbolication_duration"])
+            for key in GAUGE_KEYS:
+                acc[key] = max(acc[key], int(row[key]))
             acc["token_hash"] = (acc["token_hash"] + int(row["token_hash"])) % (1 << 61)
             outputs.append(row["file"])
 
@@ -255,25 +292,41 @@ def run_checkpointed(
 
 def per_sink_aggregates(out_ds: "ray.data.Dataset") -> pa.Table:
     """The per-sink aggregate shuffle (SURVEY.md §2.7): partial per-block
-    combine inside map_batches, then a tiny 4-key groupby."""
+    combine inside map_batches (Arrow hash-aggregate kernels, no Python
+    row loop), then a tiny 4-key groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        sink_col = batch.column("sink").to_pylist()
-        rows = []
-        for sink in sorted(set(sink_col)):
-            mask = pa.array([s == sink for s in sink_col])
-            sub = batch.filter(mask)
-            rows.append(
-                {
-                    "sink": sink,
-                    "rows": sub.num_rows,
-                    "failed_rows": sum(1 for v in sub.column("symbolicator_failed").to_pylist() if v),
-                    "frames_processed": sum(sub.column("frames_processed").to_pylist()),
-                    "frames_failed": sum(sub.column("frames_failed").to_pylist()),
-                    "fetch_failures": sum(sub.column("fetch_failures").to_pylist()),
-                }
-            )
-        return pa.Table.from_pylist(rows)
+        t = pa.table(
+            {
+                "sink": batch.column("sink"),
+                "failed": pc.cast(batch.column("symbolicator_failed"), pa.int64()),
+                "frames_processed": batch.column("frames_processed"),
+                "frames_failed": batch.column("frames_failed"),
+                "fetch_failures": batch.column("fetch_failures"),
+                "symbolication_duration": batch.column("symbolication_duration"),
+            }
+        )
+        g = t.group_by("sink").aggregate(
+            [
+                ("sink", "count"),
+                ("failed", "sum"),
+                ("frames_processed", "sum"),
+                ("frames_failed", "sum"),
+                ("fetch_failures", "sum"),
+                ("symbolication_duration", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "sink",
+                "rows",
+                "failed_rows",
+                "frames_processed",
+                "frames_failed",
+                "fetch_failures",
+                "symbolication_duration",
+            ]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -284,6 +337,7 @@ def per_sink_aggregates(out_ds: "ray.data.Dataset") -> pa.Table:
         Sum("frames_processed", alias_name="frames_processed"),
         Sum("frames_failed", alias_name="frames_failed"),
         Sum("fetch_failures", alias_name="fetch_failures"),
+        Sum("symbolication_duration", alias_name="symbolication_duration"),
     )
     table = pa.Table.from_pylist(sorted(agg.take_all(), key=lambda r: r["sink"]))
     return table

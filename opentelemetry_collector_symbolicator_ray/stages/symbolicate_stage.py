@@ -40,6 +40,10 @@ OUTPUT_SCHEMA = pa.schema(
         ("frames_processed", pa.int32()),
         ("frames_failed", pa.int32()),
         ("fetch_failures", pa.int32()),
+        # Telemetry parity with the reference's processor_symbolication_duration
+        # histogram (sourcemapprocessor/metadata.yaml:27-35): per-record wall
+        # seconds spent in the chain; aggregated as a Sum downstream.
+        ("symbolication_duration", pa.float64()),
     ]
 )
 
@@ -64,10 +68,22 @@ SUMMARY_SCHEMA = pa.schema(
         ("frames_processed", pa.int64()),
         ("frames_failed", pa.int64()),
         ("fetch_failures", pa.int64()),
+        # Sum-type duration + gauge-type cache sizes, mirroring the reference
+        # metric catalog (sourcemapprocessor/metadata.yaml:16-60,
+        # dsymprocessor/documentation.md cache-size gauges).  Gauges are the
+        # actor's positive-LRU entry counts at batch end and aggregate with
+        # max, not sum.
+        ("symbolication_duration", pa.float64()),
+        ("sourcemap_cache_size", pa.int64()),
+        ("proguard_cache_size", pa.int64()),
+        ("dsym_cache_size", pa.int64()),
         ("token_hash", pa.int64()),
         ("file", pa.string()),
     ]
 )
+
+# Summary keys that are gauges (aggregate with max); everything else sums.
+GAUGE_KEYS = ("sourcemap_cache_size", "proguard_cache_size", "dsym_cache_size")
 
 
 class SymbolicatorChain:
@@ -194,14 +210,26 @@ class SymbolicatorChain:
         )
         return sink, failed, fp, ff, fetch
 
+    def cache_gauges(self) -> dict[str, int]:
+        """Positive-LRU entry counts (the reference's cache-size gauges)."""
+        return {
+            "sourcemap_cache_size": len(self.js.symbolicator.cache),
+            "proguard_cache_size": len(self.proguard.symbolicator.cache),
+            "dsym_cache_size": len(self.dsym.symbolicator.cache),
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from time import perf_counter
+
         offsets, data = _list_buffers(batch.column("tokens"))
-        sinks, faileds, fps, ffs, fetches = [], [], [], [], []
+        sinks, faileds, fps, ffs, fetches, durs = [], [], [], [], [], []
         payloads: list[bytes] = []
         for i in range(len(offsets) - 1):
             raw = data[offsets[i]: offsets[i + 1]]
             record = _loads(raw)
+            t0 = perf_counter()
             sink, failed, fp, ff, fetch = self.process_record(record)
+            durs.append(perf_counter() - t0)
             # Untouched records keep their original payload bytes —
             # re-encoding is skipped (the codec is canonical, so the
             # bytes would be identical anyway).
@@ -224,12 +252,13 @@ class SymbolicatorChain:
                 "frames_processed": pa.array(fps, type=pa.int32()),
                 "frames_failed": pa.array(ffs, type=pa.int32()),
                 "fetch_failures": pa.array(fetches, type=pa.int32()),
+                "symbolication_duration": pa.array(durs, type=pa.float64()),
             },
             schema=OUTPUT_SCHEMA,
         )
         if self.output_mode == "rows":
             return out
-        return write_sink_partitions(out, self.output_dir, self.shard_tag)
+        return write_sink_partitions(out, self.output_dir, self.shard_tag, self.cache_gauges())
 
 
 class SymbolicatorChainFromFiles(SymbolicatorChain):
@@ -256,10 +285,13 @@ class SymbolicatorChainFromFiles(SymbolicatorChain):
         return pa.concat_tables(summaries) if summaries else pa.Table.from_pylist([], schema=SUMMARY_SCHEMA)
 
 
-def write_sink_partitions(out: pa.Table, output_dir: str, shard_tag: str) -> pa.Table:
+def write_sink_partitions(
+    out: pa.Table, output_dir: str, shard_tag: str, gauges: dict[str, int] | None = None
+) -> pa.Table:
     """Split a routed batch by sink, write each split as a parquet part
     file, and return the per-sink summary rows (the only data that
-    reaches the driver / downstream aggregate)."""
+    reaches the driver / downstream aggregate).  ``gauges`` carries the
+    actor's cache-size gauges into every summary row."""
     import os
     import uuid as uuidlib
     import zlib
@@ -267,6 +299,7 @@ def write_sink_partitions(out: pa.Table, output_dir: str, shard_tag: str) -> pa.
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    gauges = gauges or {k: 0 for k in GAUGE_KEYS}
     part = uuidlib.uuid4().hex[:12]
     rows = []
     sink_col = out.column("sink")
@@ -293,6 +326,8 @@ def write_sink_partitions(out: pa.Table, output_dir: str, shard_tag: str) -> pa.
                 "frames_processed": int(pc.sum(sub.column("frames_processed")).as_py() or 0),
                 "frames_failed": int(pc.sum(sub.column("frames_failed")).as_py() or 0),
                 "fetch_failures": int(pc.sum(sub.column("fetch_failures")).as_py() or 0),
+                "symbolication_duration": float(pc.sum(sub.column("symbolication_duration")).as_py() or 0.0),
+                **{k: int(gauges.get(k, 0)) for k in GAUGE_KEYS},
                 "token_hash": token_hash,
                 "file": path,
             }

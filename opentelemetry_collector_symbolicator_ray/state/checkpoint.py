@@ -56,7 +56,9 @@ class ShardManifest:
         return removed
 
     def aggregates(self) -> dict[str, dict[str, int]]:
-        """Per-sink totals derived from committed manifests only."""
+        """Per-sink totals derived from committed manifests only.
+        ``*_cache_size`` keys are gauges and merge with max; everything
+        else (counters, duration sums, token hashes) sums."""
         totals: dict[str, dict[str, int]] = {}
         for sid in self.committed_shards():
             entry = self.read(sid)
@@ -73,5 +75,8 @@ class ShardManifest:
                     },
                 )
                 for key, value in counters.items():
-                    acc[key] = acc.get(key, 0) + value
+                    if key.endswith("_cache_size"):
+                        acc[key] = max(acc.get(key, 0), value)
+                    else:
+                        acc[key] = acc.get(key, 0) + value
         return totals

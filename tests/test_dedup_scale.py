@@ -1,0 +1,86 @@
+"""Scale-hardening tests for the distributed dedup/ANN suite:
+degenerate LSH buckets must not go O(n^2), and the distributed IVF path
+must agree with the brute-force ranking on probed cells."""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def identical_docs_dir(tmp_path_factory):
+    """1000 byte-identical documents — every LSH band hashes them into
+    ONE bucket."""
+    d = tmp_path_factory.mktemp("identical")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1000)), type=pa.int64()),
+            "text": pa.array([text] * 1000, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_lsh_degenerate_bucket_star_cap(ray_session, identical_docs_dir):
+    """A 1000-doc bucket (over max_bucket) emits the O(n) star around
+    the min doc_id, not the O(n^2) clique — and still links every dup to
+    its keeper."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import minhash_lsh_dedup
+
+    t0 = time.monotonic()
+    pairs = minhash_lsh_dedup(identical_docs_dir, threshold=0.8, max_bucket=256)
+    elapsed = time.monotonic() - t0
+
+    rows = pairs.to_pylist()
+    # star: doc 0 paired with each of 1..999 exactly once
+    assert len(rows) == 999
+    assert all(r["doc_a"] == 0 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(1, 1000))
+    # O(n) candidates, not 499500 pairs: must finish fast
+    assert elapsed < 120
+
+
+def test_lsh_small_bucket_still_clique(ray_session, tmp_path):
+    """Below the cap the full verified clique is returned."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import minhash_lsh_dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], type=pa.int64()),
+            "text": pa.array([text] * 3, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    pairs = minhash_lsh_dedup(str(tmp_path), threshold=0.8)
+    assert sorted((r["doc_a"], r["doc_b"]) for r in pairs.to_pylist()) == [
+        (10, 20),
+        (10, 30),
+        (20, 30),
+    ]
+
+
+def test_ivf_neighbors_subset_of_probed_bruteforce(ray_session):
+    """Distributed IVF returns each query's exact ranking restricted to
+    probed cells: every IVF neighbor list must be a subsequence-ordered
+    subset of the brute-force candidates, and ranks strictly 1..k."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = knn_bruteforce(sf, num_queries=3, k=5).to_pylist()
+    ivf = ivf_knn(sf, num_queries=3, k=5).to_pylist()
+    assert {r["query_id"] for r in ivf} == {r["query_id"] for r in brute}
+    by_q: dict[int, list[int]] = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -11,6 +11,7 @@ import pytest
 from opentelemetry_collector_symbolicator_ray.codec import decode_record, encode_record
 from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+    drop_telemetry,
     input_files,
     per_sink_aggregates,
     run_checkpointed,
@@ -109,7 +110,9 @@ def test_e2e_salted_repartition_same_result(ray_session, corpus):
     salted = per_sink_aggregates(
         symbolicate(ray.data.read_parquet(input_files(corpus)), cfg, salted=True)
     ).to_pylist()
-    assert plain == salted
+    assert drop_telemetry(plain) == drop_telemetry(salted)
+    # telemetry parity columns ride along on both paths
+    assert all("symbolication_duration" in r for r in plain)
 
 
 def test_checkpoint_resume(ray_session, corpus, tmp_path):
@@ -131,7 +134,10 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     # completed shard was not reprocessed
     assert os.path.getmtime(manifest_path) == mtime_before
 
-    assert agg_fresh == agg_resumed
+    assert drop_telemetry(agg_fresh) == drop_telemetry(agg_resumed)
+    # duration sums and cache gauges are recorded in the manifests
+    assert agg_fresh["js"]["symbolication_duration"] > 0
+    assert agg_fresh["js"]["sourcemap_cache_size"] > 0
     assert sum(v["rows"] for v in agg_resumed.values()) == N_ROWS
     # content hash equality: resumed run output == fresh run output
     for sink in agg_fresh:
@@ -237,7 +243,7 @@ def test_hot_key_detection_and_targeted_salting(ray_session, corpus):
     ).to_pylist()
     ds = salted_repartition(ray.data.read_parquet(files), cfg, hot_ids=frozenset(hot))
     targeted = per_sink_aggregates(symbolicate(ds, cfg)).to_pylist()
-    assert plain == targeted
+    assert drop_telemetry(plain) == drop_telemetry(targeted)
 
 
 def test_orphan_part_reconciliation(ray_session, corpus, tmp_path):
@@ -293,7 +299,8 @@ def test_fused_file_reader_matches_two_stage(ray_session, corpus, tmp_path):
     b = aggregates_from_summaries(
         symbolicate_files(files, cfg, str(tmp_path / "b"), "t")
     ).to_pylist()
-    assert a == b
+    assert drop_telemetry(a) == drop_telemetry(b)
+    assert a[0]["symbolication_duration"] > 0
 
 
 def test_empty_batch_handling():
