@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": lambda sf: text.fingerprints(sf),
         "docs_lang_id": lambda sf: text.language_id(sf),
         "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
+        "docs_hash_sample": lambda sf: text.hash_sample(sf),
+        "docs_quality_filter": lambda sf: text.quality_filter(sf),
         # --- dedup suite ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "docs_dedup_stats": lambda sf: dedup.exact_dedup_stats(sf),
@@ -191,6 +193,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '33'
+            ORDER BY doc_id
+        """,
+        "docs_quality_filter": """
+            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 20
+              AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / len(string_split(text, ' ')) BETWEEN 4.3 AND 5.0
+            ORDER BY doc_id
         """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id

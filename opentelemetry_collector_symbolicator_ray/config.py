@@ -48,6 +48,12 @@ class SourceMapConfig:
     build_uuid_attribute_key: str = "app.debug.source_map_uuid"
     source_map_store: str = "file_store"
     local_path: str = "."
+    # S3/GCS store config parity (S3SourceMapConfiguration /
+    # GCSSourceMapConfiguration, sourcemapprocessor/config.go:114-128):
+    # bucket name, AWS region, in-bucket key prefix.
+    bucket: str = ""
+    region: str = ""
+    store_prefix: str = ""
     timeout: float = DEFAULT_TIMEOUT_SECONDS
     source_map_cache_size: int = DEFAULT_CACHE_SIZE
     language_attribute_key: str = "telemetry.sdk.language"
@@ -78,6 +84,10 @@ class ProguardConfig:
     proguard_uuid_attribute_key: str = "app.debug.proguard_uuid"
     proguard_store: str = "file_store"
     local_path: str = "."
+    # S3/GCS parity (proguardprocessor/config.go S3/GCS structs).
+    bucket: str = ""
+    region: str = ""
+    store_prefix: str = ""
     timeout: float = DEFAULT_TIMEOUT_SECONDS
     proguard_cache_size: int = DEFAULT_CACHE_SIZE
     language_attribute_key: str = "telemetry.sdk.language"
@@ -101,6 +111,10 @@ class DsymConfig:
     app_executable_attribute_key: str = "app.bundle.executable"
     dsym_store: str = "file_store"
     local_path: str = "."
+    # S3/GCS parity (dsymprocessor/config.go:81-95).
+    bucket: str = ""
+    region: str = ""
+    store_prefix: str = ""
     timeout: float = DEFAULT_TIMEOUT_SECONDS
     dsym_cache_size: int = DEFAULT_CACHE_SIZE
     language_attribute_key: str = "telemetry.sdk.language"

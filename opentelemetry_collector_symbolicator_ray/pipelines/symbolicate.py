@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import zlib
 
 import pyarrow as pa
@@ -21,7 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..codec import decode_batch_tokens
+from ..codec import _list_buffers
 from ..config import PipelineConfig
 from ..stages.symbolicate_stage import (
     SymbolicatorChain,
@@ -69,6 +70,31 @@ def symbolicate(ds: "ray.data.Dataset", cfg: PipelineConfig, *, salted: bool = F
     )
 
 
+# The routing key is extracted from the RAW canonical-JSON payload with
+# compiled byte regexes (priority order mirroring _record-dict lookup:
+# build_uuid > proguard_uuid > source_map_uuid > sdk language) — no
+# second token decode on the routing path; the chain actor performs the
+# only full decode.  Any deterministic payload->key function preserves
+# cache affinity, and detection + routing share THIS one.
+_DEBUG_ID_PATTERNS = tuple(
+    re.compile(rb'"' + key + rb'":"([^"]*)"')
+    for key in (
+        rb"app\.debug\.build_uuid",
+        rb"app\.debug\.proguard_uuid",
+        rb"app\.debug\.source_map_uuid",
+        rb"telemetry\.sdk\.language",
+    )
+)
+
+
+def _payload_debug_id(raw) -> bytes:
+    for pat in _DEBUG_ID_PATTERNS:
+        m = pat.search(raw)
+        if m:
+            return m.group(1)
+    return b""
+
+
 def _routing_key_batch(
     batch: pa.Table, salt_buckets: int, hot_ids: frozenset | None = None
 ) -> pa.Table:
@@ -77,30 +103,18 @@ def _routing_key_batch(
     ``salt_buckets`` actors at the cost of duplicate artifact parses;
     with ``hot_ids`` given, only detected-hot ids are salted and cold
     ids keep full cache affinity."""
-    records = decode_batch_tokens(batch)
+    offsets, data = _list_buffers(batch.column("tokens"))
     doc_ids = batch.column("doc_id").to_pylist()
     shards = []
-    for doc_id, record in zip(doc_ids, records):
-        debug_id = _record_debug_id(record)
-        if hot_ids is None or debug_id in hot_ids:
+    for i, doc_id in enumerate(doc_ids):
+        debug_id = _payload_debug_id(data[offsets[i]: offsets[i + 1]])
+        if hot_ids is None or debug_id.decode() in hot_ids:
             salt = zlib.crc32(doc_id.encode()) % salt_buckets
         else:
             salt = 0
-        shard = (zlib.crc32(debug_id.encode()) * salt_buckets + salt) % (1 << 20)
+        shard = (zlib.crc32(debug_id) * salt_buckets + salt) % (1 << 20)
         shards.append(shard)
     return batch.append_column("routing_shard", pa.array(shards, type=pa.int32()))
-
-
-def _record_debug_id(record: dict) -> str:
-    resource = record.get("resource_attributes", {})
-    attrs = record.get("attributes", {})
-    return str(
-        resource.get("app.debug.build_uuid")
-        or attrs.get("app.debug.proguard_uuid")
-        or resource.get("app.debug.proguard_uuid")
-        or resource.get("app.debug.source_map_uuid")
-        or resource.get("telemetry.sdk.language", "")
-    )
 
 
 def detect_hot_debug_ids(
@@ -108,16 +122,19 @@ def detect_hot_debug_ids(
     sample_rows: int = 4096,
     hot_fraction: float = 0.10,
 ) -> set[str]:
-    """Cheap pre-count for skew handling (SURVEY.md §4): decode a small
-    sample of rows and return debug-ids holding more than
+    """Cheap pre-count for skew handling (SURVEY.md §4): scan a small
+    sample of raw payloads and return debug-ids holding more than
     ``hot_fraction`` of the sample.  Only hot ids get salted fan-out —
-    cold ids keep full artifact-cache affinity."""
+    cold ids keep full artifact-cache affinity.  Uses the same raw-bytes
+    extractor as the routing stage, so hot-set membership and routing
+    keys agree by construction."""
     sample = ray.data.read_parquet(input_paths).limit(sample_rows)
     counts: dict[str, int] = {}
     total = 0
     for batch in sample.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        for record in decode_batch_tokens(batch):
-            key = _record_debug_id(record)
+        offsets, data = _list_buffers(batch.column("tokens"))
+        for i in range(len(offsets) - 1):
+            key = _payload_debug_id(data[offsets[i]: offsets[i + 1]]).decode()
             counts[key] = counts.get(key, 0) + 1
             total += 1
     if total == 0:

@@ -173,3 +173,48 @@ def rolling_hash_fingerprints(sf_dir: str, window: int = 16) -> "ray.data.Datase
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def hash_sample(sf_dir: str, threshold_hex: str = "33") -> "ray.data.Dataset":
+    """Deterministic content-hash sampling (the reproducible-subset
+    primitive of a training-data pipeline): keep documents whose
+    md5(text) hex digest starts below ``threshold_hex`` ("33" ~ 51/256 ~
+    20%).  Content-keyed (not row-keyed), so the sample is stable across
+    re-partitioning, re-ordering and resumption — and SQL-checkable."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(t.encode()).hexdigest()[:2] < threshold_hex
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_filter(
+    sf_dir: str, min_words: int = 20, min_avg: float = 4.3, max_avg: float = 5.0
+) -> "ray.data.Dataset":
+    """Quality-gate filter (the doc-selection stage downstream of
+    quality_scores): keep documents with >= ``min_words`` words and an
+    average word length inside [min_avg, max_avg].  Pure Arrow kernels;
+    formula shared verbatim with the SQL oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        words = pc.split_pattern(text, " ")
+        n_words = pc.cast(pc.list_value_length(words), pa.int64())
+        n_alpha = pc.utf8_length(pc.replace_substring(text, " ", ""))
+        avg = pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(n_words, pa.float64()))
+        keep = pc.and_(
+            pc.greater_equal(n_words, pa.scalar(min_words, type=pa.int64())),
+            pc.and_(
+                pc.greater_equal(avg, pa.scalar(min_avg)),
+                pc.less_equal(avg, pa.scalar(max_avg)),
+            ),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_words": n_words}
+        ).filter(keep)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")

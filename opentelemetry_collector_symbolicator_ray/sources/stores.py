@@ -59,18 +59,36 @@ def local_fetcher() -> Fetch:
     return fetch
 
 
-def pyarrow_fetcher(fs_uri: str) -> Fetch:
-    """Backend for object stores: resolves s3:// / gs:// via pyarrow.fs
-    once per actor, then streams keys.  Config-only in this sandbox."""
-    import pyarrow.fs as pafs
+def object_store_fetcher(bucket_uri: str, fs=None) -> Fetch:
+    """S3/GCS object fetch mirroring the reference's bucket stores
+    (sourcemapprocessor/store.go:94-166, dsymprocessor/store.go and
+    proguardprocessor/store.go twins): the store-derived key loses ONE
+    leading slash (Go ``strings.TrimPrefix(key, "/")`` — object keys
+    can't start with "/"), then ``GetObject(bucket, key)``.
 
-    fs, root = pafs.FileSystem.from_uri(fs_uri)
+    ``bucket_uri`` is ``s3://bucket`` / ``gs://bucket`` resolved via
+    pyarrow.fs once per actor (construction only; no I/O until fetch).
+    Tests inject ``fs`` (any pyarrow FileSystem, e.g. a local mock
+    rooted at a fake bucket) to exercise the identical key derivation
+    without network."""
+    if fs is None:
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(bucket_uri)
+    else:
+        root = bucket_uri
 
     def fetch(key: str) -> bytes:
-        with fs.open_input_stream(posixpath.join(root, key.lstrip("/"))) as f:
+        if key.startswith("/"):
+            key = key[1:]
+        with fs.open_input_stream(root + "/" + key if root else key) as f:
             return f.read()
 
     return fetch
+
+
+# Backwards-compatible alias (round-1 name).
+pyarrow_fetcher = object_store_fetcher
 
 
 class SourceMapStore:
@@ -154,13 +172,33 @@ class DsymStore:
             raise StoreError(f"{ERR_FAILED_TO_FIND_DSYM}: {path}", dsym_missing=True)
 
 
-def make_store(kind: str, prefix: str, store_cls):
+def make_store(
+    kind: str,
+    local_path: str,
+    store_cls,
+    *,
+    bucket: str = "",
+    region: str = "",
+    prefix: str = "",
+    fs=None,
+):
     """Store selection by config key (operator S9;
-    sourcemapprocessor/factory.go:62-69 and twins).  ``file_store`` reads
-    the local filesystem; ``s3_store`` / ``gcs_store`` route through
-    pyarrow.fs using the prefix as a URI."""
+    sourcemapprocessor/factory.go:62-69 and twins).
+
+    - ``file_store``: local filesystem rooted at ``local_path``
+      (LocalSourceMapConfiguration.Path).
+    - ``s3_store`` / ``gcs_store``: object store fetch against
+      ``bucket`` with the in-bucket ``prefix`` (S3/GCS *Configuration
+      {bucket, prefix}; ``region`` keeps S3 config parity —
+      pyarrow.fs.S3FileSystem resolves it at construction).  ``fs``
+      injects a filesystem for tests (local mock bucket).
+    """
     if kind == "file_store":
-        return store_cls(prefix)
-    if kind in ("s3_store", "gcs_store"):
-        return store_cls("", fetch=pyarrow_fetcher(prefix))
+        return store_cls(local_path)
+    if kind == "s3_store":
+        uri = bucket if fs is not None else f"s3://{bucket}" + (f"?region={region}" if region else "")
+        return store_cls(prefix, fetch=object_store_fetcher(uri, fs=fs))
+    if kind == "gcs_store":
+        uri = bucket if fs is not None else f"gs://{bucket}"
+        return store_cls(prefix, fetch=object_store_fetcher(uri, fs=fs))
     raise ValueError(f"unknown store kind: {kind}")

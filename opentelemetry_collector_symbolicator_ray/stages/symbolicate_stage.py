@@ -114,7 +114,14 @@ class SymbolicatorChain:
         self.dsym = DsymLogsProcessor(
             cfg=dsym_cfg,
             symbolicator=DsymSymbolicator(
-                make_store(dsym_cfg.dsym_store, dsym_cfg.local_path, DsymStore),
+                make_store(
+                    dsym_cfg.dsym_store,
+                    dsym_cfg.local_path,
+                    DsymStore,
+                    bucket=dsym_cfg.bucket,
+                    region=dsym_cfg.region,
+                    prefix=dsym_cfg.store_prefix,
+                ),
                 timeout=dsym_cfg.timeout,
                 cache_size=dsym_cfg.dsym_cache_size,
             ),
@@ -125,7 +132,14 @@ class SymbolicatorChain:
         self.proguard = ProguardLogProcessor(
             cfg=pg_cfg,
             symbolicator=ProguardSymbolicator(
-                make_store(pg_cfg.proguard_store, pg_cfg.local_path, ProguardStore),
+                make_store(
+                    pg_cfg.proguard_store,
+                    pg_cfg.local_path,
+                    ProguardStore,
+                    bucket=pg_cfg.bucket,
+                    region=pg_cfg.region,
+                    prefix=pg_cfg.store_prefix,
+                ),
                 timeout=pg_cfg.timeout,
                 cache_size=pg_cfg.proguard_cache_size,
             ),
@@ -136,7 +150,14 @@ class SymbolicatorChain:
         self.js = JsLogProcessor(
             cfg=js_cfg,
             symbolicator=JsSymbolicator(
-                make_store(js_cfg.source_map_store, js_cfg.local_path, SourceMapStore),
+                make_store(
+                    js_cfg.source_map_store,
+                    js_cfg.local_path,
+                    SourceMapStore,
+                    bucket=js_cfg.bucket,
+                    region=js_cfg.region,
+                    prefix=js_cfg.store_prefix,
+                ),
                 timeout=js_cfg.timeout,
                 cache_size=js_cfg.source_map_cache_size,
             ),
