@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
+        "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
+        "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         # --- dedup suite ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "docs_dedup_stats": lambda sf: dedup.exact_dedup_stats(sf),
@@ -197,6 +199,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_sample": """
             SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '33'
             ORDER BY doc_id
+        """,
+        "docs_top_ngrams": """
+            WITH words AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            idx AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM words),
+            bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
+            SELECT ngram, count(*)::BIGINT AS cnt FROM bi
+            GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_doc_frequency": """
+            SELECT w AS word, count(*)::BIGINT AS df
+            FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+            GROUP BY w ORDER BY df DESC, w LIMIT 100
         """,
         "docs_quality_filter": """
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words

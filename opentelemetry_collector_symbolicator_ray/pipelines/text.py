@@ -218,3 +218,76 @@ def quality_filter(
         ).filter(keep)
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 50) -> pa.Table:
+    """Corpus-level top-k word n-grams — the canonical map-side-combine
+    wide aggregate: per-batch Counter partials (so the shuffle moves one
+    row per distinct n-gram per block, not one per occurrence) ->
+    groupby(ngram).sum -> deterministic global top-k by (count desc,
+    ngram asc)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = t.split(" ")
+            for i in range(len(ws) - n + 1):
+                c[" ".join(ws[i: i + n])] += 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    top = agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k).take_all()
+    return pa.table(
+        {
+            "ngram": pa.array([r["ngram"] for r in top], type=pa.string()),
+            "cnt": pa.array([int(r["cnt"]) for r in top], type=pa.int64()),
+        }
+    )
+
+
+def doc_frequency(sf_dir: str, k: int = 100) -> pa.Table:
+    """Document frequency (the DF half of TF-IDF): per-batch partial DF
+    over distinct words per doc -> groupby(word).sum -> top-k by
+    (df desc, word asc)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in set(t.split(" ")):
+                c[w] += 1
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "df": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    top = agg.sort(["df", "word"], descending=[True, False]).limit(k).take_all()
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in top], type=pa.string()),
+            "df": pa.array([int(r["df"]) for r in top], type=pa.int64()),
+        }
+    )
