@@ -41,9 +41,21 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _image_parts(seed: int, i: int) -> tuple[int, int, np.ndarray]:
+    rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
+    w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+    body = rng.randint(0, 256, size=w * h, dtype=np.int32).astype(np.uint8)
+    return w, h, body
+
+
 def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> str:
-    """Deterministic media table; idempotent per (rows, seed)."""
-    marker = os.path.join(out_dir, f".complete-{rows}-{seed}")
+    """Deterministic media table; idempotent per (rows, seed).
+
+    Generator v2 plants image duplicates for the perceptual-hash dedup
+    operator: among images (i % 3 == 0), every 8th is an EXACT copy of
+    the previous image and the one after it a NEAR copy (sparse +1 pixel
+    noise) — so phash distance 0 and small-but-nonzero both occur."""
+    marker = os.path.join(out_dir, f".complete-v2-{rows}-{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -54,8 +66,22 @@ def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> 
             rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
             kind = ("image", "audio", "video")[i % 3]
             if kind == "image":
-                w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
-                body = rng.randint(0, 256, size=w * h, dtype=np.int32).astype(np.uint8)
+                img_idx = i // 3
+                if img_idx % 8 == 5 and i >= 3:
+                    w, h, body = _image_parts(seed, i - 3)  # exact duplicate
+                elif img_idx % 8 == 6 and i >= 6:
+                    # near duplicate: brighten the top-left corner region
+                    # (top sample row, left half) so a handful of dHash
+                    # bits flip — all inside ONE 16-bit band, keeping the
+                    # other bands intact for LSH candidate generation
+                    w, h, body = _image_parts(seed, i - 6)
+                    img = body.copy().reshape(h, w)
+                    img[: max(1, h // 8), : w // 2] = (
+                        (img[: max(1, h // 8), : w // 2].astype(np.int32) + 40) % 256
+                    ).astype(np.uint8)
+                    body = img.reshape(-1)
+                else:
+                    w, h, body = _image_parts(seed, i)
                 payload = b"IMG1" + struct.pack("<HH", w, h) + body.tobytes()
             elif kind == "audio":
                 sr, n = 16000, int(rng.randint(256, 4096))
@@ -216,6 +242,47 @@ class ImageResizeStage(MediaDecoder):
         )
 
 
+class ImagePhashStage(MediaDecoder):
+    """64-bit dHash perceptual fingerprint: decode -> 9x8
+    nearest-neighbor downsample -> adjacent-column brightness
+    comparisons (8 rows x 8 comparisons = 64 bits).  Robust to the
+    sparse pixel noise of near-duplicate images; the Ray-side shape is
+    identical to a real PIL/pHash stage (actor pool, binary in, int64
+    out)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            d = self.decode(payload, codec)
+            img = d["pixels"].reshape(d["height"], d["width"])
+            ys = np.arange(8) * d["height"] // 8
+            xs = np.arange(9) * d["width"] // 9
+            g = img[np.ix_(ys, xs)].astype(np.int16)
+            bits = (g[:, 1:] > g[:, :-1]).flatten()
+            val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            if val >= 1 << 63:
+                val -= 1 << 64
+            ids.append(media_id)
+            hashes.append(val)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "phash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def _hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
 class AudioFeatureStage(MediaDecoder):
     """Frame-level energy features over int8 samples (vectorized)."""
 
@@ -323,6 +390,86 @@ def video_frame_index(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(
         VideoFrameSampleStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
     ).sort(["media_id", "frame_index"])
+
+
+def image_phash(sf_dir: str) -> "ray.data.Dataset":
+    """Perceptual fingerprint table (media_id, phash) for all images."""
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        ImagePhashStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    ).sort("media_id")
+
+
+def image_phash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
+    """Perceptual near-duplicate image pairs — the multimodal analogue
+    of MinHash-LSH dedup: 64-bit dHash -> 4 bands of 16 bits ->
+    ``groupby(band)`` shuffle -> in-bucket Hamming verification (<=
+    ``max_dist``), pair set deduped on the driver.  A near-dup pair must
+    agree on >=1 whole band (holds up to ~6 flipped bits in 3 bands
+    worst case; exact dups always collide in all 4)."""
+
+    ph = image_phash(sf_dir)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids, keys, hashes = [], [], []
+        for media_id, h in zip(
+            batch.column("media_id").to_pylist(), batch.column("phash").to_pylist()
+        ):
+            u = h & ((1 << 64) - 1)
+            for band in range(4):
+                chunk = (u >> (band * 16)) & 0xFFFF
+                ids.append(media_id)
+                keys.append((band << 16) | chunk)
+                hashes.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "band_key": pa.array(keys, type=pa.int64()),
+                "phash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("media_id").to_pylist()
+        hs = group.column("phash").to_pylist()
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        hs = [hs[i] for i in order]
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                dist = _hamming64(hs[i], hs[j])
+                if dist <= max_dist:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(dist)
+        return pa.table(
+            {
+                "media_a": pa.array(a_out, type=pa.string()),
+                "media_b": pa.array(b_out, type=pa.string()),
+                "dist": pa.array(d_out, type=pa.int64()),
+            }
+        )
+
+    rows = (
+        ph.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    uniq = sorted({(r["media_a"], r["media_b"], r["dist"]) for r in rows})
+    return pa.table(
+        {
+            "media_a": pa.array([r[0] for r in uniq], type=pa.string()),
+            "media_b": pa.array([r[1] for r in uniq], type=pa.string()),
+            "dist": pa.array([r[2] for r in uniq], type=pa.int64()),
+        }
+    )
 
 
 def _sf(sf_dir: str) -> float:

@@ -102,3 +102,29 @@ def test_media_pipeline_e2e(ray_session):
     # deterministic across runs
     rows2 = media_stats("/root/testdata/sf0.001").take_all()
     assert rows == rows2
+
+
+def test_image_phash_and_near_dupes(ray_session):
+    """dHash fingerprints + banded-LSH Hamming dedup find BOTH the
+    planted exact duplicates (dist 0) and the noised near-duplicates
+    (0 < dist <= max_dist), and nothing else."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+        image_phash,
+        image_phash_dupes,
+    )
+
+    ph = image_phash("/root/testdata/sf0.001")
+    rows = ph.take_all()
+    assert len(rows) >= 40
+    assert all(isinstance(r["phash"], int) for r in rows)
+
+    pairs = image_phash_dupes("/root/testdata/sf0.001").to_pylist()
+    assert len(pairs) > 0
+    dists = {r["dist"] for r in pairs}
+    assert 0 in dists  # exact duplicates collide on all bands
+    assert any(d > 0 for d in dists)  # noised near-dups survive banding
+    assert all(0 <= r["dist"] <= 6 for r in pairs)
+    assert all(r["media_a"] < r["media_b"] for r in pairs)
+    # deterministic across runs
+    pairs2 = image_phash_dupes("/root/testdata/sf0.001").to_pylist()
+    assert pairs == pairs2
