@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
+        "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
+        "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
         # --- dedup suite ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "docs_dedup_stats": lambda sf: dedup.exact_dedup_stats(sf),
@@ -213,6 +215,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*)::BIGINT AS df
             FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
             GROUP BY w ORDER BY df DESC, w LIMIT 100
+        """,
+        "docs_tfidf_top_term": """
+            WITH tf AS (
+              SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY doc_id, w
+            ),
+            df AS (
+              SELECT w AS word, count(*)::BIGINT AS df
+              FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+              GROUP BY w
+            ),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY ROUND(tf.tf * ln(n.n / df.df), 9) DESC, tf.word
+                     ) AS rk
+              FROM tf JOIN df USING (word) CROSS JOIN n
+            )
+            SELECT doc_id, word AS top_term FROM scored WHERE rk = 1 ORDER BY doc_id
         """,
         "docs_quality_filter": """
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words

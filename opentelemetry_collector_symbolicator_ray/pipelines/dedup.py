@@ -399,3 +399,52 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.85) -> pa.Table:
             "vec_b": pa.array([p[1] for p in pairs], type=pa.int64()),
         }
     )
+
+
+def near_dedup_keep(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    k: int = 2,
+) -> pa.Table:
+    """End-to-end near-duplicate REMOVAL: LSH pair detection ->
+    connected components over the (small) verified pair set -> keep the
+    min doc_id of each component -> broadcast the dropped-id set into a
+    vectorized filter over the corpus.
+
+    The union-find runs on the driver over PAIRS ONLY (pairs << corpus
+    after LSH); the corpus-sized work — pair detection and the final
+    filter — is distributed.  Returns the surviving doc_ids."""
+    pairs = minhash_lsh_dedup(sf_dir, num_perm=num_perm, bands=bands, threshold=threshold, k=k)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    dropped = np.array(
+        sorted(x for x in parent if find(x) != x), dtype=np.int64
+    )
+    dropped_ref = ray.put(dropped)
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        drop = ray.get(dropped_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, drop))).select(["doc_id"])
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(keep_filter, batch_format="pyarrow")
+        .sort("doc_id")
+        .take_all()
+    )
+    return pa.table({"doc_id": pa.array([r["doc_id"] for r in out], type=pa.int64())})

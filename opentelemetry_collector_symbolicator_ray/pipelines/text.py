@@ -291,3 +291,72 @@ def doc_frequency(sf_dir: str, k: int = 100) -> pa.Table:
             "df": pa.array([int(r["df"]) for r in top], type=pa.int64()),
         }
     )
+
+
+def tfidf_top_term(sf_dir: str) -> pa.Table:
+    """Per-document top TF-IDF term — the broadcast-small-side join
+    pattern: the document-frequency table (vocab-sized, << corpus) is
+    computed with a distributed groupby, ray.put once, and read inside
+    every scoring task; ranking is (round(tf * ln(N/df), 9) desc, word
+    asc) shared verbatim with the SQL oracle.  At vocabularies too big
+    to broadcast this becomes a word-key join; the corpus-sized scan
+    stays a streaming map_batches either way."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in set(t.split(" ")):
+                c[w] += 1
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "df": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    df_rows = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    df = {r["word"]: int(r["df"]) for r in df_rows}
+    n_docs = float(docs.count())
+    df_ref = ray.put(df)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids, tops = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter(t.split(" "))
+            words = sorted(tf)  # asc word = deterministic tie-break
+            scores = np.round(
+                np.array([tf[w] for w in words], dtype=np.float64)
+                * np.log(n_docs / np.array([dfm[w] for w in words], dtype=np.float64)),
+                9,
+            )
+            ids.append(doc_id)
+            tops.append(words[int(np.argmax(scores))])  # argmax keeps FIRST max
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "top_term": pa.array(tops, type=pa.string()),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow").sort("doc_id").take_all()
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], type=pa.int64()),
+            "top_term": pa.array([r["top_term"] for r in out], type=pa.string()),
+        }
+    )

@@ -84,3 +84,40 @@ def test_ivf_neighbors_subset_of_probed_bruteforce(ray_session):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_near_dedup_keep_components(ray_session):
+    """near_dedup_keep drops exactly the non-min members of each LSH
+    pair component: keep + dropped partition the corpus, every pair has
+    at most one surviving endpoint, and each component's min survives."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import (
+        minhash_lsh_dedup,
+        near_dedup_keep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = minhash_lsh_dedup(sf, threshold=0.8).to_pylist()
+    kept = set(near_dedup_keep(sf, threshold=0.8).column("doc_id").to_pylist())
+    assert len(kept) == 500 - len({x for r in pairs for x in (r["doc_a"], r["doc_b"])} - _component_minima(pairs))
+    for r in pairs:
+        assert not (r["doc_a"] in kept and r["doc_b"] in kept) or r["doc_a"] == r["doc_b"]
+    assert _component_minima(pairs) <= kept
+
+
+def _component_minima(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in parent:
+        comps.setdefault(find(x), set()).add(x)
+    return {min(v) for v in comps.values()}
