@@ -203,3 +203,141 @@ def ivf_knn(
         .take_all()
     )
     return _merge_topk(partials, k)
+
+
+def ivf_build(sf_dir: str, index_dir: str, n_cells: int = 16) -> dict:
+    """Build a persistent IVF index: assign every vector to its nearest
+    centroid and write the table CELL-PARTITIONED
+    (``write_parquet(partition_cols=["cell"])``) plus a tiny centroid
+    sidecar.  This is the partition-once-query-many layout for ANN at
+    100 TB: each cell is its own parquet partition, so a query batch
+    reads ONLY its ``n_probe`` partitions via partition pruning — no
+    full scan, no shuffle at query time."""
+    import json
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()
+    rng = np.random.RandomState(7)
+    chosen = rng.choice(n, size=min(n_cells, n), replace=False)
+    cent_ids, cent_mat = _fetch_rows(sf_dir, pads.field("vec_id").isin([int(c) for c in chosen]))
+    order = {int(v): i for i, v in enumerate(cent_ids)}
+    centroids = _unit(cent_mat)[[order[int(c)] for c in chosen]]
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        cells = (
+            np.argmax(_unit(mat) @ cents.T, axis=1).astype(np.int64)
+            if len(ids)
+            else np.array([], dtype=np.int64)
+        )
+        # cell twice: hive partition column (pruning) + in-file copy
+        # (partition columns are path-encoded, not stored in the files)
+        out = batch.append_column("cell", pa.array(cells, type=pa.int64()))
+        return out.append_column("cell_id", pa.array(cells, type=pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump({"centroids": centroids.tolist()}, f)
+    return {"n_cells": int(len(centroids)), "n_vectors": int(n)}
+
+
+def ivf_query(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pa.Table:
+    """Query a persisted IVF index: read ONLY the probed cell partitions
+    (partition pruning on the ``cell`` hive column), score per batch
+    against the broadcast queries, merge tiny top-k partials."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = np.array(json.load(f)["centroids"], dtype=np.float64)
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probes = [np.argsort(-(centroids @ q))[:n_probe] for q in q_unit]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    probe_cells = sorted(cell_to_queries)
+
+    q_ref = ray.put(q_unit)
+    c2q_ref = ray.put(cell_to_queries)
+    ids_arr = np.asarray(query_ids, dtype=np.int64)
+
+    # partition pruning: only the probed cells' files are read
+    import glob as globmod
+
+    files = [
+        f
+        for c in probe_cells
+        for f in sorted(globmod.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    ds = ray.data.read_parquet(files)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c2q = ray.get(c2q_ref)
+        qm = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if not len(ids):
+            return empty
+        unit = _unit(mat)
+        # a batch may coalesce several small cell files — score each
+        # cell's rows against only that cell's probing queries
+        cells_np = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for cell in np.unique(cells_np):
+            q_idx = c2q.get(int(cell), [])
+            if not q_idx:
+                continue
+            mask = cells_np == cell
+            sub_ids = ids[mask]
+            sims = np.round(qm[q_idx] @ unit[mask].T, 6)
+            for row, qi in enumerate(q_idx):
+                order = np.lexsort((sub_ids, -sims[row]))[: k + 1]
+                for j in order:
+                    out_q.append(int(ids_arr[qi]))
+                    out_n.append(int(sub_ids[j]))
+                    out_s.append(float(sims[row][j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k)
+
+
+def ivf_knn_indexed(sf_dir: str, num_queries: int = 5, k: int = 10, n_probe: int = 4) -> pa.Table:
+    """ivf_knn through the persistent index path: build (cached per
+    sf_dir) then query — must return the same rows as ivf_knn since
+    centroids/assignment/ranking are identical."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ocsr_ivf/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.json")):
+        ivf_build(sf_dir, index_dir)
+    query_ids, q_mat = _fetch_rows(sf_dir, pads.field("vec_id") < num_queries)
+    return ivf_query(index_dir, q_mat, query_ids, k=k, n_probe=n_probe)

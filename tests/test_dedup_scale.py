@@ -121,3 +121,37 @@ def _component_minima(pairs):
     for x in parent:
         comps.setdefault(find(x), set()).add(x)
     return {min(v) for v in comps.values()}
+
+
+def test_ivf_index_build_query_matches_shuffle_path(ray_session, tmp_path):
+    """The persistent cell-partitioned IVF index (build once, probe only
+    n_probe partitions at query time) returns exactly the shuffle-path
+    ivf_knn rows, and only probed partitions are read."""
+    import glob
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        _fetch_rows,
+        ivf_build,
+        ivf_knn,
+        ivf_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = str(tmp_path / "ivf")
+    meta = ivf_build(sf, index_dir)
+    assert meta["n_cells"] == 16
+    # every vector landed in exactly one partition
+    n_rows = 0
+    for part in glob.glob(f"{index_dir}/cell=*/*.parquet"):
+        import pyarrow.parquet as pq
+
+        n_rows += pq.read_metadata(part).num_rows
+    assert n_rows == meta["n_vectors"]
+
+    qids, qmat = _fetch_rows(sf, pads.field("vec_id") < 3)
+    got = ivf_query(index_dir, qmat, qids, k=5, n_probe=4).to_pylist()
+    want = ivf_knn(sf, num_queries=3, k=5).to_pylist()
+    assert got == want
