@@ -175,7 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": lambda sf: analytics.events_by_type(sf),
         "events_errors_by_user": lambda sf: analytics.error_events_by_user(sf),
         "events_tumbling_windows": lambda sf: streaming.tumbling_event_counts(sf),
+        "events_hopping_windows": lambda sf: streaming.hopping_event_counts(sf),
         "events_user_sessions": lambda sf: streaming.user_sessions(sf),
+        "emb_label_sample": lambda sf: analytics.label_stratified_sample(sf),
         "lineitem_pricing": lambda sf: analytics.lineitem_pricing_summary(sf),
         "top_customers": lambda sf: analytics.top_customers(sf),
     }
@@ -304,6 +306,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, window_id
             ORDER BY event_type, window_id
+        """,
+        "events_hopping_windows": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+            w AS (
+              SELECT event_type, (us // 900000000 - g.i) AS hop_id, value
+              FROM e, LATERAL (SELECT unnest(range(0, 4)) AS i) g
+              WHERE (us // 900000000 - g.i) >= 0
+            )
+            SELECT event_type, hop_id, count(*)::BIGINT AS n_events,
+                   CAST(ROUND(SUM(value), 2) * 100 AS BIGINT) AS total_value_cents
+            FROM w GROUP BY event_type, hop_id ORDER BY event_type, hop_id
+        """,
+        "emb_label_sample": """
+            WITH ranked AS (
+              SELECT label, vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY label
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                     ) AS rk
+              FROM embeddings
+            )
+            SELECT label, vec_id FROM ranked WHERE rk <= 5 ORDER BY label, vec_id
         """,
         "events_user_sessions": """
             WITH o AS (

@@ -161,3 +161,34 @@ def error_events_by_user(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def label_stratified_sample(sf_dir: str, per_label: int = 5) -> pa.Table:
+    """Deterministic stratified sampling: ``per_label`` vectors per
+    label, chosen by content-hash order (md5 of the id string) so the
+    sample is stable under re-partitioning — the per-key quota shape is
+    ``groupby(label).map_groups``."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+
+    def take_sample(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        picked = sorted(ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[:per_label]
+        label = group.column("label")[0].as_py()
+        picked = sorted(picked)
+        return pa.table(
+            {
+                "label": pa.array([int(label)] * len(picked), type=pa.int32()),
+                "vec_id": pa.array(picked, type=pa.int64()),
+            }
+        )
+
+    out = ds.groupby("label").map_groups(take_sample, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: (r["label"], r["vec_id"]))
+    return pa.table(
+        {
+            "label": pa.array([int(r["label"]) for r in rows], type=pa.int32()),
+            "vec_id": pa.array([int(r["vec_id"]) for r in rows], type=pa.int64()),
+        }
+    )

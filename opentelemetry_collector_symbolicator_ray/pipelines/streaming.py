@@ -83,3 +83,49 @@ def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
             "n_sessions": pa.array([int(r["n_sessions"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def hopping_event_counts(
+    sf_dir: str, window_us: int = US_PER_HOUR, hop_us: int = 900 * 1_000_000
+) -> pa.Table:
+    """Hopping (sliding) windows: each event belongs to window_size/hop
+    overlapping windows, expanded VECTORIZED inside map_batches
+    (np.repeat row fan-out — the flat_map shape), then the same grouped
+    aggregate as tumbling windows.  ``hop_id`` is the window's start
+    bucket (start = hop_id * hop_us)."""
+    k = window_us // hop_us
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // hop_us
+        n = len(base)
+        idx = np.repeat(np.arange(n), k)
+        hop_ids = np.repeat(base, k) - np.tile(np.arange(k), n)
+        keep = hop_ids >= 0
+        out = pa.table(
+            {
+                "event_type": batch.column("event_type").take(pa.array(idx[keep])),
+                "hop_id": pa.array(hop_ids[keep], type=pa.int64()),
+                "value": batch.column("value").take(pa.array(idx[keep])),
+            }
+        )
+        return out
+
+    agg = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "hop_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: (r["event_type"], r["hop_id"]))
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "hop_id": pa.array([int(r["hop_id"]) for r in rows], type=pa.int64()),
+            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
+            "total_value_cents": pa.array(
+                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
+            ),
+        }
+    )
