@@ -125,6 +125,29 @@ def sym_checkpointed_agg(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def sym_otlp_source_counts(sf_dir: str):
+    """Same per-sink aggregate ingested through the OTLP/JSON receiver
+    surface (sources/otlp.py) instead of the parquet corpus — must
+    equal sym_sink_counts modulo telemetry."""
+    import os
+
+    from opentelemetry_collector_symbolicator_ray.sources.otlp import (
+        read_otlp_jsonl,
+        write_otlp_jsonl,
+    )
+
+    corpus = _sym_corpus(sf_dir)
+    otlp_dir = corpus + "-otlp"
+    if not os.path.exists(os.path.join(otlp_dir, ".complete")):
+        write_otlp_jsonl(corpus, otlp_dir)
+        with open(os.path.join(otlp_dir, ".complete"), "w") as f:
+            f.write("ok")
+    files = sorted(
+        os.path.join(otlp_dir, f) for f in os.listdir(otlp_dir) if f.endswith(".jsonl")
+    )
+    return per_sink_aggregates(symbolicate(read_otlp_jsonl(files), _sym_cfg(corpus)))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full routed
     symbolication + per-sink aggregate (driver checks rows>=0)."""
@@ -139,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_sink_counts_salted": sym_sink_counts_salted,
         "sym_checkpointed_agg": sym_checkpointed_agg,
         "sym_routed_rows": sym_routed_rows,
+        "sym_otlp_source_counts": sym_otlp_source_counts,
         # --- training-data ops: text analysis ---
         "docs_token_counts": lambda sf: text.token_counts(sf),
         "docs_quality": lambda sf: text.quality_scores(sf),

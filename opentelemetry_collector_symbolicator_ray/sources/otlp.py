@@ -1,0 +1,184 @@
+"""OTLP-JSON ingestion source (operator S1's receiver surface).
+
+The reference consumes OTLP logs/traces from the collector's receivers
+(sourcemapprocessor/processor.go ConsumeLogs/ConsumeTraces); this module
+ingests the same payload shape — OTLP/JSON export requests, one per
+line — and lands them as the engine's canonical token rows, so every
+downstream pipeline (symbolication, per-sink routing, aggregates) is
+source-agnostic.
+
+Value encoding follows the OTLP protobuf-JSON mapping: ``stringValue`` /
+``boolValue`` / ``intValue`` (string-encoded int64) / ``doubleValue`` /
+``arrayValue``.  Logs map to ``resourceLogs[].scopeLogs[].logRecords[]``
+(with ``eventName``); span records (the traces pipeline) map to
+``resourceSpans[].scopeSpans[].spans[]`` with span ``events[]``.
+
+Ray shape: ``ray.data.read_text`` streams the JSONL, a vectorized
+``map_batches`` parses + converts + re-encodes tokens per batch — the
+source scales exactly like the parquet reader (one task per block).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data
+
+from ..codec import encode_batch_records
+
+
+def _to_any_value(v: Any) -> dict:
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}  # protobuf JSON: int64 as string
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    if isinstance(v, str):
+        return {"stringValue": v}
+    if isinstance(v, list):
+        return {"arrayValue": {"values": [_to_any_value(x) for x in v]}}
+    raise TypeError(f"unsupported attribute value type: {type(v)!r}")
+
+
+def _from_any_value(v: dict) -> Any:
+    if "boolValue" in v:
+        return bool(v["boolValue"])
+    if "intValue" in v:
+        return int(v["intValue"])
+    if "doubleValue" in v:
+        return float(v["doubleValue"])
+    if "stringValue" in v:
+        return v["stringValue"]
+    if "arrayValue" in v:
+        return [_from_any_value(x) for x in v["arrayValue"].get("values", [])]
+    raise ValueError(f"unsupported OTLP value: {v!r}")
+
+
+def _kv_list(attrs: dict) -> list[dict]:
+    return [{"key": k, "value": _to_any_value(v)} for k, v in attrs.items()]
+
+
+def _from_kv_list(kvs: list[dict]) -> dict:
+    return {kv["key"]: _from_any_value(kv["value"]) for kv in kvs}
+
+
+def record_to_otlp(record: dict) -> dict:
+    """Engine record -> one OTLP/JSON export request."""
+    resource = {"attributes": _kv_list(record.get("resource_attributes", {}))}
+    if isinstance(record.get("events"), list):
+        span = {
+            "name": record.get("event_name", ""),
+            "attributes": _kv_list(record.get("attributes", {})),
+            "events": [
+                {
+                    "name": ev.get("name", ""),
+                    "attributes": _kv_list(ev.get("attributes", {})),
+                }
+                for ev in record["events"]
+            ],
+        }
+        return {
+            "resourceSpans": [
+                {"resource": resource, "scopeSpans": [{"spans": [span]}]}
+            ]
+        }
+    log = {
+        "eventName": record.get("event_name", ""),
+        "attributes": _kv_list(record.get("attributes", {})),
+    }
+    return {"resourceLogs": [{"resource": resource, "scopeLogs": [{"logRecords": [log]}]}]}
+
+
+def otlp_to_records(req: dict) -> list[dict]:
+    """One OTLP/JSON export request -> engine records."""
+    out: list[dict] = []
+    for rl in req.get("resourceLogs", []):
+        res_attrs = _from_kv_list(rl.get("resource", {}).get("attributes", []))
+        for sl in rl.get("scopeLogs", []):
+            for lr in sl.get("logRecords", []):
+                out.append(
+                    {
+                        "event_name": lr.get("eventName", ""),
+                        "attributes": _from_kv_list(lr.get("attributes", [])),
+                        "resource_attributes": dict(res_attrs),
+                    }
+                )
+    for rs in req.get("resourceSpans", []):
+        res_attrs = _from_kv_list(rs.get("resource", {}).get("attributes", []))
+        for ss in rs.get("scopeSpans", []):
+            for span in ss.get("spans", []):
+                out.append(
+                    {
+                        "event_name": span.get("name", ""),
+                        "attributes": _from_kv_list(span.get("attributes", [])),
+                        "resource_attributes": dict(res_attrs),
+                        # span events keep the corpus's "name" key
+                        "events": [
+                            {
+                                "name": ev.get("name", ""),
+                                "attributes": _from_kv_list(ev.get("attributes", [])),
+                            }
+                            for ev in span.get("events", [])
+                        ],
+                    }
+                )
+    return out
+
+
+def write_otlp_jsonl(corpus_dir: str, out_dir: str) -> int:
+    """Convert a token parquet corpus to OTLP/JSONL (one export request
+    per line) — the test/demo writer for the receiver surface."""
+    import glob
+    import os
+
+    from ..codec import decode_batch_tokens
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    for path in files:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path)
+        records = decode_batch_tokens(table)
+        name = os.path.basename(path).replace(".parquet", ".jsonl")
+        with open(os.path.join(out_dir, name), "w") as f:
+            for record in records:
+                f.write(json.dumps(record_to_otlp(record), sort_keys=True) + "\n")
+                n += 1
+    return n
+
+
+def read_otlp_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
+    """Stream OTLP/JSONL export requests into the canonical token-row
+    schema (doc_id synthesized from content hash — OTLP has no row ids;
+    aggregates and routing are id-independent)."""
+    import zlib
+
+    ds = ray.data.read_text(paths)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        records: list[dict] = []
+        doc_ids: list[str] = []
+        for line in batch.column("text").to_pylist():
+            if not line.strip():
+                continue
+            for record in otlp_to_records(json.loads(line)):
+                records.append(record)
+                digest = zlib.crc32(json.dumps(record, sort_keys=True).encode())
+                doc_ids.append(f"otlp-{digest:08x}-{len(doc_ids)}")
+        tokens, n_tok = encode_batch_records(records)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "tokens": tokens,
+                "n_tok": n_tok,
+                "source": pa.array(["otlp-jsonl"] * len(doc_ids), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
