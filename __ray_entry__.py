@@ -125,6 +125,19 @@ def sym_checkpointed_agg(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def sym_sink_counts_sharedcache(sf_dir: str):
+    """Same aggregate through the cross-actor single-flight shared
+    artifact cache (state/artifact_cache.py) — must equal
+    sym_sink_counts modulo telemetry."""
+    import ray.data
+
+    corpus = _sym_corpus(sf_dir)
+    cfg = _sym_cfg(corpus)
+    cfg.shared_artifact_cache = True
+    ds = ray.data.read_parquet(input_files(corpus))
+    return per_sink_aggregates(symbolicate(ds, cfg))
+
+
 def sym_otlp_source_counts(sf_dir: str):
     """Same per-sink aggregate ingested through the OTLP/JSON receiver
     surface (sources/otlp.py) instead of the parquet corpus — must
@@ -163,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_checkpointed_agg": sym_checkpointed_agg,
         "sym_routed_rows": sym_routed_rows,
         "sym_otlp_source_counts": sym_otlp_source_counts,
+        "sym_sink_counts_sharedcache": sym_sink_counts_sharedcache,
         # --- training-data ops: text analysis ---
         "docs_token_counts": lambda sf: text.token_counts(sf),
         "docs_quality": lambda sf: text.quality_scores(sf),

@@ -140,6 +140,12 @@ class PipelineConfig:
     batch_size: int = 512
     # Salt fan-out for hot debug-ids in the pre-symbolizer repartition.
     salt_buckets: int = 4
+    # Cross-actor single-flight artifact fetch via the shared named
+    # cache actor (state/artifact_cache.py) — the distributed analogue
+    # of the reference's singleflight.Group.  Opt-in: with debug-id
+    # affinity routing, cold misses rarely overlap, and the per-actor
+    # LRU serves all warm traffic.
+    shared_artifact_cache: bool = False
 
     @staticmethod
     def with_default_routing(artifacts_dir: str, **kw) -> "PipelineConfig":

@@ -55,8 +55,23 @@ def drop_telemetry(obj):
     }
 
 
+# Driver-owned handle keeping the shared artifact-cache coordinator
+# alive for the session (a named actor created inside a pool worker
+# would die with the pool).
+_ARTIFACT_COORDINATOR = None
+
+
+def _ensure_artifact_coordinator(cfg: PipelineConfig) -> None:
+    global _ARTIFACT_COORDINATOR
+    if cfg.shared_artifact_cache and _ARTIFACT_COORDINATOR is None:
+        from ..state.artifact_cache import get_or_create_coordinator
+
+        _ARTIFACT_COORDINATOR = get_or_create_coordinator()
+
+
 def symbolicate(ds: "ray.data.Dataset", cfg: PipelineConfig, *, salted: bool = False) -> "ray.data.Dataset":
     """Attach the symbolizer actor-pool stage to a token Dataset."""
+    _ensure_artifact_coordinator(cfg)
     if salted:
         ds = salted_repartition(ds, cfg)
     # (The chain's output schema intentionally omits the routing_shard
@@ -171,6 +186,7 @@ def symbolicate_and_write(
     per-sink parquet parts and emits only tiny summary rows, so the bulk
     token payloads never transit the object store (the write-behind
     pattern for the 100 TB path)."""
+    _ensure_artifact_coordinator(cfg)
     if salted:
         ds = salted_repartition(ds, cfg)
     return ds.map_batches(

@@ -1,0 +1,123 @@
+"""Cross-actor shared artifact cache with single-flight fetch.
+
+The reference wraps every artifact backend fetch in a
+``singleflight.Group`` (sourcemapprocessor/symbolicator.go:70-88 and
+twins) so concurrent requests for the same debug artifact hit the
+backend once.  Inside one symbolizer actor our per-actor LRU already
+serializes; ACROSS the actor pool, concurrent cold misses for a hot
+debug-id would each hit the backend.  This module closes that gap with
+the one pattern Ray Data cannot express as a batch transform — a shared
+mutable index — implemented as a small named Ray actor:
+
+- followers of an in-flight key await an ``asyncio.Event`` (async actor,
+  so waiting never blocks the actor's event loop);
+- the winning leader fetches via its OWN store backend and fills the
+  cache — the coordinator never needs the (unpicklable, per-actor)
+  fetch closure;
+- artifact BYTES are cached with a byte-budgeted LRU; parsing stays
+  per-symbolizer (parsed objects are not shareable across processes).
+
+Scale note: the coordinator is a deliberate single point per job; it
+only sees COLD MISSES (hits are served by per-actor LRUs), and payloads
+transit Ray's object store implicitly as actor-call results.  For very
+large clusters, shard by ``hash(key) % n_coordinators``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections import OrderedDict
+
+import ray
+
+COORDINATOR_NAME = "ocsr_artifact_cache"
+
+
+@ray.remote(num_cpus=0)
+class ArtifactCacheCoordinator:
+    # num_cpus=0: the coordinator must always be schedulable even when
+    # the symbolizer pool has every CPU slot — it only coordinates.
+    """Async actor: byte-LRU of fetched artifacts + single-flight gate."""
+
+    def __init__(self, max_bytes: int = 256 * 1024 * 1024) -> None:
+        self.max_bytes = max_bytes
+        self.cache: OrderedDict[str, bytes] = OrderedDict()
+        self.cached_bytes = 0
+        self.inflight: dict[str, asyncio.Event] = {}
+        self.backend_fetches = 0
+        self.hits = 0
+        self.waits = 0
+
+    async def begin(self, key: str) -> bytes | bool:
+        """Returns cached bytes on hit, or ``True`` if the caller became
+        the fetch leader.  Followers await the leader and loop: a
+        successful fill serves them from cache; a failed fill (no cache
+        entry) elects the next caller as leader, so every caller either
+        gets bytes or raises its OWN store error — fetch-error semantics
+        are identical to the unshared path."""
+        while True:
+            if key in self.cache:
+                self.cache.move_to_end(key)
+                self.hits += 1
+                return self.cache[key]
+            ev = self.inflight.get(key)
+            if ev is None:
+                self.inflight[key] = asyncio.Event()
+                self.backend_fetches += 1
+                return True
+            self.waits += 1
+            await ev.wait()
+            # leader finished: loop re-checks the cache (leader failure
+            # leaves no entry -> next iteration elects a new leader)
+
+    async def fill(self, key: str, data: bytes | None) -> None:
+        """Leader completion: publish bytes (or ``None`` on fetch
+        failure) and wake followers."""
+        if data is not None and key not in self.cache:
+            self.cache[key] = data
+            self.cached_bytes += len(data)
+            while self.cached_bytes > self.max_bytes and self.cache:
+                _, evicted = self.cache.popitem(last=False)
+                self.cached_bytes -= len(evicted)
+        ev = self.inflight.pop(key, None)
+        if ev is not None:
+            ev.set()
+
+    async def stats(self) -> dict:
+        return {
+            "entries": len(self.cache),
+            "cached_bytes": self.cached_bytes,
+            "backend_fetches": self.backend_fetches,
+            "hits": self.hits,
+            "waits": self.waits,
+        }
+
+
+def get_or_create_coordinator(max_bytes: int = 256 * 1024 * 1024):
+    """Named-actor rendezvous: every symbolizer actor shares ONE
+    coordinator per job."""
+    return ArtifactCacheCoordinator.options(
+        name=COORDINATOR_NAME, get_if_exists=True, lifetime=None
+    ).remote(max_bytes)
+
+
+def single_flight_fetch(fetch, coordinator=None):
+    """Wrap a store fetch callable with the shared-cache single-flight
+    protocol.  On leader failure the exception propagates (and followers
+    re-elect), preserving the store's error semantics byte-for-byte."""
+    if coordinator is None:
+        coordinator = get_or_create_coordinator()
+
+    def wrapped(key: str) -> bytes:
+        res = ray.get(coordinator.begin.remote(key))
+        if res is True:  # leader
+            try:
+                data = fetch(key)
+            except Exception:
+                ray.get(coordinator.fill.remote(key, None))
+                raise
+            ray.get(coordinator.fill.remote(key, data))
+            return data
+        return res
+
+    return wrapped

@@ -1,0 +1,109 @@
+"""Cross-actor single-flight artifact cache tests (state/artifact_cache.py)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+import ray
+
+
+def test_single_flight_dedupes_concurrent_fetches(ray_session, tmp_path):
+    """N concurrent workers fetching the same cold key -> backend hit
+    once; all receive the bytes; coordinator stats reflect the dedup."""
+    from opentelemetry_collector_symbolicator_ray.state.artifact_cache import (
+        ArtifactCacheCoordinator,
+        single_flight_fetch,
+    )
+
+    coord = ArtifactCacheCoordinator.options(name="test_sf_cache").remote()
+    counter = tmp_path / "fetches"
+
+    def slow_backend(key: str) -> bytes:
+        with open(counter, "a") as f:
+            f.write(key + "\n")
+        time.sleep(0.3)
+        return f"data:{key}".encode()
+
+    @ray.remote
+    def worker(i: int):
+        fetch = single_flight_fetch(slow_backend, coord)
+        return fetch("shared-key")
+
+    results = ray.get([worker.remote(i) for i in range(8)])
+    assert results == [b"data:shared-key"] * 8
+    backend_calls = open(counter).read().splitlines()
+    assert backend_calls == ["shared-key"]
+    stats = ray.get(coord.stats.remote())
+    assert stats["backend_fetches"] == 1
+    assert stats["entries"] == 1
+
+
+def test_single_flight_error_propagates_per_caller(ray_session):
+    """A missing artifact raises in EVERY caller (no cached error, next
+    caller re-elects as leader) — matching unshared fetch semantics."""
+    from opentelemetry_collector_symbolicator_ray.state.artifact_cache import (
+        ArtifactCacheCoordinator,
+        single_flight_fetch,
+    )
+
+    coord = ArtifactCacheCoordinator.options(name="test_sf_err").remote()
+
+    def failing_backend(key: str) -> bytes:
+        raise FileNotFoundError(key)
+
+    fetch = single_flight_fetch(failing_backend, coord)
+    for _ in range(3):
+        with pytest.raises(FileNotFoundError):
+            fetch("missing-key")
+    stats = ray.get(coord.stats.remote())
+    assert stats["backend_fetches"] == 3  # every attempt led and failed
+    assert stats["entries"] == 0
+
+
+def test_byte_budget_lru_eviction(ray_session):
+    from opentelemetry_collector_symbolicator_ray.state.artifact_cache import (
+        ArtifactCacheCoordinator,
+        single_flight_fetch,
+    )
+
+    coord = ArtifactCacheCoordinator.options(name="test_sf_lru").remote(max_bytes=100)
+    fetch = single_flight_fetch(lambda k: b"x" * 40, coord)
+    for key in ("a", "b", "c"):  # 120 bytes > budget -> "a" evicted
+        fetch(key)
+    stats = ray.get(coord.stats.remote())
+    assert stats["entries"] == 2
+    assert stats["cached_bytes"] == 80
+
+
+def test_pipeline_parity_with_shared_cache(ray_session, tmp_path):
+    """Full pipeline with shared_artifact_cache=True produces identical
+    per-sink aggregates to the unshared path."""
+    import os
+
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        drop_telemetry,
+        input_files,
+        per_sink_aggregates,
+        symbolicate,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 300, num_files=2, seed=21)
+    arts = os.path.join(corpus, "artifacts")
+    plain_cfg = PipelineConfig.with_default_routing(arts, concurrency=2, batch_size=128)
+    shared_cfg = PipelineConfig.with_default_routing(
+        arts, concurrency=2, batch_size=128, shared_artifact_cache=True
+    )
+    a = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), plain_cfg)
+    ).to_pylist()
+    b = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), shared_cfg)
+    ).to_pylist()
+    assert drop_telemetry(a) == drop_telemetry(b)
