@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frame_index": lambda sf: multimodal.video_frame_index(sf),
         "media_image_phash": lambda sf: multimodal.image_phash(sf),
         "media_phash_dupes": lambda sf: multimodal.image_phash_dupes(sf),
+        "media_scene_changes": lambda sf: multimodal.video_scene_changes(sf),
+        "emb_quantized": lambda sf: similarity.quantize_embeddings(sf),
         # --- wide-operator demonstrations (groupby / join / top-k) ---
         "events_by_type": lambda sf: analytics.events_by_type(sf),
         "events_errors_by_user": lambda sf: analytics.error_events_by_user(sf),

@@ -54,8 +54,11 @@ def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> 
     Generator v2 plants image duplicates for the perceptual-hash dedup
     operator: among images (i % 3 == 0), every 8th is an EXACT copy of
     the previous image and the one after it a NEAR copy (sparse +1 pixel
-    noise) — so phash distance 0 and small-but-nonzero both occur."""
-    marker = os.path.join(out_dir, f".complete-v2-{rows}-{seed}")
+    noise) — so phash distance 0 and small-but-nonzero both occur.
+    Generator v3 makes videos scene-structured (1-3 scenes, each a base
+    frame plus small per-frame noise) so scene-change detection has real
+    cuts to find."""
+    marker = os.path.join(out_dir, f".complete-v3-{rows}-{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -89,7 +92,22 @@ def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> 
                 payload = b"AUD1" + struct.pack("<II", sr, n) + body.tobytes()
             else:
                 w, h, f = 16, 16, int(rng.randint(4, 24))
-                body = rng.randint(0, 256, size=w * h * f, dtype=np.int32).astype(np.uint8)
+                # scene-structured clip: each scene = one base frame plus
+                # small per-frame noise; cuts are the scene boundaries
+                n_scenes = min(1 + (i // 3) % 3, f)
+                cuts = (
+                    sorted(rng.choice(np.arange(1, f), size=n_scenes - 1, replace=False))
+                    if n_scenes > 1
+                    else []
+                )
+                edges = [0, *cuts, f]
+                frames = []
+                for s in range(len(edges) - 1):
+                    base = rng.randint(0, 256, size=w * h, dtype=np.int32)
+                    for _ in range(edges[s + 1] - edges[s]):
+                        noise = rng.randint(-4, 5, size=w * h, dtype=np.int32)
+                        frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+                body = np.concatenate(frames)
                 payload = b"VID1" + struct.pack("<HHH", w, h, f) + body.tobytes()
             ids.append(f"media-{kind}-{i:06d}")
             kinds.append(kind)
@@ -478,3 +496,56 @@ def _sf(sf_dir: str) -> float:
         return float(name.replace("sf", ""))
     except ValueError:
         return 0.01
+
+
+class VideoSceneChangeStage(MediaDecoder):
+    """Scene-boundary detection over decoded frames: mean-absolute
+    frame difference, a boundary where the diff exceeds
+    ``threshold`` x the clip's mean diff.  Vectorized numpy over the
+    (frames, pixels) matrix per clip."""
+
+    def __init__(self, threshold: float = 1.5) -> None:
+        super().__init__()
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, scores = [], [], []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            d = self.decode(payload, codec)
+            frames = d["frames"].astype(np.int16)  # (n_frames, h*w)
+            if len(frames) < 2:
+                continue
+            diffs = np.abs(np.diff(frames, axis=0)).mean(axis=1)  # (n_frames-1,)
+            cut = self.threshold * float(diffs.mean())
+            for i in np.nonzero(diffs > cut)[0]:
+                ids.append(media_id)
+                idxs.append(int(i) + 1)  # boundary = first frame of new scene
+                scores.append(float(np.round(diffs[i], 6)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame_index": pa.array(idxs, type=pa.int64()),
+                "diff_score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def video_scene_changes(sf_dir: str, threshold: float = 1.5) -> "ray.data.Dataset":
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        VideoSceneChangeStage,
+        fn_constructor_args=(threshold,),
+        concurrency=(1, 4),
+        batch_size=64,
+        batch_format="pyarrow",
+    ).sort(["media_id", "frame_index"])

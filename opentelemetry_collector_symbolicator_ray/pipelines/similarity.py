@@ -341,3 +341,37 @@ def ivf_knn_indexed(sf_dir: str, num_queries: int = 5, k: int = 10, n_probe: int
         ivf_build(sf_dir, index_dir)
     query_ids, q_mat = _fetch_rows(sf_dir, pads.field("vec_id") < num_queries)
     return ivf_query(index_dir, q_mat, query_ids, k=k, n_probe=n_probe)
+
+
+def quantize_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    """Symmetric per-vector int8 quantization (the 4x storage-reduction
+    stage of an embedding pipeline): scale = max|x| / 127, stored
+    alongside the int8 codes plus the reconstruction RMSE — all
+    vectorized per batch, streaming."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "scale": pa.array([], type=pa.float64()),
+                    "codes": pa.array([], type=pa.binary()),
+                    "rmse": pa.array([], type=pa.float64()),
+                }
+            )
+        scale = np.maximum(np.abs(mat).max(axis=1), 1e-12) / 127.0
+        codes = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
+        recon = codes.astype(np.float64) * scale[:, None]
+        rmse = np.sqrt(((mat - recon) ** 2).mean(axis=1))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "scale": pa.array(np.round(scale, 9), type=pa.float64()),
+                "codes": pa.array([c.tobytes() for c in codes], type=pa.binary()),
+                "rmse": pa.array(np.round(rmse, 9), type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(fn, batch_format="pyarrow").sort("vec_id")

@@ -128,3 +128,45 @@ def test_image_phash_and_near_dupes(ray_session):
     # deterministic across runs
     pairs2 = image_phash_dupes("/root/testdata/sf0.001").to_pylist()
     assert pairs == pairs2
+
+
+def test_video_scene_changes(ray_session):
+    """v3 clips have 0-2 planted scene cuts; the detector finds strong
+    boundaries (diff >> intra-scene noise) and nothing in single-scene
+    clips beyond them."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+        video_scene_changes,
+    )
+
+    rows = video_scene_changes("/root/testdata/sf0.001").take_all()
+    assert len(rows) > 0
+    assert all(r["frame_index"] >= 1 for r in rows)
+    # planted cuts are hard (uniform-random base swap): diff scores far
+    # above the +-4 intra-scene noise level
+    assert all(r["diff_score"] > 20 for r in rows)
+    # deterministic
+    rows2 = video_scene_changes("/root/testdata/sf0.001").take_all()
+    assert rows == rows2
+
+
+def test_embedding_quantization_roundtrip(ray_session):
+    """int8 quantization preserves geometry: reconstruction cosine vs
+    the original > 0.999 for every vector; rmse small and recorded."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        quantize_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q = quantize_embeddings(sf).take_all()
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pylist()
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in t}
+    assert len(q) == len(orig)
+    for r in q[:50]:
+        rec = np.frombuffer(r["codes"], dtype=np.int8).astype(np.float64) * r["scale"]
+        o = orig[r["vec_id"]]
+        cos = float(rec @ o / (np.linalg.norm(rec) * np.linalg.norm(o)))
+        assert cos > 0.999
+        assert 0 <= r["rmse"] < 0.01
