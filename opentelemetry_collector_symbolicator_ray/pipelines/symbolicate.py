@@ -37,6 +37,10 @@ SINKS = ("js", "android", "apple", "unsymbolicated")
 # strip them when comparing two runs' aggregates for semantic equality.
 TELEMETRY_KEYS = (
     "symbolication_duration",
+    "dur_le_100us",
+    "dur_le_1ms",
+    "dur_le_10ms",
+    "dur_gt_10ms",
     "sourcemap_cache_size",
     "proguard_cache_size",
     "dsym_cache_size",
@@ -240,6 +244,10 @@ def aggregates_from_summaries(summary_ds: "ray.data.Dataset") -> pa.Table:
         Sum("frames_failed", alias_name="frames_failed"),
         Sum("fetch_failures", alias_name="fetch_failures"),
         Sum("symbolication_duration", alias_name="symbolication_duration"),
+        Sum("dur_le_100us", alias_name="dur_le_100us"),
+        Sum("dur_le_1ms", alias_name="dur_le_1ms"),
+        Sum("dur_le_10ms", alias_name="dur_le_10ms"),
+        Sum("dur_gt_10ms", alias_name="dur_gt_10ms"),
         Max("sourcemap_cache_size", alias_name="sourcemap_cache_size"),
         Max("proguard_cache_size", alias_name="proguard_cache_size"),
         Max("dsym_cache_size", alias_name="dsym_cache_size"),
@@ -302,6 +310,8 @@ def run_checkpointed(
             for key in ("rows", "failed_rows", "frames_processed", "frames_failed", "fetch_failures"):
                 acc[key] += int(row[key])
             acc["symbolication_duration"] += float(row["symbolication_duration"])
+            for key in ("dur_le_100us", "dur_le_1ms", "dur_le_10ms", "dur_gt_10ms"):
+                acc[key] = acc.get(key, 0) + int(row[key])
             for key in GAUGE_KEYS:
                 acc[key] = max(acc[key], int(row[key]))
             acc["token_hash"] = (acc["token_hash"] + int(row["token_hash"])) % (1 << 61)

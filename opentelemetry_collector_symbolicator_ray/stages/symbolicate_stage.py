@@ -74,6 +74,13 @@ SUMMARY_SCHEMA = pa.schema(
         # actor's positive-LRU entry counts at batch end and aggregate with
         # max, not sum.
         ("symbolication_duration", pa.float64()),
+        # Histogram parity: per-record duration bucket counts (the
+        # reference metric is a histogram, metadata.yaml:27-35); buckets
+        # chosen around the measured per-record cost (~0.05 ms).
+        ("dur_le_100us", pa.int64()),
+        ("dur_le_1ms", pa.int64()),
+        ("dur_le_10ms", pa.int64()),
+        ("dur_gt_10ms", pa.int64()),
         ("sourcemap_cache_size", pa.int64()),
         ("proguard_cache_size", pa.int64()),
         ("dsym_cache_size", pa.int64()),
@@ -84,6 +91,20 @@ SUMMARY_SCHEMA = pa.schema(
 
 # Summary keys that are gauges (aggregate with max); everything else sums.
 GAUGE_KEYS = ("sourcemap_cache_size", "proguard_cache_size", "dsym_cache_size")
+
+DURATION_BUCKETS = ("dur_le_100us", "dur_le_1ms", "dur_le_10ms", "dur_gt_10ms")
+
+
+def _duration_hist(col) -> dict[str, int]:
+    """Bucket counts for the symbolication-duration histogram (bounds
+    1e-4 / 1e-3 / 1e-2 seconds)."""
+    import numpy as np
+
+    d = col.combine_chunks().to_numpy(zero_copy_only=False)
+    edges = np.array([1e-4, 1e-3, 1e-2])
+    idx = np.searchsorted(edges, d, side="left")
+    counts = np.bincount(idx, minlength=4)
+    return dict(zip(DURATION_BUCKETS, (int(c) for c in counts)))
 
 
 class SymbolicatorChain:
@@ -358,6 +379,7 @@ def write_sink_partitions(
                 "frames_failed": int(pc.sum(sub.column("frames_failed")).as_py() or 0),
                 "fetch_failures": int(pc.sum(sub.column("fetch_failures")).as_py() or 0),
                 "symbolication_duration": float(pc.sum(sub.column("symbolication_duration")).as_py() or 0.0),
+                **_duration_hist(sub.column("symbolication_duration")),
                 **{k: int(gauges.get(k, 0)) for k in GAUGE_KEYS},
                 "token_hash": token_hash,
                 "file": path,

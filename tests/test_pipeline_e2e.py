@@ -138,6 +138,12 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     # duration sums and cache gauges are recorded in the manifests
     assert agg_fresh["js"]["symbolication_duration"] > 0
     assert agg_fresh["js"]["sourcemap_cache_size"] > 0
+    # duration histogram conservation: bucket counts partition the rows
+    for sink, counters in agg_fresh.items():
+        hist_total = sum(
+            counters[k] for k in ("dur_le_100us", "dur_le_1ms", "dur_le_10ms", "dur_gt_10ms")
+        )
+        assert hist_total == counters["rows"], sink
     assert sum(v["rows"] for v in agg_resumed.values()) == N_ROWS
     # content hash equality: resumed run output == fresh run output
     for sink in agg_fresh:
