@@ -108,8 +108,10 @@ def sym_checkpointed_agg(sf_dir: str):
 
     from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import run_checkpointed
 
+    # tag includes a summary-schema version so stale /tmp manifests from
+    # an older schema never mix with fresh ones
     corpus = _sym_corpus(sf_dir)
-    tag = hashlib.md5(corpus.encode()).hexdigest()[:10]
+    tag = hashlib.md5((corpus + "|summary-v2").encode()).hexdigest()[:10]
     out_dir = f"/tmp/ocsr_ckpt/{tag}"
     totals = run_checkpointed(corpus, out_dir, _sym_cfg(corpus), shard_size=2)
     rows = [
