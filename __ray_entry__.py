@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_sample": lambda sf: analytics.label_stratified_sample(sf),
         "lineitem_pricing": lambda sf: analytics.lineitem_pricing_summary(sf),
         "top_customers": lambda sf: analytics.top_customers(sf),
+        "label_text_stats": lambda sf: analytics.label_text_stats(sf),
+        "events_top_per_user": lambda sf: analytics.top_events_per_user(sf),
     }
 
 
@@ -392,6 +394,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "label_text_stats": """
+            SELECT e.label, count(*)::BIGINT AS n_docs,
+                   SUM(len(string_split(d.text, ' ')))::BIGINT AS total_words
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY e.label ORDER BY e.label
+        """,
+        "events_top_per_user": """
+            WITH ranked AS (
+              SELECT user_id, event_type, ts, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, epoch_us(ts), event_type
+                     ) AS rk
+              FROM events
+            )
+            SELECT user_id, rk AS rank, event_type,
+                   CAST(ROUND(value, 2) * 100 AS BIGINT) AS value_cents
+            FROM ranked WHERE rk <= 2 ORDER BY user_id, rank
         """,
         "top_customers": """
             SELECT c_custkey, c_name,

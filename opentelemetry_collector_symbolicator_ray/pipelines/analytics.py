@@ -192,3 +192,76 @@ def label_stratified_sample(sf_dir: str, per_label: int = 5) -> pa.Table:
             "vec_id": pa.array([int(r["vec_id"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def label_text_stats(sf_dir: str, num_partitions: int = 8) -> pa.Table:
+    """Distributed hash join of two big tables (``Dataset.join``):
+    documents x embeddings on doc_id == vec_id, then a per-label
+    aggregate.  The text column is projected down to its word count
+    BEFORE the join, so the join shuffle moves two ints per row instead
+    of the document body — the projection-before-shuffle rule."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        n_words = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pc.cast(n_words, pa.int64()),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    joined = docs.map_batches(to_counts, batch_format="pyarrow").join(
+        emb, join_type="inner", num_partitions=num_partitions, on=("doc_id",), right_on=("vec_id",)
+    )
+    agg = joined.groupby("label").aggregate(
+        Count(alias_name="n_docs"), Sum("n_words", alias_name="total_words")
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["label"])
+    return pa.table(
+        {
+            "label": pa.array([int(r["label"]) for r in rows], type=pa.int32()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+            "total_words": pa.array([int(r["total_words"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def top_events_per_user(sf_dir: str, k: int = 2) -> pa.Table:
+    """Per-key top-k (the grouped-reorder primitive): each user's k
+    highest-value events via ``groupby(user).map_groups`` with the
+    deterministic (value desc, ts, event_type) ordering the SQL oracle
+    uses."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        us = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_pylist()
+        order = sorted(range(len(vals)), key=lambda i: (-vals[i], us[i], types[i]))[:k]
+        user = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([int(user)] * len(order), type=pa.int64()),
+                "rank": pa.array(list(range(1, len(order) + 1)), type=pa.int64()),
+                "event_type": pa.array([types[i] for i in order], type=pa.string()),
+                "value_cents": pa.array(
+                    [int(round(round(float(vals[i]), 2) * 100)) for i in order],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(topk, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: (r["user_id"], r["rank"]))
+    return pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+            "value_cents": pa.array([r["value_cents"] for r in rows], type=pa.int64()),
+        }
+    )
