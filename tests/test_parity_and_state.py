@@ -158,3 +158,4 @@ def test_timeout_produces_fetch_error_texts(tmp_path):
     ds = DsymSymbolicator(DsymStore(str(tmp_path)), timeout=0.0)
     with pytest.raises(DsymFetchError, match="failed to fetch dSYM for AAAABBBB-1111-2222-3333-444455556666: timeout"):
         ds.symbolicate_frame("AAAABBBB-1111-2222-3333-444455556666", "Bin", 100436)
+

@@ -337,3 +337,54 @@ def test_empty_batch_handling():
     out = chain(empty)
     assert out.num_rows == 0
     assert out.schema.equals(OUTPUT_SCHEMA)
+
+
+def test_pipeline_step_registry(ray_session, corpus):
+    """SURVEY §2.11: config-driven pipeline composition by step NAME
+    reproduces the hand-built flagship pipeline exactly; unknown steps
+    fail with the available set; custom steps plug in."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.registry import (
+        available_steps,
+        build_pipeline,
+        register_step,
+    )
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        drop_telemetry,
+        input_files,
+        per_sink_aggregates,
+        symbolicate,
+    )
+
+    cfg = make_cfg(corpus)
+    spec = [
+        {"step": "read_parquet", "input_dir": corpus},
+        {"step": "salted_repartition"},
+        {"step": "symbolicate"},
+    ]
+    composed = per_sink_aggregates(build_pipeline(spec, cfg)).to_pylist()
+    direct = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), cfg, salted=True)
+    ).to_pylist()
+    assert drop_telemetry(composed) == drop_telemetry(direct)
+
+    with pytest.raises(ValueError, match="unknown pipeline step: 'nope'"):
+        build_pipeline([{"step": "nope"}], cfg)
+    assert "symbolicate" in available_steps()
+
+    # third-party step registration (the distro-extension seam)
+    @register_step("drop_unsymbolicated")
+    def _drop(ds, cfg):
+        import pyarrow.compute as pc
+
+        return ds.filter(expr="sink != 'unsymbolicated'")
+
+    spec2 = spec + [{"step": "drop_unsymbolicated"}]
+    filtered = per_sink_aggregates(build_pipeline(spec2, cfg)).to_pylist()
+    assert all(r["sink"] != "unsymbolicated" for r in filtered)
+    total_kept = sum(r["rows"] for r in filtered)
+    total_all = sum(r["rows"] for r in composed)
+    assert 0 < total_kept < total_all
