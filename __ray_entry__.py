@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_phash": lambda sf: multimodal.image_phash(sf),
         "media_phash_dupes": lambda sf: multimodal.image_phash_dupes(sf),
         "media_scene_changes": lambda sf: multimodal.video_scene_changes(sf),
+        "media_audio_fp_dupes": lambda sf: multimodal.audio_fingerprint_dupes(sf),
         "emb_quantized": lambda sf: similarity.quantize_embeddings(sf),
         # --- wide-operator demonstrations (groupby / join / top-k) ---
         "events_by_type": lambda sf: analytics.events_by_type(sf),

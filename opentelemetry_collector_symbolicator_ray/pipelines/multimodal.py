@@ -41,6 +41,15 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _audio_parts(seed: int, i: int) -> tuple[int, int, np.ndarray]:
+    rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
+    # consume the same rng draws the image branch would NOT -- audio uses
+    # its own rng stream keyed by its own index, so dups reproduce exactly
+    sr, n = 16000, int(rng.randint(256, 4096))
+    body = rng.randint(-128, 128, size=n, dtype=np.int32).astype(np.int8)
+    return sr, n, body
+
+
 def _image_parts(seed: int, i: int) -> tuple[int, int, np.ndarray]:
     rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
     w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
@@ -57,8 +66,10 @@ def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> 
     noise) — so phash distance 0 and small-but-nonzero both occur.
     Generator v3 makes videos scene-structured (1-3 scenes, each a base
     frame plus small per-frame noise) so scene-change detection has real
-    cuts to find."""
-    marker = os.path.join(out_dir, f".complete-v3-{rows}-{seed}")
+    cuts to find.  Generator v4 plants audio duplicates (every 8th audio
+    clip an exact copy of the previous one, the next a near copy with
+    low-amplitude noise) for the audio-fingerprint dedup operator."""
+    marker = os.path.join(out_dir, f".complete-v4-{rows}-{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -87,8 +98,17 @@ def synth_media(out_dir: str, rows: int, seed: int = 42, num_files: int = 4) -> 
                     w, h, body = _image_parts(seed, i)
                 payload = b"IMG1" + struct.pack("<HH", w, h) + body.tobytes()
             elif kind == "audio":
-                sr, n = 16000, int(rng.randint(256, 4096))
-                body = rng.randint(-128, 128, size=n, dtype=np.int32).astype(np.int8)
+                aud_idx = i // 3
+                if aud_idx % 8 == 5 and i >= 3:
+                    sr, n, body = _audio_parts(seed, i - 3)  # exact duplicate
+                elif aud_idx % 8 == 6 and i >= 6:
+                    # near duplicate: +-2 amplitude dither on every 5th
+                    # sample -- envelope shape (and its fingerprint) survive
+                    sr, n, body = _audio_parts(seed, i - 6)
+                    body = body.copy()
+                    body[::5] = np.clip(body[::5].astype(np.int32) + 2, -128, 127).astype(np.int8)
+                else:
+                    sr, n, body = _audio_parts(seed, i)
                 payload = b"AUD1" + struct.pack("<II", sr, n) + body.tobytes()
             else:
                 w, h, f = 16, 16, int(rng.randint(4, 24))
@@ -421,20 +441,21 @@ def image_phash(sf_dir: str) -> "ray.data.Dataset":
     ).sort("media_id")
 
 
-def image_phash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
-    """Perceptual near-duplicate image pairs — the multimodal analogue
-    of MinHash-LSH dedup: 64-bit dHash -> 4 bands of 16 bits ->
+def banded_hamming_dupes(
+    ds: "ray.data.Dataset", id_col: str, hash_col: str, max_dist: int = 6
+) -> pa.Table:
+    """Near-duplicate pairs over any 64-bit fingerprint column — the
+    multimodal analogue of MinHash-LSH dedup: 4 bands of 16 bits ->
     ``groupby(band)`` shuffle -> in-bucket Hamming verification (<=
     ``max_dist``), pair set deduped on the driver.  A near-dup pair must
     agree on >=1 whole band (holds up to ~6 flipped bits in 3 bands
     worst case; exact dups always collide in all 4)."""
-
-    ph = image_phash(sf_dir)
+    ph = ds
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, keys, hashes = [], [], []
         for media_id, h in zip(
-            batch.column("media_id").to_pylist(), batch.column("phash").to_pylist()
+            batch.column(id_col).to_pylist(), batch.column(hash_col).to_pylist()
         ):
             u = h & ((1 << 64) - 1)
             for band in range(4):
@@ -446,13 +467,13 @@ def image_phash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
             {
                 "media_id": pa.array(ids, type=pa.string()),
                 "band_key": pa.array(keys, type=pa.int64()),
-                "phash": pa.array(hashes, type=pa.int64()),
+                "hash64": pa.array(hashes, type=pa.int64()),
             }
         )
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group.column("media_id").to_pylist()
-        hs = group.column("phash").to_pylist()
+        hs = group.column("hash64").to_pylist()
         order = np.argsort(ids)
         ids = [ids[i] for i in order]
         hs = [hs[i] for i in order]
@@ -488,6 +509,12 @@ def image_phash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
             "dist": pa.array([r[2] for r in uniq], type=pa.int64()),
         }
     )
+
+
+def image_phash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
+    """Perceptual near-duplicate image pairs via banded_hamming_dupes
+    over the dHash table."""
+    return banded_hamming_dupes(image_phash(sf_dir), "media_id", "phash", max_dist)
 
 
 def _sf(sf_dir: str) -> float:
@@ -549,3 +576,57 @@ def video_scene_changes(sf_dir: str, threshold: float = 1.5) -> "ray.data.Datase
         batch_size=64,
         batch_format="pyarrow",
     ).sort(["media_id", "frame_index"])
+
+
+class AudioFingerprintStage(MediaDecoder):
+    """64-bit audio envelope fingerprint: |samples| -> 65 equal energy
+    windows -> adjacent-window energy comparisons (the dHash idea on the
+    time axis).  Robust to low-amplitude dither; vectorized numpy."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for media_id, kind, payload, codec in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("codec").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            d = self.decode(payload, codec)
+            x = np.abs(d["samples"].astype(np.int32))
+            # 65 windows via cumulative-sum edges (handles n % 65 != 0)
+            edges = (np.arange(66) * len(x)) // 65
+            csum = np.concatenate([[0], np.cumsum(x)])
+            energy = (csum[edges[1:]] - csum[edges[:-1]]) / np.maximum(
+                edges[1:] - edges[:-1], 1
+            )
+            bits = energy[1:] > energy[:-1]  # 64 comparisons
+            val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            if val >= 1 << 63:
+                val -= 1 << 64
+            ids.append(media_id)
+            hashes.append(val)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "afp": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def audio_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """(media_id, afp) fingerprint table for all audio clips."""
+    from .symbolicate import input_files
+
+    sf = _sf(sf_dir)
+    ds = ray.data.read_parquet(input_files(_media_dir(sf)))
+    return ds.map_batches(
+        AudioFingerprintStage, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    ).sort("media_id")
+
+
+def audio_fingerprint_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
+    """Near-duplicate audio pairs via the same banded-LSH Hamming
+    verification as image dedup — dedup across all three modalities."""
+    return banded_hamming_dupes(audio_fingerprint(sf_dir), "media_id", "afp", max_dist)

@@ -153,10 +153,14 @@ def write_otlp_jsonl(corpus_dir: str, out_dir: str) -> int:
     return n
 
 
-def read_otlp_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
+def read_otlp_jsonl(paths: str | list[str], *, skip_bad_lines: bool = False) -> "ray.data.Dataset":
     """Stream OTLP/JSONL export requests into the canonical token-row
     schema (doc_id synthesized from content hash — OTLP has no row ids;
-    aggregates and routing are id-independent)."""
+    aggregates and routing are id-independent).
+
+    Malformed lines fail the read task loudly by default;
+    ``skip_bad_lines=True`` quarantines them instead (dropped with a
+    count in the task log) — the dead-letter pattern for dirty feeds."""
     import zlib
 
     ds = ray.data.read_text(paths)
@@ -164,13 +168,23 @@ def read_otlp_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
     def to_rows(batch: pa.Table) -> pa.Table:
         records: list[dict] = []
         doc_ids: list[str] = []
+        dropped = 0
         for line in batch.column("text").to_pylist():
             if not line.strip():
                 continue
-            for record in otlp_to_records(json.loads(line)):
+            try:
+                req = json.loads(line)
+            except ValueError:
+                if skip_bad_lines:
+                    dropped += 1
+                    continue
+                raise
+            for record in otlp_to_records(req):
                 records.append(record)
                 digest = zlib.crc32(json.dumps(record, sort_keys=True).encode())
                 doc_ids.append(f"otlp-{digest:08x}-{len(doc_ids)}")
+        if dropped:
+            print(f"read_otlp_jsonl: quarantined {dropped} malformed line(s)")
         tokens, n_tok = encode_batch_records(records)
         return pa.table(
             {

@@ -170,3 +170,20 @@ def test_embedding_quantization_roundtrip(ray_session):
         cos = float(rec @ o / (np.linalg.norm(rec) * np.linalg.norm(o)))
         assert cos > 0.999
         assert 0 <= r["rmse"] < 0.01
+
+
+def test_audio_fingerprint_dupes(ray_session):
+    """Envelope-hash dedup finds the planted exact and dithered audio
+    duplicates across the banded-LSH path shared with image dedup."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_dupes,
+    )
+
+    fps = audio_fingerprint("/root/testdata/sf0.001").take_all()
+    assert len(fps) >= 40
+    pairs = audio_fingerprint_dupes("/root/testdata/sf0.001").to_pylist()
+    assert len(pairs) > 0
+    assert all(0 <= r["dist"] <= 6 for r in pairs)
+    assert all(r["media_a"] < r["media_b"] for r in pairs)
+    assert pairs == audio_fingerprint_dupes("/root/testdata/sf0.001").to_pylist()

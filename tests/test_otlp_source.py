@@ -56,3 +56,27 @@ def test_otlp_source_pipeline_parity(ray_session, tmp_path):
     )
     b = per_sink_aggregates(symbolicate(read_otlp_jsonl(files), cfg)).to_pylist()
     assert drop_telemetry(a) == drop_telemetry(b)
+
+
+def test_skip_bad_lines_quarantine(ray_session, tmp_path):
+    """skip_bad_lines=True drops malformed lines instead of failing the
+    read; default stays fail-loud."""
+    import json
+
+    import pytest
+    import ray
+
+    p = str(tmp_path / "dirty.jsonl")
+    rec = {
+        "event_name": "e",
+        "attributes": {},
+        "resource_attributes": {"telemetry.sdk.language": "webjs"},
+    }
+    with open(p, "w") as f:
+        f.write(json.dumps(record_to_otlp(rec)) + "\n")
+        f.write("{broken\n")
+        f.write(json.dumps(record_to_otlp(rec)) + "\n")
+
+    assert read_otlp_jsonl([p], skip_bad_lines=True).count() == 2
+    with pytest.raises(ray.exceptions.RayTaskError):
+        read_otlp_jsonl([p]).count()
