@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--concurrency", type=int, default=None)
     p_run.add_argument("--batch-size", type=int, default=2048)
     p_run.add_argument("--salted", action="store_true", help="salted debug-id repartition")
+    p_run.add_argument(
+        "--skip-failed-shards",
+        action="store_true",
+        help="record failing shards in the manifest and continue (resume retries them)",
+    )
 
     p_agg = sub.add_parser("aggregates", help="print per-sink totals from committed manifests")
     p_agg.add_argument("--output", required=True)
@@ -71,7 +76,12 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size,
         )
         totals = run_checkpointed(
-            args.input, args.output, cfg, shard_size=args.shard_size, salted=args.salted
+            args.input,
+            args.output,
+            cfg,
+            shard_size=args.shard_size,
+            salted=args.salted,
+            skip_failed_shards=args.skip_failed_shards,
         )
         print(json.dumps(totals, sort_keys=True))
         return 0

@@ -267,9 +267,17 @@ def run_checkpointed(
     shard_size: int = 4,
     salted: bool = False,
     max_shards: int | None = None,
+    skip_failed_shards: bool = False,
 ) -> dict:
     """Process all pending shards; returns per-sink aggregate totals
-    derived from committed manifests (resume-safe)."""
+    derived from committed manifests (resume-safe).
+
+    ``skip_failed_shards=True`` is the 100 TB resilience mode: a shard
+    that raises (corrupt input file, poisoned payload) is recorded in
+    ``manifest/failed-<sid>.json`` with its error and the run CONTINUES
+    with the remaining shards.  Failed shards stay uncommitted, so a
+    resume (after fixing the input) retries exactly them; committing a
+    later run clears the failure note.  Default stays fail-loud."""
     from ..state.checkpoint import ShardManifest
 
     files = input_files(input_dir)
@@ -279,15 +287,24 @@ def run_checkpointed(
     processed = 0
     for sid, shard_files in enumerate(shards):
         if manifest.is_committed(sid):
+            manifest.clear_failure(sid)
             continue
         if max_shards is not None and processed >= max_shards:
             break
         manifest.clean_orphan_outputs(sid)
 
-        ds = ray.data.read_parquet(shard_files)
-        summaries = symbolicate_and_write(
-            ds, cfg, output_dir, f"{sid:05d}", salted=salted
-        ).take_all()
+        try:
+            ds = ray.data.read_parquet(shard_files)
+            summaries = symbolicate_and_write(
+                ds, cfg, output_dir, f"{sid:05d}", salted=salted
+            ).take_all()
+        except Exception as exc:
+            if not skip_failed_shards:
+                raise
+            manifest.record_failure(sid, shard_files, f"{type(exc).__name__}: {exc}")
+            manifest.clean_orphan_outputs(sid)
+            continue
+        manifest.clear_failure(sid)
 
         from ..stages.symbolicate_stage import GAUGE_KEYS
 

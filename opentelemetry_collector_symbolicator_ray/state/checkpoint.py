@@ -45,6 +45,29 @@ class ShardManifest:
             out.append(int(name[len("shard-"): -len(".json")]))
         return sorted(out)
 
+    def record_failure(self, sid: int, input_files: list[str], error: str) -> None:
+        """Note a shard that raised (skip_failed_shards mode): written
+        atomically next to the manifests; the shard itself stays
+        UNCOMMITTED so a resume retries it."""
+        path = os.path.join(self.manifest_dir, f"failed-{sid:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"shard": sid, "input_files": input_files, "error": error}, f)
+        os.replace(tmp, path)
+
+    def clear_failure(self, sid: int) -> None:
+        path = os.path.join(self.manifest_dir, f"failed-{sid:05d}.json")
+        if os.path.exists(path):
+            os.remove(path)
+
+    def failed_shards(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        for path in glob.glob(os.path.join(self.manifest_dir, "failed-*.json")):
+            with open(path) as f:
+                entry = json.load(f)
+            out[int(entry["shard"])] = entry
+        return out
+
     def clean_orphan_outputs(self, sid: int) -> int:
         """Delete part files of an uncommitted (crashed) shard."""
         removed = 0

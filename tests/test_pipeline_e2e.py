@@ -388,3 +388,47 @@ def test_pipeline_step_registry(ray_session, corpus):
     total_kept = sum(r["rows"] for r in filtered)
     total_all = sum(r["rows"] for r in composed)
     assert 0 < total_kept < total_all
+
+
+def test_skip_failed_shards_resilience(ray_session, tmp_path):
+    """A corrupt input file fails its shard only: with
+    skip_failed_shards=True the run completes the healthy shards,
+    records the failure, and a resume after repair processes exactly
+    the failed shard — final aggregates equal an all-healthy run."""
+    import shutil
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import drop_telemetry
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 300, num_files=4, seed=31)
+    cfg = make_cfg(corpus)
+
+    # reference run on the healthy corpus
+    ref = run_checkpointed(corpus, str(tmp_path / "ref"), cfg, shard_size=1)
+
+    # corrupt ONE input file (keep a backup)
+    victim = input_files(corpus)[1]
+    shutil.copy(victim, victim + ".bak")
+    with open(victim, "wb") as f:
+        f.write(b"this is not parquet")
+
+    out = str(tmp_path / "out")
+    partial = run_checkpointed(corpus, out, cfg, shard_size=1, skip_failed_shards=True)
+    mf = ShardManifest(out)
+    assert set(mf.failed_shards()) == {1}
+    assert "error" in mf.failed_shards()[1]
+    assert set(mf.committed_shards()) == {0, 2, 3}
+    assert sum(v["rows"] for v in partial.values()) < 300
+
+    # fail-loud default still raises on the corrupt shard
+    import pytest
+
+    with pytest.raises(Exception):
+        run_checkpointed(corpus, str(tmp_path / "loud"), cfg, shard_size=1)
+
+    # repair + resume: only shard 1 runs; failure note cleared; equal totals
+    shutil.move(victim + ".bak", victim)
+    healed = run_checkpointed(corpus, out, cfg, shard_size=1, skip_failed_shards=True)
+    assert mf.failed_shards() == {}
+    assert set(mf.committed_shards()) == {0, 1, 2, 3}
+    assert drop_telemetry(healed) == drop_telemetry(ref)
