@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": lambda sf: text.fingerprints(sf),
         "docs_lang_id": lambda sf: text.language_id(sf),
         "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
+        "docs_profile": lambda sf: text.document_profile(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
@@ -246,6 +247,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_profile": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS avg_word_len,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
         "docs_hash_sample": """

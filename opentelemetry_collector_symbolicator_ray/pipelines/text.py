@@ -360,3 +360,37 @@ def tfidf_top_term(sf_dir: str) -> pa.Table:
             "top_term": pa.array([r["top_term"] for r in out], type=pa.string()),
         }
     )
+
+
+def document_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Fused single-pass profile: token counts + quality metrics +
+    fingerprint computed in ONE ``map_batches`` over ONE read — the
+    operator-fusion pattern for 100 TB (four separate ops would scan the
+    corpus four times; chained profiles scan once).  Kernels shared
+    verbatim with token_counts / quality_scores / fingerprints, so the
+    SQL oracle is their column union."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        words = pc.split_pattern(text, " ")
+        n_words = pc.cast(pc.list_value_length(words), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_alpha = pc.utf8_length(pc.replace_substring(text, " ", ""))
+        avg_word_len = pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(n_words, pa.float64()))
+        n_tokens = [len(_TOKEN_RE.findall(t)) for t in text.to_pylist()]
+        fps = [
+            hashlib.md5(re.sub(r"\s+", " ", t.lower()).encode()).hexdigest()
+            for t in text.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": n_words,
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "n_chars": n_chars,
+                "avg_word_len": avg_word_len,
+                "fingerprint": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
