@@ -39,14 +39,16 @@ class ArtifactCacheCoordinator:
     # the symbolizer pool has every CPU slot — it only coordinates.
     """Async actor: byte-LRU of fetched artifacts + single-flight gate."""
 
-    def __init__(self, max_bytes: int = 256 * 1024 * 1024) -> None:
+    def __init__(self, max_bytes: int = 256 * 1024 * 1024, leader_timeout: float = 30.0) -> None:
         self.max_bytes = max_bytes
+        self.leader_timeout = leader_timeout
         self.cache: OrderedDict[str, bytes] = OrderedDict()
         self.cached_bytes = 0
         self.inflight: dict[str, asyncio.Event] = {}
         self.backend_fetches = 0
         self.hits = 0
         self.waits = 0
+        self.leader_timeouts = 0
 
     async def begin(self, key: str) -> bytes | bool:
         """Returns cached bytes on hit, or ``True`` if the caller became
@@ -54,7 +56,12 @@ class ArtifactCacheCoordinator:
         successful fill serves them from cache; a failed fill (no cache
         entry) elects the next caller as leader, so every caller either
         gets bytes or raises its OWN store error — fetch-error semantics
-        are identical to the unshared path."""
+        are identical to the unshared path.
+
+        Liveness under leader DEATH (actor killed mid-fetch, so ``fill``
+        never runs): followers wait at most ``leader_timeout`` seconds,
+        then depose the stale in-flight entry and re-elect — no key can
+        wedge the pool permanently."""
         while True:
             if key in self.cache:
                 self.cache.move_to_end(key)
@@ -66,9 +73,16 @@ class ArtifactCacheCoordinator:
                 self.backend_fetches += 1
                 return True
             self.waits += 1
-            await ev.wait()
-            # leader finished: loop re-checks the cache (leader failure
-            # leaves no entry -> next iteration elects a new leader)
+            try:
+                await asyncio.wait_for(asyncio.shield(ev.wait()), self.leader_timeout)
+            except asyncio.TimeoutError:
+                # leader presumed dead: depose it (only if the SAME
+                # event is still registered; a new leader keeps its slot)
+                if self.inflight.get(key) is ev:
+                    del self.inflight[key]
+                    self.leader_timeouts += 1
+            # loop re-checks the cache (leader failure leaves no entry
+            # -> next iteration elects a new leader)
 
     async def fill(self, key: str, data: bytes | None) -> None:
         """Leader completion: publish bytes (or ``None`` on fetch
@@ -90,6 +104,7 @@ class ArtifactCacheCoordinator:
             "backend_fetches": self.backend_fetches,
             "hits": self.hits,
             "waits": self.waits,
+            "leader_timeouts": self.leader_timeouts,
         }
 
 

@@ -107,3 +107,29 @@ def test_pipeline_parity_with_shared_cache(ray_session, tmp_path):
         symbolicate(ray.data.read_parquet(input_files(corpus)), shared_cfg)
     ).to_pylist()
     assert drop_telemetry(a) == drop_telemetry(b)
+
+
+def test_leader_death_recovery(ray_session):
+    """A leader that dies without filling (killed actor) cannot wedge
+    the key: followers time out, depose the stale in-flight entry, and
+    re-elect — the fetch completes."""
+    from opentelemetry_collector_symbolicator_ray.state.artifact_cache import (
+        ArtifactCacheCoordinator,
+        single_flight_fetch,
+    )
+
+    coord = ArtifactCacheCoordinator.options(name="test_sf_dead").remote(
+        leader_timeout=1.0
+    )
+    # simulate a dead leader: claim leadership, never fill
+    assert ray.get(coord.begin.remote("wedged-key")) is True
+
+    fetch = single_flight_fetch(lambda k: b"recovered", coord)
+    t0 = time.monotonic()
+    assert fetch("wedged-key") == b"recovered"
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.9  # waited out the dead leader once
+    stats = ray.get(coord.stats.remote())
+    assert stats["leader_timeouts"] >= 1
+    # and the key is now served from cache instantly
+    assert fetch("wedged-key") == b"recovered"
