@@ -187,7 +187,7 @@ def hash_sample(sf_dir: str, threshold_hex: str = "33") -> "ray.data.Dataset":
             hashlib.md5(t.encode()).hexdigest()[:2] < threshold_hex
             for t in batch.column("text").to_pylist()
         ]
-        return batch.filter(pa.array(keep)).select(["doc_id"])
+        return batch.filter(pa.array(keep, type=pa.bool_())).select(["doc_id"])
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
