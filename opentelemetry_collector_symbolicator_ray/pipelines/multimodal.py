@@ -41,6 +41,38 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# Fixed output schemas so kind-filtered stages emit SCHEMA'D empty
+# tables when a batch contains none of their kind (a schema-less empty
+# block breaks downstream sorts/unions).
+STATS_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("dims", pa.string()),
+        ("n_items", pa.int64()),
+        ("payload_bytes", pa.int64()),
+        ("mean_value", pa.float64()),
+    ]
+)
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("n_samples", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("rms_mean", pa.float64()),
+        ("zero_crossings", pa.int64()),
+    ]
+)
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("frame_index", pa.int64()),
+        ("frame_sha1", pa.string()),
+        ("frame_mean", pa.float64()),
+    ]
+)
+
+
 def _audio_parts(seed: int, i: int) -> tuple[int, int, np.ndarray]:
     rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
     # consume the same rng draws the image branch would NOT -- audio uses
@@ -227,7 +259,7 @@ class MediaStatsStage(MediaDecoder):
                     "mean_value": round(mean, 6),
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=STATS_SCHEMA)
 
 
 class ImageResizeStage(MediaDecoder):
@@ -349,7 +381,7 @@ class AudioFeatureStage(MediaDecoder):
                     "zero_crossings": int(zc.sum()),
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA)
 
 
 class VideoFrameSampleStage(MediaDecoder):
@@ -381,7 +413,7 @@ class VideoFrameSampleStage(MediaDecoder):
                         "frame_mean": round(float(frame.mean()), 6),
                     }
                 )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
 
 
 def _media_dir(sf: float, seed: int = 42) -> str:
