@@ -18,6 +18,9 @@ FILES = 8
 
 
 def run_cli(*args, **kw):
+    # hard timeout: under heavy VM contention a child Ray instance can
+    # crawl indefinitely; fail loudly rather than wedge the suite
+    kw.setdefault("timeout", 400)
     return subprocess.run(
         [sys.executable, "-m", "opentelemetry_collector_symbolicator_ray", *args],
         capture_output=True,
