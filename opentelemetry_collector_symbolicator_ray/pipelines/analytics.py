@@ -91,23 +91,31 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
 
 def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
     """Broadcast join (orders -> customer) + groupby + top-k: the small
-    customer side is ray.put once and read per task, never re-shipped
-    per batch; orders stream through map_batches."""
+    customer side is ray.put once (as an Arrow table) and read per task,
+    never re-shipped per batch; orders stream through map_batches and
+    join each batch with the vectorized ``pa.Table.join`` hash-join
+    kernel — no per-row Python lookup."""
     customers = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).take_all()
-    name_by_key = {r["c_custkey"]: r["c_name"] for r in customers}
-    lookup_ref = ray.put(name_by_key)
+    lookup_tbl = pa.table(
+        {
+            "c_custkey": pa.array([r["c_custkey"] for r in customers], type=pa.int64()),
+            "c_name": pa.array([r["c_name"] for r in customers], type=pa.string()),
+        }
+    )
+    lookup_ref = ray.put(lookup_tbl)
 
     def join(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        keys = batch.column("o_custkey").to_pylist()
-        names = [lookup.get(k, "") for k in keys]
+        joined = batch.join(
+            lookup, keys="o_custkey", right_keys="c_custkey", join_type="left outer"
+        )
         return pa.table(
             {
-                "c_custkey": pa.array(keys, type=pa.int64()),
-                "c_name": pa.array(names, type=pa.string()),
-                "o_totalprice": batch.column("o_totalprice"),
+                "c_custkey": pc.cast(joined.column("o_custkey"), pa.int64()),
+                "c_name": pc.fill_null(joined.column("c_name"), ""),
+                "o_totalprice": joined.column("o_totalprice"),
             }
         )
 

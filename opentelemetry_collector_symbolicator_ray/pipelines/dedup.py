@@ -131,13 +131,31 @@ def _block_pair_jaccard(ta: pa.Table, tb: pa.Table, threshold: float, chunk: int
     return out
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+def _guard_block_pair_fanout(op: str, n_blocks: int, max_blocks: int, scale_alt: str) -> None:
+    """No-silent-caps guard for exact all-pairs operators: log the task
+    fan-out, and refuse outright when the O(B^2/2) block-pair task count
+    would explode (e.g. 4096 blocks -> 8.4M tasks) — pointing at the
+    sub-quadratic scale path instead."""
+    n_tasks = n_blocks * (n_blocks + 1) // 2
+    print(f"{op}: {n_blocks} blocks -> {n_tasks} block-pair tasks")
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"{op}: {n_blocks} input blocks would fan out to {n_tasks} "
+            f"block-pair tasks (exact all-pairs is O(n^2)); this operator is "
+            f"the small-scale oracle counterpart — use {scale_alt} at this "
+            f"scale, or raise max_blocks (currently {max_blocks}) explicitly."
+        )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, max_blocks: int = 128) -> pa.Table:
     """Exact word-set Jaccard pairs >= threshold (doc_a < doc_b) — the
     exact counterpart the SQL oracle verifies.  Distributed shape: the
     word-hash Dataset's own Arrow block refs fan out to O(B^2/2)
     block-pair tasks; no driver-side corpus materialization.  (Exact
-    all-pairs is O(n^2) by definition — use minhash_lsh_dedup at scale.)"""
+    all-pairs is O(n^2) by definition — above ``max_blocks`` input
+    blocks the guard refuses and points at minhash_lsh_dedup.)"""
     refs = _word_hash_rows(sf_dir).to_arrow_refs()
+    _guard_block_pair_fanout("ngram_jaccard_pairs", len(refs), max_blocks, "minhash_lsh_dedup")
     tasks = []
     for i in range(len(refs)):
         for j in range(i, len(refs)):
@@ -174,13 +192,18 @@ def _shingle_hashes(text: str, k: int = 2) -> np.ndarray:
 
 def _shingle_rows(sf_dir: str, k: int) -> "ray.data.Dataset":
     """(doc_id, shingles) rows: per-doc k-shingle crc32 set as a binary
-    blob of sorted little-endian int64s (binary, not list<int64>, so the
-    column survives Arrow hash joins as a payload field; np.frombuffer
-    restores the array zero-copy)."""
+    blob of sorted UNIQUE little-endian int64s (binary, not list<int64>,
+    so the column survives Arrow hash joins as a payload field;
+    np.frombuffer restores the array zero-copy).  np.unique (not just
+    sort) matters: crc32 is 32-bit, so two distinct shingles in one doc
+    can hash-collide, and downstream exact-Jaccard verification uses
+    ``np.intersect1d(..., assume_unique=True)`` whose contract duplicate
+    values would violate.  MinHash semantics are unchanged (min over a
+    set ignores duplicates)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         blobs = [
-            np.sort(_shingle_hashes(t, k).astype(np.int64)).astype("<i8").tobytes()
+            np.unique(_shingle_hashes(t, k).astype(np.int64)).astype("<i8").tobytes()
             for t in batch.column("text").to_pylist()
         ]
         return pa.table(
@@ -376,15 +399,19 @@ def _block_pair_cosine(ta: pa.Table, tb: pa.Table, threshold: float) -> list:
     return list(zip(lo.tolist(), hi.tolist()))
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.85) -> pa.Table:
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.85, max_blocks: int = 128) -> pa.Table:
     """Embedding-cosine near-dup pairs via blocked brute force: the
     Dataset's own Arrow block refs fan out to block-pair Ray tasks —
     the driver never ray.gets a block, only the (tiny) matching pairs.
-    (Exact all-pairs is the oracle-verifiable counterpart; the ANN scale
-    path is ivf_knn.)"""
+    (Exact all-pairs is the oracle-verifiable counterpart; above
+    ``max_blocks`` input blocks the guard refuses and points at the ANN
+    scale path, ivf_knn / the persistent IVF index.)"""
     refs = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_arrow_refs()
+    _guard_block_pair_fanout(
+        "embedding_neardup_pairs", len(refs), max_blocks, "ivf_knn / ivf_build+ivf_query"
+    )
     tasks = []
     for i in range(len(refs)):
         for j in range(i, len(refs)):
@@ -407,7 +434,7 @@ def near_dedup_keep(
     bands: int = 16,
     threshold: float = 0.8,
     k: int = 2,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """End-to-end near-duplicate REMOVAL: LSH pair detection ->
     connected components over the (small) verified pair set -> keep the
     min doc_id of each component -> broadcast the dropped-id set into a
@@ -415,7 +442,9 @@ def near_dedup_keep(
 
     The union-find runs on the driver over PAIRS ONLY (pairs << corpus
     after LSH); the corpus-sized work — pair detection and the final
-    filter — is distributed.  Returns the surviving doc_ids."""
+    filter — is distributed.  Returns the surviving doc_ids as a
+    DATASET (corpus-sized: callers stream or write it, never a driver
+    table)."""
     pairs = minhash_lsh_dedup(sf_dir, num_perm=num_perm, bands=bands, threshold=threshold, k=k)
 
     parent: dict[int, int] = {}
@@ -441,10 +470,8 @@ def near_dedup_keep(
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~np.isin(ids, drop))).select(["doc_id"])
 
-    out = (
+    return (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         .map_batches(keep_filter, batch_format="pyarrow")
         .sort("doc_id")
-        .take_all()
     )
-    return pa.table({"doc_id": pa.array([r["doc_id"] for r in out], type=pa.int64())})

@@ -349,10 +349,6 @@ class ImagePhashStage(MediaDecoder):
         )
 
 
-def _hamming64(a: int, b: int) -> int:
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
-
-
 class AudioFeatureStage(MediaDecoder):
     """Frame-level energy features over int8 samples (vectorized)."""
 
@@ -473,15 +469,34 @@ def image_phash(sf_dir: str) -> "ray.data.Dataset":
     ).sort("media_id")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over an int64/uint64 array (any shape)."""
+    return _POP8[x.view(np.uint8)].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
+
+
 def banded_hamming_dupes(
-    ds: "ray.data.Dataset", id_col: str, hash_col: str, max_dist: int = 6
+    ds: "ray.data.Dataset",
+    id_col: str,
+    hash_col: str,
+    max_dist: int = 6,
+    max_bucket: int = 256,
 ) -> pa.Table:
     """Near-duplicate pairs over any 64-bit fingerprint column — the
     multimodal analogue of MinHash-LSH dedup: 4 bands of 16 bits ->
     ``groupby(band)`` shuffle -> in-bucket Hamming verification (<=
     ``max_dist``), pair set deduped on the driver.  A near-dup pair must
     agree on >=1 whole band (holds up to ~6 flipped bits in 3 bands
-    worst case; exact dups always collide in all 4)."""
+    worst case; exact dups always collide in all 4).
+
+    Degenerate buckets (> ``max_bucket`` members — e.g. thousands of
+    near-black images whose dHash band collides) verify a STAR around
+    the min id instead of the O(n^2) clique, exactly like the text LSH
+    (dedup.py star cap): every member stays linked to its keeper, so
+    dedup connectivity survives without the quadratic blowup.
+    Verification is vectorized (xor matrix + table-driven popcount)."""
     ph = ds
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -504,26 +519,32 @@ def banded_hamming_dupes(
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("media_id").to_pylist()
-        hs = group.column("hash64").to_pylist()
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        hs = [hs[i] for i in order]
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                dist = _hamming64(hs[i], hs[j])
-                if dist <= max_dist:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(dist)
+        ids_list = group.column("media_id").to_pylist()
+        order = np.argsort(ids_list)
+        ids = np.array(ids_list, dtype=object)[order]
+        h = (
+            group.column("hash64")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        if len(ids) > max_bucket:
+            # degenerate bucket: star around the keeper, O(n) not O(n^2)
+            d = _popcount64(h[0] ^ h[1:])
+            jj = np.nonzero((d <= max_dist) & (ids[1:] != ids[0]))[0]
+            a = np.full(len(jj), ids[0], dtype=object)
+            b = ids[1:][jj]
+            dist = d[jj]
+        else:
+            xor = h[:, None] ^ h[None, :]
+            d = _popcount64(xor)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = (d[iu, ju] <= max_dist) & (ids[iu] != ids[ju])
+            a, b, dist = ids[iu[keep]], ids[ju[keep]], d[iu, ju][keep]
         return pa.table(
             {
-                "media_a": pa.array(a_out, type=pa.string()),
-                "media_b": pa.array(b_out, type=pa.string()),
-                "dist": pa.array(d_out, type=pa.int64()),
+                "media_a": pa.array(list(a), type=pa.string()),
+                "media_b": pa.array(list(b), type=pa.string()),
+                "dist": pa.array(dist.tolist(), type=pa.int64()),
             }
         )
 

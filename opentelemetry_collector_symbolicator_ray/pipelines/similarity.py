@@ -110,8 +110,59 @@ def _merge_topk(partials: list[dict], k: int) -> pa.Table:
     )
 
 
+def _sample_centroids(sf_dir: str, n: int, n_cells: int) -> np.ndarray:
+    """Seeded centroid sample as a unit-normalized matrix.
+
+    Primary path assumes ``vec_id`` is the contiguous range 0..n-1
+    (true for the synth corpus): sample ids directly and fetch them with
+    one isin-pushdown read (n_cells rows).  Corpora with NON-contiguous
+    ids are detected (a sampled id is missing from the fetch) and fall
+    back to a distributed deterministic sample — per-batch partial
+    top-k of the smallest crc32-keyed ids, merged on the driver — so
+    only the id column streams and a tiny candidate set reaches the
+    driver; no positional assumption, no full materialization."""
+    import zlib
+
+    rng = np.random.RandomState(7)
+    chosen = rng.choice(n, size=min(n_cells, n), replace=False)
+    cent_ids, cent_mat = _fetch_rows(sf_dir, pads.field("vec_id").isin([int(c) for c in chosen]))
+    if len(cent_ids) == len(chosen):
+        # contiguous ids: preserve the historical rng.choice ORDER (cell
+        # indices follow it; output ranking does not)
+        order = {int(v): i for i, v in enumerate(cent_ids)}
+        return _unit(cent_mat)[[order[int(c)] for c in chosen]]
+
+    want = min(n_cells, n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "skey": pa.array([], type=pa.int64())})
+        keys = np.array([zlib.crc32(str(int(v)).encode()) for v in ids], dtype=np.int64)
+        keep = np.argsort(keys, kind="stable")[:want]
+        return pa.table({"vec_id": pa.array(ids[keep], type=pa.int64()),
+                         "skey": pa.array(keys[keep], type=pa.int64())})
+
+    cands = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    cands.sort(key=lambda r: (r["skey"], r["vec_id"]))
+    sample_ids = [int(r["vec_id"]) for r in cands[:want]]
+    cent_ids, cent_mat = _fetch_rows(sf_dir, pads.field("vec_id").isin(sample_ids))
+    order = {int(v): i for i, v in enumerate(cent_ids)}
+    return _unit(cent_mat)[[order[s] for s in sample_ids]]
+
+
 def ivf_knn(
-    sf_dir: str, num_queries: int = 5, k: int = 10, n_cells: int = 16, n_probe: int = 4
+    sf_dir: str,
+    num_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_chunk: int = 8192,
 ) -> pa.Table:
     """Distributed IVF approximate top-k — the ANN scale path.
 
@@ -135,14 +186,7 @@ def ivf_knn(
     path = f"{sf_dir}/embeddings.parquet"
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     n = ds.count()  # parquet metadata only — no scan
-
-    # vec_ids are 0..n-1, so positional sampling == id sampling; keep the
-    # rng.choice ORDER (cell indices follow it, output ranking does not).
-    rng = np.random.RandomState(7)
-    chosen = rng.choice(n, size=min(n_cells, n), replace=False)
-    cent_ids, cent_mat = _fetch_rows(sf_dir, pads.field("vec_id").isin([int(c) for c in chosen]))
-    order = {int(v): i for i, v in enumerate(cent_ids)}
-    centroids = _unit(cent_mat)[[order[int(c)] for c in chosen]]
+    centroids = _sample_centroids(sf_dir, n, n_cells)
 
     query_ids, q_mat = _fetch_rows(sf_dir, pads.field("vec_id") < num_queries)
     q_unit = _unit(q_mat)
@@ -179,15 +223,30 @@ def ivf_knn(
         if not q_idx:
             return empty
         queries = ray.get(q_ref)[q_idx]
-        ids, mat = _batch_matrix(group)
-        sims = np.round(queries @ _unit(mat).T, 6)  # (n_probing_queries, cell_size)
+        # a cell can be arbitrarily large (hot cells at 100 TB): score it
+        # in bounded sub-batches (zero-copy Arrow slices -> chunk-sized
+        # float64 matrices), keeping a per-query top-(k+1) partial across
+        # chunks — the merged partial equals the whole-cell top-(k+1)
+        cand_ids: list[list[np.ndarray]] = [[] for _ in q_idx]
+        cand_sims: list[list[np.ndarray]] = [[] for _ in q_idx]
+        for lo in range(0, group.num_rows, cell_chunk):
+            ids, mat = _batch_matrix(group.slice(lo, cell_chunk))
+            if not len(ids):
+                continue
+            sims = np.round(queries @ _unit(mat).T, 6)  # (n_queries, chunk)
+            for row in range(len(q_idx)):
+                order = np.lexsort((ids, -sims[row]))[: k + 1]
+                cand_ids[row].append(ids[order])
+                cand_sims[row].append(sims[row][order])
         out_q, out_n, out_s = [], [], []
         for row, qi in enumerate(q_idx):
-            order = np.lexsort((ids, -sims[row]))[: k + 1]
+            ids_c = np.concatenate(cand_ids[row])
+            sims_c = np.concatenate(cand_sims[row])
+            order = np.lexsort((ids_c, -sims_c))[: k + 1]
             for j in order:
                 out_q.append(int(query_ids[qi]))
-                out_n.append(int(ids[j]))
-                out_s.append(float(sims[row][j]))
+                out_n.append(int(ids_c[j]))
+                out_s.append(float(sims_c[j]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -219,11 +278,7 @@ def ivf_build(sf_dir: str, index_dir: str, n_cells: int = 16) -> dict:
     path = f"{sf_dir}/embeddings.parquet"
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     n = ds.count()
-    rng = np.random.RandomState(7)
-    chosen = rng.choice(n, size=min(n_cells, n), replace=False)
-    cent_ids, cent_mat = _fetch_rows(sf_dir, pads.field("vec_id").isin([int(c) for c in chosen]))
-    order = {int(v): i for i, v in enumerate(cent_ids)}
-    centroids = _unit(cent_mat)[[order[int(c)] for c in chosen]]
+    centroids = _sample_centroids(sf_dir, n, n_cells)
     cent_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

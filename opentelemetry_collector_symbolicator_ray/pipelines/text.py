@@ -293,14 +293,29 @@ def doc_frequency(sf_dir: str, k: int = 100) -> pa.Table:
     )
 
 
-def tfidf_top_term(sf_dir: str) -> pa.Table:
-    """Per-document top TF-IDF term — the broadcast-small-side join
-    pattern: the document-frequency table (vocab-sized, << corpus) is
-    computed with a distributed groupby, ray.put once, and read inside
-    every scoring task; ranking is (round(tf * ln(N/df), 9) desc, word
-    asc) shared verbatim with the SQL oracle.  At vocabularies too big
-    to broadcast this becomes a word-key join; the corpus-sized scan
-    stays a streaming map_batches either way."""
+def tfidf_top_term(
+    sf_dir: str,
+    mode: str = "auto",
+    vocab_threshold: int = 500_000,
+    join_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-document top TF-IDF term, scale-adaptive:
+
+    - ``broadcast`` (small vocab): the document-frequency table
+      (vocab-sized, << corpus) is computed with a distributed groupby,
+      ray.put ONCE, and read inside every scoring task;
+    - ``join`` (web-scale vocab — a DF dict would be tens of GB on the
+      driver): explode docs to (doc_id, word, tf) rows, hash-join them
+      against the distributed DF table on ``word`` (``Dataset.join``),
+      then a per-doc ``groupby("doc_id").map_groups`` argmax — the
+      vocabulary never materializes anywhere;
+    - ``auto`` picks by the measured distinct-word count vs
+      ``vocab_threshold``.
+
+    Both paths share the exact ranking (round(tf * ln(N/df), 9) desc,
+    word asc) verbatim with the SQL oracle and return a streamed
+    Dataset (doc_id, top_term) sorted by doc_id — the corpus-sized
+    result never becomes a driver table."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -320,45 +335,92 @@ def tfidf_top_term(sf_dir: str) -> pa.Table:
         )
 
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-    df_rows = (
+    n_docs = float(docs.count())
+    df_ds = (
         _read_documents(sf_dir, ["text"])
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("df", alias_name="df"))
-        .take_all()
     )
-    df = {r["word"]: int(r["df"]) for r in df_rows}
-    n_docs = float(docs.count())
-    df_ref = ray.put(df)
 
-    def score(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
-        ids, tops = [], []
+    if mode == "auto":
+        # materialize the (vocab-sized, distributed) DF table once so
+        # counting it and consuming it don't re-run the aggregate
+        df_ds = df_ds.materialize()
+        mode = "broadcast" if df_ds.count() <= vocab_threshold else "join"
+
+    if mode == "broadcast":
+        df = {r["word"]: int(r["df"]) for r in df_ds.take_all()}
+        df_ref = ray.put(df)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dfm = ray.get(df_ref)
+            ids, tops = [], []
+            for doc_id, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                tf = Counter(t.split(" "))
+                words = sorted(tf)  # asc word = deterministic tie-break
+                scores = np.round(
+                    np.array([tf[w] for w in words], dtype=np.float64)
+                    * np.log(n_docs / np.array([dfm[w] for w in words], dtype=np.float64)),
+                    9,
+                )
+                ids.append(doc_id)
+                tops.append(words[int(np.argmax(scores))])  # argmax keeps FIRST max
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "top_term": pa.array(tops, type=pa.string()),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+    if mode != "join":
+        raise ValueError(f"tfidf_top_term: unknown mode {mode!r}")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            tf = Counter(t.split(" "))
-            words = sorted(tf)  # asc word = deterministic tie-break
-            scores = np.round(
-                np.array([tf[w] for w in words], dtype=np.float64)
-                * np.log(n_docs / np.array([dfm[w] for w in words], dtype=np.float64)),
-                9,
-            )
-            ids.append(doc_id)
-            tops.append(words[int(np.argmax(scores))])  # argmax keeps FIRST max
+            for w, c in Counter(t.split(" ")).items():
+                ids.append(doc_id)
+                words.append(w)
+                tfs.append(c)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "top_term": pa.array(tops, type=pa.string()),
+                "word": pa.array(words, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
             }
         )
 
-    out = docs.map_batches(score, batch_format="pyarrow").sort("doc_id").take_all()
-    return pa.table(
-        {
-            "doc_id": pa.array([r["doc_id"] for r in out], type=pa.int64()),
-            "top_term": pa.array([r["top_term"] for r in out], type=pa.string()),
-        }
+    tf_rows = docs.map_batches(explode, batch_format="pyarrow")
+    joined = tf_rows.join(
+        df_ds, join_type="inner", num_partitions=join_partitions, on=("word",)
+    )
+
+    def pick_top(group: pa.Table) -> pa.Table:
+        words = np.array(group.column("word").to_pylist(), dtype=object)
+        order = np.argsort(words, kind="stable")  # word asc = tie-break
+        words = words[order]
+        tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        df = group.column("df").to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        scores = np.round(tf * np.log(n_docs / df), 9)
+        best = int(np.argmax(scores))  # FIRST max, same as broadcast path
+        return pa.table(
+            {
+                "doc_id": pa.array([group.column("doc_id")[0].as_py()], type=pa.int64()),
+                "top_term": pa.array([str(words[best])], type=pa.string()),
+            }
+        )
+
+    return (
+        joined.groupby("doc_id")
+        .map_groups(pick_top, batch_format="pyarrow")
+        .sort("doc_id")
     )
 
 

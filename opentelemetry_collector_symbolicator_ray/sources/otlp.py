@@ -13,9 +13,11 @@ Value encoding follows the OTLP protobuf-JSON mapping: ``stringValue`` /
 (with ``eventName``); span records (the traces pipeline) map to
 ``resourceSpans[].scopeSpans[].spans[]`` with span ``events[]``.
 
-Ray shape: ``ray.data.read_text`` streams the JSONL, a vectorized
-``map_batches`` parses + converts + re-encodes tokens per batch — the
-source scales exactly like the parquet reader (one task per block).
+Ray shape: ``ray.data.read_binary_files(include_paths=True)`` reads one
+JSONL shard-file per task (per-file line numbers feed the unique doc_id
+contract), a vectorized ``map_batches`` parses + converts + re-encodes
+tokens per batch — the source scales with the shard-file count, the
+same unit the checkpointed exporter writes.
 """
 
 from __future__ import annotations
@@ -155,34 +157,45 @@ def write_otlp_jsonl(corpus_dir: str, out_dir: str) -> int:
 
 def read_otlp_jsonl(paths: str | list[str], *, skip_bad_lines: bool = False) -> "ray.data.Dataset":
     """Stream OTLP/JSONL export requests into the canonical token-row
-    schema (doc_id synthesized from content hash — OTLP has no row ids;
-    aggregates and routing are id-independent).
+    schema.  OTLP has no row ids, so doc_id is synthesized as
+    ``otlp-<crc32(path)>-<lineno>-<recno>-<content crc32>`` — the
+    (file, line, record) coordinate makes ids GLOBALLY unique and
+    deterministic across runs even when two identical records arrive on
+    different lines (the unique-doc_id contract downstream routing salt
+    and joins rely on).  To get per-file line numbers each JSONL file is
+    one read unit (``read_binary_files``, the exporter's shard = file
+    layout), so parallelism is per shard-file — matching the
+    checkpointed writer that produced them.
 
     Malformed lines fail the read task loudly by default;
     ``skip_bad_lines=True`` quarantines them instead (dropped with a
     count in the task log) — the dead-letter pattern for dirty feeds."""
     import zlib
 
-    ds = ray.data.read_text(paths)
+    ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def to_rows(batch: pa.Table) -> pa.Table:
         records: list[dict] = []
         doc_ids: list[str] = []
         dropped = 0
-        for line in batch.column("text").to_pylist():
-            if not line.strip():
-                continue
-            try:
-                req = json.loads(line)
-            except ValueError:
-                if skip_bad_lines:
-                    dropped += 1
+        for path, blob in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            ptag = zlib.crc32(path.encode())
+            for lineno, line in enumerate(blob.decode("utf-8").splitlines()):
+                if not line.strip():
                     continue
-                raise
-            for record in otlp_to_records(req):
-                records.append(record)
-                digest = zlib.crc32(json.dumps(record, sort_keys=True).encode())
-                doc_ids.append(f"otlp-{digest:08x}-{len(doc_ids)}")
+                try:
+                    req = json.loads(line)
+                except ValueError:
+                    if skip_bad_lines:
+                        dropped += 1
+                        continue
+                    raise
+                for recno, record in enumerate(otlp_to_records(req)):
+                    records.append(record)
+                    digest = zlib.crc32(json.dumps(record, sort_keys=True).encode())
+                    doc_ids.append(f"otlp-{ptag:08x}-{lineno}-{recno}-{digest:08x}")
         if dropped:
             print(f"read_otlp_jsonl: quarantined {dropped} malformed line(s)")
         tokens, n_tok = encode_batch_records(records)

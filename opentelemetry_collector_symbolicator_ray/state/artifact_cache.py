@@ -44,19 +44,27 @@ class ArtifactCacheCoordinator:
         self.leader_timeout = leader_timeout
         self.cache: OrderedDict[str, bytes] = OrderedDict()
         self.cached_bytes = 0
-        self.inflight: dict[str, asyncio.Event] = {}
+        # key -> (generation, event): the generation token pins fill()
+        # to the leadership term that earned it, so a slow-but-alive
+        # leader deposed by the follower timeout cannot clear the NEW
+        # leader's in-flight entry when it finally completes (which
+        # would wake followers into mass self-election).
+        self.inflight: dict[str, tuple[int, asyncio.Event]] = {}
+        self._gen = 0
         self.backend_fetches = 0
         self.hits = 0
         self.waits = 0
         self.leader_timeouts = 0
+        self.stale_fills = 0
 
-    async def begin(self, key: str) -> bytes | bool:
-        """Returns cached bytes on hit, or ``True`` if the caller became
-        the fetch leader.  Followers await the leader and loop: a
-        successful fill serves them from cache; a failed fill (no cache
-        entry) elects the next caller as leader, so every caller either
-        gets bytes or raises its OWN store error — fetch-error semantics
-        are identical to the unshared path.
+    async def begin(self, key: str) -> bytes | int:
+        """Returns cached bytes on hit, or the leadership GENERATION
+        TOKEN (int) if the caller became the fetch leader — the token
+        must be passed back to ``fill``.  Followers await the leader and
+        loop: a successful fill serves them from cache; a failed fill
+        (no cache entry) elects the next caller as leader, so every
+        caller either gets bytes or raises its OWN store error —
+        fetch-error semantics are identical to the unshared path.
 
         Liveness under leader DEATH (actor killed mid-fetch, so ``fill``
         never runs): followers wait at most ``leader_timeout`` seconds,
@@ -67,35 +75,43 @@ class ArtifactCacheCoordinator:
                 self.cache.move_to_end(key)
                 self.hits += 1
                 return self.cache[key]
-            ev = self.inflight.get(key)
-            if ev is None:
-                self.inflight[key] = asyncio.Event()
+            entry = self.inflight.get(key)
+            if entry is None:
+                self._gen += 1
+                self.inflight[key] = (self._gen, asyncio.Event())
                 self.backend_fetches += 1
-                return True
+                return self._gen
             self.waits += 1
             try:
-                await asyncio.wait_for(asyncio.shield(ev.wait()), self.leader_timeout)
+                await asyncio.wait_for(asyncio.shield(entry[1].wait()), self.leader_timeout)
             except asyncio.TimeoutError:
                 # leader presumed dead: depose it (only if the SAME
-                # event is still registered; a new leader keeps its slot)
-                if self.inflight.get(key) is ev:
+                # term is still registered; a new leader keeps its slot)
+                if self.inflight.get(key) is entry:
                     del self.inflight[key]
                     self.leader_timeouts += 1
             # loop re-checks the cache (leader failure leaves no entry
             # -> next iteration elects a new leader)
 
-    async def fill(self, key: str, data: bytes | None) -> None:
+    async def fill(self, key: str, gen: int, data: bytes | None) -> None:
         """Leader completion: publish bytes (or ``None`` on fetch
-        failure) and wake followers."""
+        failure) and wake followers.  ``gen`` must be the token returned
+        by the ``begin`` call that elected this leader: a deposed
+        leader's late fill still deposits valid bytes (cache fill is
+        idempotent) but does NOT clear the incumbent leader's in-flight
+        entry."""
         if data is not None and key not in self.cache:
             self.cache[key] = data
             self.cached_bytes += len(data)
             while self.cached_bytes > self.max_bytes and self.cache:
                 _, evicted = self.cache.popitem(last=False)
                 self.cached_bytes -= len(evicted)
-        ev = self.inflight.pop(key, None)
-        if ev is not None:
-            ev.set()
+        entry = self.inflight.get(key)
+        if entry is not None and entry[0] == gen:
+            del self.inflight[key]
+            entry[1].set()
+        elif entry is not None:
+            self.stale_fills += 1
 
     async def stats(self) -> dict:
         return {
@@ -105,6 +121,8 @@ class ArtifactCacheCoordinator:
             "hits": self.hits,
             "waits": self.waits,
             "leader_timeouts": self.leader_timeouts,
+            "stale_fills": self.stale_fills,
+            "inflight": len(self.inflight),
         }
 
 
@@ -125,13 +143,13 @@ def single_flight_fetch(fetch, coordinator=None):
 
     def wrapped(key: str) -> bytes:
         res = ray.get(coordinator.begin.remote(key))
-        if res is True:  # leader
+        if isinstance(res, int):  # leader; res is the generation token
             try:
                 data = fetch(key)
             except Exception:
-                ray.get(coordinator.fill.remote(key, None))
+                ray.get(coordinator.fill.remote(key, res, None))
                 raise
-            ray.get(coordinator.fill.remote(key, data))
+            ray.get(coordinator.fill.remote(key, res, data))
             return data
         return res
 

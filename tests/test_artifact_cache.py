@@ -122,7 +122,7 @@ def test_leader_death_recovery(ray_session):
         leader_timeout=1.0
     )
     # simulate a dead leader: claim leadership, never fill
-    assert ray.get(coord.begin.remote("wedged-key")) is True
+    assert isinstance(ray.get(coord.begin.remote("wedged-key")), int)
 
     fetch = single_flight_fetch(lambda k: b"recovered", coord)
     t0 = time.monotonic()
@@ -133,3 +133,47 @@ def test_leader_death_recovery(ray_session):
     assert stats["leader_timeouts"] >= 1
     # and the key is now served from cache instantly
     assert fetch("wedged-key") == b"recovered"
+
+
+def test_deposed_leader_fill_cannot_clear_incumbent(ray_session):
+    """A slow-but-alive leader deposed by the follower timeout must not
+    clear the NEW leader's in-flight entry when its late fill() arrives:
+    the generation token pins fill to the term that earned it, so woken
+    followers can never find neither-cache-nor-inflight and mass
+    self-elect (redundant backend fetches)."""
+    from opentelemetry_collector_symbolicator_ray.state.artifact_cache import (
+        ArtifactCacheCoordinator,
+    )
+
+    coord = ArtifactCacheCoordinator.options(name="test_sf_depose").remote(
+        leader_timeout=0.5
+    )
+    gen1 = ray.get(coord.begin.remote("slow-key"))
+    assert isinstance(gen1, int)
+    # second caller waits out the slow leader, deposes it, becomes the
+    # incumbent with a NEW generation
+    gen2 = ray.get(coord.begin.remote("slow-key"))
+    assert isinstance(gen2, int) and gen2 != gen1
+
+    # the deposed leader's fetch FAILED and its late fill arrives: it
+    # must not pop/set the incumbent's event
+    ray.get(coord.fill.remote("slow-key", gen1, None))
+    stats = ray.get(coord.stats.remote())
+    assert stats["inflight"] == 1  # incumbent's entry survives
+    assert stats["stale_fills"] == 1
+
+    # the incumbent completes normally; followers are served from cache
+    ray.get(coord.fill.remote("slow-key", gen2, b"fresh"))
+    stats = ray.get(coord.stats.remote())
+    assert stats["inflight"] == 0
+    assert ray.get(coord.begin.remote("slow-key")) == b"fresh"
+
+    # a deposed leader that SUCCEEDED still deposits its (valid) bytes
+    gen3 = ray.get(coord.begin.remote("other-key"))
+    gen4 = ray.get(coord.begin.remote("other-key"))  # deposes gen3
+    ray.get(coord.fill.remote("other-key", gen3, b"late-but-valid"))
+    assert ray.get(coord.begin.remote("other-key")) == b"late-but-valid"
+    # incumbent's entry is still pending until ITS fill
+    assert ray.get(coord.stats.remote())["inflight"] == 1
+    ray.get(coord.fill.remote("other-key", gen4, b"late-but-valid"))
+    assert ray.get(coord.stats.remote())["inflight"] == 0

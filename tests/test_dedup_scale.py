@@ -97,7 +97,11 @@ def test_near_dedup_keep_components(ray_session):
 
     sf = "/root/testdata/sf0.001"
     pairs = minhash_lsh_dedup(sf, threshold=0.8).to_pylist()
-    kept = set(near_dedup_keep(sf, threshold=0.8).column("doc_id").to_pylist())
+    keep_ds = near_dedup_keep(sf, threshold=0.8)
+    import ray.data as rd
+
+    assert isinstance(keep_ds, rd.Dataset)  # corpus-sized result streams
+    kept = {r["doc_id"] for r in keep_ds.take_all()}
     assert len(kept) == 500 - len({x for r in pairs for x in (r["doc_a"], r["doc_b"])} - _component_minima(pairs))
     for r in pairs:
         assert not (r["doc_a"] in kept and r["doc_b"] in kept) or r["doc_a"] == r["doc_b"]
@@ -155,3 +159,92 @@ def test_ivf_index_build_query_matches_shuffle_path(ray_session, tmp_path):
     got = ivf_query(index_dir, qmat, qids, k=5, n_probe=4).to_pylist()
     want = ivf_knn(sf, num_queries=3, k=5).to_pylist()
     assert got == want
+
+
+def test_ivf_dominant_cell_chunked(ray_session):
+    """A cell holding the WHOLE corpus (worst-case skew) is scored in
+    bounded sub-batches; chunking never changes the result."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # n_cells=1 -> every vector in one dominant cell; tiny cell_chunk
+    # bounds each matmul; probing the single cell == exact brute force
+    a = ivf_knn(sf, num_queries=3, k=5, n_cells=1, n_probe=1, cell_chunk=37).to_pylist()
+    b = knn_bruteforce(sf, num_queries=3, k=5).to_pylist()
+    assert a == b
+    # chunk size is invisible on the standard config too
+    c = ivf_knn(sf, num_queries=3, k=5, cell_chunk=13).to_pylist()
+    d = ivf_knn(sf, num_queries=3, k=5).to_pylist()
+    assert c == d
+
+
+def test_block_pair_fanout_guard_fires(ray_session):
+    """The no-silent-caps guard on exact all-pairs operators: above
+    max_blocks the O(B^2/2) fan-out refuses loudly and points at the
+    sub-quadratic scale path."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import (
+        embedding_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="minhash_lsh_dedup"):
+        ngram_jaccard_pairs(sf, max_blocks=0)
+    with pytest.raises(ValueError, match="ivf"):
+        embedding_neardup_pairs(sf, max_blocks=0)
+    # at/below the cap both still run
+    assert ngram_jaccard_pairs(sf, threshold=0.99, max_blocks=4096).num_rows >= 0
+
+
+def test_ivf_noncontiguous_vec_ids(ray_session, tmp_path):
+    """Centroid sampling must not assume vec_id == row position: on a
+    corpus with id gaps the fallback (distributed crc32-keyed sample)
+    kicks in, and probing ALL cells still reproduces the brute-force
+    ranking exactly."""
+    import numpy as np
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    rng = np.random.RandomState(3)
+    # queries keep ids 0..2 (fetched via vec_id < num_queries); the rest
+    # of the corpus has large, gappy ids
+    ids = list(range(3)) + [1000 + 7 * i for i in range(60)]
+    mat = rng.randn(len(ids), 16).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, row)) for row in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    brute = knn_bruteforce(sf, num_queries=3, k=5).to_pylist()
+    ivf_all = ivf_knn(sf, num_queries=3, k=5, n_cells=8, n_probe=8).to_pylist()
+    assert ivf_all == brute  # all cells probed == exact
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    """The web-scale word-key-join TF-IDF path (no driver vocab dict)
+    must reproduce the broadcast path exactly, and both stream their
+    corpus-sized result as a Dataset."""
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import tfidf_top_term
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = tfidf_top_term(sf, mode="broadcast")
+    join = tfidf_top_term(sf, mode="join")
+    assert isinstance(broadcast, rd.Dataset) and isinstance(join, rd.Dataset)
+    assert broadcast.take_all() == join.take_all()
+
+    # auto picks join when the vocab exceeds the threshold
+    forced = tfidf_top_term(sf, mode="auto", vocab_threshold=1)
+    assert forced.take_all() == join.take_all()

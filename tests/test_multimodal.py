@@ -187,3 +187,60 @@ def test_audio_fingerprint_dupes(ray_session):
     assert all(0 <= r["dist"] <= 6 for r in pairs)
     assert all(r["media_a"] < r["media_b"] for r in pairs)
     assert pairs == audio_fingerprint_dupes("/root/testdata/sf0.001").to_pylist()
+
+
+def test_banded_hamming_degenerate_bucket_star_cap(ray_session):
+    """A 1000-member hash bucket (all-identical fingerprints, e.g.
+    thousands of near-black images) emits the O(n) star around the min
+    id, not the 499500-pair clique — mirroring the text-LSH star cap."""
+    import time
+
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+        banded_hamming_dupes,
+    )
+
+    n = 1000
+    tbl = pa.table(
+        {
+            "media_id": pa.array([f"m{i:04d}" for i in range(n)], type=pa.string()),
+            "hash64": pa.array([0x1234ABCD5678EF00] * n, type=pa.int64()),
+        }
+    )
+    t0 = time.monotonic()
+    pairs = banded_hamming_dupes(
+        ray.data.from_arrow(tbl), "media_id", "hash64", max_dist=6, max_bucket=256
+    ).to_pylist()
+    elapsed = time.monotonic() - t0
+
+    assert len(pairs) == n - 1  # star, not clique
+    assert all(r["media_a"] == "m0000" for r in pairs)
+    assert sorted(r["media_b"] for r in pairs) == [f"m{i:04d}" for i in range(1, n)]
+    assert all(r["dist"] == 0 for r in pairs)
+    assert elapsed < 120
+
+
+def test_banded_hamming_small_bucket_still_clique(ray_session):
+    """Below the cap the full verified clique is returned, with exact
+    Hamming distances from the vectorized popcount."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+        banded_hamming_dupes,
+    )
+
+    base = 0x0F0F0F0F0F0F0F0F
+    tbl = pa.table(
+        {
+            "media_id": pa.array(["a", "b", "c"], type=pa.string()),
+            "hash64": pa.array([base, base ^ 0b11, base ^ 0b100], type=pa.int64()),
+        }
+    )
+    pairs = banded_hamming_dupes(
+        ray.data.from_arrow(tbl), "media_id", "hash64", max_dist=6
+    ).to_pylist()
+    got = {(r["media_a"], r["media_b"]): r["dist"] for r in pairs}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 3}

@@ -80,3 +80,30 @@ def test_skip_bad_lines_quarantine(ray_session, tmp_path):
     assert read_otlp_jsonl([p], skip_bad_lines=True).count() == 2
     with pytest.raises(ray.exceptions.RayTaskError):
         read_otlp_jsonl([p]).count()
+
+
+def test_otlp_doc_ids_unique_for_identical_records(ray_session, tmp_path):
+    """Identical OTLP records repeated across lines and files must get
+    DISTINCT doc_ids (the unique-doc_id contract behind routing salt and
+    downstream joins), and the ids must be deterministic across runs."""
+    import json
+
+    rec = {
+        "event_name": "e",
+        "attributes": {},
+        "resource_attributes": {"telemetry.sdk.language": "webjs"},
+    }
+    line = json.dumps(record_to_otlp(rec))
+    files = []
+    for name in ("a.jsonl", "b.jsonl"):
+        p = str(tmp_path / name)
+        with open(p, "w") as f:
+            for _ in range(50):  # same record on every line
+                f.write(line + "\n")
+        files.append(p)
+
+    ids1 = [r["doc_id"] for r in read_otlp_jsonl(files).take_all()]
+    assert len(ids1) == 100
+    assert len(set(ids1)) == 100  # globally unique
+    ids2 = [r["doc_id"] for r in read_otlp_jsonl(files).take_all()]
+    assert sorted(ids1) == sorted(ids2)  # deterministic across runs
