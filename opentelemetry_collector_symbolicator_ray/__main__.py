@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--batch-size", type=int, default=2048)
     p_run.add_argument("--salted", action="store_true", help="salted debug-id repartition")
     p_run.add_argument(
+        "--sequential",
+        action="store_true",
+        help="force per-shard sequential executions (default: one pipelined "
+        "execution with a warm actor pool across all pending shards)",
+    )
+    p_run.add_argument(
         "--skip-failed-shards",
         action="store_true",
         help="record failing shards in the manifest and continue (resume retries them)",
@@ -82,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             shard_size=args.shard_size,
             salted=args.salted,
             skip_failed_shards=args.skip_failed_shards,
+            pipelined=False if args.sequential else None,
         )
         print(json.dumps(totals, sort_keys=True))
         return 0

@@ -259,6 +259,126 @@ def input_files(input_dir: str) -> list[str]:
         return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
 
+def _accumulate_summary_row(sinks: dict, row: dict) -> str:
+    """Fold one summary row into a per-shard {sink: counters} dict;
+    returns the part-file path the row records."""
+    from ..stages.symbolicate_stage import GAUGE_KEYS
+
+    acc = sinks.setdefault(
+        row["sink"],
+        {
+            "rows": 0,
+            "failed_rows": 0,
+            "frames_processed": 0,
+            "frames_failed": 0,
+            "fetch_failures": 0,
+            "symbolication_duration": 0.0,
+            **{k: 0 for k in GAUGE_KEYS},
+            "token_hash": 0,
+        },
+    )
+    for key in ("rows", "failed_rows", "frames_processed", "frames_failed", "fetch_failures"):
+        acc[key] += int(row[key])
+    acc["symbolication_duration"] += float(row["symbolication_duration"])
+    for key in ("dur_le_100us", "dur_le_1ms", "dur_le_10ms", "dur_gt_10ms"):
+        acc[key] = acc.get(key, 0) + int(row[key])
+    for key in GAUGE_KEYS:
+        acc[key] = max(acc[key], int(row[key]))
+    acc["token_hash"] = (acc["token_hash"] + int(row["token_hash"])) % (1 << 61)
+    return row["file"]
+
+
+def _commit_shard(
+    manifest, output_dir: str, sid: int, input_files_: list[str], sinks: dict, outputs: list[str]
+) -> None:
+    """Commit one shard's manifest entry and run exactly-once
+    reconciliation: a retried task may have written a part file before
+    dying whose summary never reached the driver; delete any
+    shard-tagged file not recorded in the manifest."""
+    manifest.clear_failure(sid)
+    manifest.commit(
+        sid,
+        {"shard": sid, "input_files": input_files_, "sinks": sinks, "outputs": sorted(outputs)},
+    )
+    recorded = set(outputs)
+    for path in glob.glob(os.path.join(output_dir, "*", f"part-{sid:05d}-*.parquet")):
+        if path not in recorded:
+            os.remove(path)
+
+
+def _run_shards_pipelined(
+    pending: list[tuple[int, list[str]]],
+    output_dir: str,
+    cfg: PipelineConfig,
+    manifest,
+) -> None:
+    """All pending shards in ONE Dataset execution: the fragment
+    descriptors of every shard stream through a SINGLE warm
+    SymbolicatorChainFromFiles actor pool (no per-shard pool ramp — the
+    structural fix for the sequential loop's ~4x throughput gap),
+    summaries come back tagged (shard_tag, frag), and each shard's
+    manifest commits the moment its last fragment reports.  Kill/resume
+    semantics are identical to the sequential path: committed shards
+    skip on resume, uncommitted shards' orphan parts are cleaned before
+    scheduling and reconciled at commit."""
+    import pyarrow.parquet as pq
+
+    from ..stages.symbolicate_stage import SymbolicatorChainFromFiles
+
+    _ensure_artifact_coordinator(cfg)
+    frags: list[dict] = []
+    expected: dict[int, set[str]] = {}
+    inputs_by_sid: dict[int, list[str]] = {}
+    for sid, shard_files in pending:
+        manifest.clean_orphan_outputs(sid)
+        inputs_by_sid[sid] = shard_files
+        exp: set[str] = set()
+        for f in shard_files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                if md.row_group(rg).num_rows == 0:
+                    continue  # empty fragments never report a summary
+                frags.append({"path": f, "row_group": rg, "shard_tag": f"{sid:05d}"})
+                exp.add(f"{f}:{rg}")
+        expected[sid] = exp
+
+    state = {sid: {"sinks": {}, "outputs": [], "done": set()} for sid, _ in pending}
+    committed: set[int] = set()
+    for sid, _ in pending:  # shards with no (nonempty) fragments
+        if not expected[sid]:
+            _commit_shard(manifest, output_dir, sid, inputs_by_sid[sid], {}, [])
+            committed.add(sid)
+    if not frags:
+        return
+
+    summary_ds = ray.data.from_items(frags).map_batches(
+        SymbolicatorChainFromFiles,
+        fn_constructor_args=(config_to_dict(cfg), "write", output_dir, "00000"),
+        concurrency=cfg.concurrency,
+        batch_size=1,
+        batch_format="default",
+    )
+    # streaming consumption with per-shard commits as fragments finish
+    for batch in summary_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        touched: set[int] = set()
+        for row in batch.to_pylist():
+            sid = int(row["shard_tag"])
+            st = state[sid]
+            st["outputs"].append(_accumulate_summary_row(st["sinks"], row))
+            st["done"].add(row["frag"])
+            touched.add(sid)
+        for sid in touched:
+            if sid not in committed and state[sid]["done"] == expected[sid]:
+                _commit_shard(
+                    manifest, output_dir, sid, inputs_by_sid[sid],
+                    state[sid]["sinks"], state[sid]["outputs"],
+                )
+                committed.add(sid)
+    missing = [sid for sid, _ in pending if sid not in committed]
+    if missing:  # a fragment never reported — never commit partial shards
+        raise RuntimeError(f"pipelined run finished with incomplete shards: {missing}")
+
+
 def run_checkpointed(
     input_dir: str,
     output_dir: str,
@@ -268,9 +388,18 @@ def run_checkpointed(
     salted: bool = False,
     max_shards: int | None = None,
     skip_failed_shards: bool = False,
+    pipelined: bool | None = None,
 ) -> dict:
     """Process all pending shards; returns per-sink aggregate totals
     derived from committed manifests (resume-safe).
+
+    By default (``pipelined=None`` -> auto) all pending shards run in
+    ONE Dataset execution over fragment descriptors — a single warm
+    actor pool, per-shard manifests committed as each shard's fragments
+    drain (see _run_shards_pipelined).  ``salted`` and
+    ``skip_failed_shards`` need per-shard isolation (a repartition
+    barrier / per-shard failure containment) and use the sequential
+    per-shard execution path.
 
     ``skip_failed_shards=True`` is the 100 TB resilience mode: a shard
     that raises (corrupt input file, poisoned payload) is recorded in
@@ -284,15 +413,28 @@ def run_checkpointed(
     shards = [files[i: i + shard_size] for i in range(0, len(files), shard_size)]
     manifest = ShardManifest(output_dir)
 
-    processed = 0
+    pending: list[tuple[int, list[str]]] = []
     for sid, shard_files in enumerate(shards):
         if manifest.is_committed(sid):
             manifest.clear_failure(sid)
             continue
-        if max_shards is not None and processed >= max_shards:
+        if max_shards is not None and len(pending) >= max_shards:
             break
-        manifest.clean_orphan_outputs(sid)
+        pending.append((sid, shard_files))
 
+    if pipelined is None:
+        pipelined = not salted and not skip_failed_shards
+    if pipelined:
+        if salted or skip_failed_shards:
+            raise ValueError(
+                "pipelined checkpointed runs need per-shard isolation for "
+                "salted / skip_failed_shards; use pipelined=False"
+            )
+        _run_shards_pipelined(pending, output_dir, cfg, manifest)
+        return manifest.aggregates()
+
+    for sid, shard_files in pending:
+        manifest.clean_orphan_outputs(sid)
         try:
             ds = ray.data.read_parquet(shard_files)
             summaries = symbolicate_and_write(
@@ -304,48 +446,12 @@ def run_checkpointed(
             manifest.record_failure(sid, shard_files, f"{type(exc).__name__}: {exc}")
             manifest.clean_orphan_outputs(sid)
             continue
-        manifest.clear_failure(sid)
-
-        from ..stages.symbolicate_stage import GAUGE_KEYS
 
         sinks: dict[str, dict[str, int]] = {}
         outputs: list[str] = []
         for row in summaries:
-            acc = sinks.setdefault(
-                row["sink"],
-                {
-                    "rows": 0,
-                    "failed_rows": 0,
-                    "frames_processed": 0,
-                    "frames_failed": 0,
-                    "fetch_failures": 0,
-                    "symbolication_duration": 0.0,
-                    **{k: 0 for k in GAUGE_KEYS},
-                    "token_hash": 0,
-                },
-            )
-            for key in ("rows", "failed_rows", "frames_processed", "frames_failed", "fetch_failures"):
-                acc[key] += int(row[key])
-            acc["symbolication_duration"] += float(row["symbolication_duration"])
-            for key in ("dur_le_100us", "dur_le_1ms", "dur_le_10ms", "dur_gt_10ms"):
-                acc[key] = acc.get(key, 0) + int(row[key])
-            for key in GAUGE_KEYS:
-                acc[key] = max(acc[key], int(row[key]))
-            acc["token_hash"] = (acc["token_hash"] + int(row["token_hash"])) % (1 << 61)
-            outputs.append(row["file"])
-
-        manifest.commit(
-            sid,
-            {"shard": sid, "input_files": shard_files, "sinks": sinks, "outputs": sorted(outputs)},
-        )
-        # Exactly-once reconciliation: a retried task may have written a
-        # part file before dying whose summary never reached the driver;
-        # delete any shard-tagged file not recorded in the manifest.
-        recorded = set(outputs)
-        for path in glob.glob(os.path.join(output_dir, "*", f"part-{sid:05d}-*.parquet")):
-            if path not in recorded:
-                os.remove(path)
-        processed += 1
+            outputs.append(_accumulate_summary_row(sinks, row))
+        _commit_shard(manifest, output_dir, sid, shard_files, sinks, outputs)
 
     return manifest.aggregates()
 

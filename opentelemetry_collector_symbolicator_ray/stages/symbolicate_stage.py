@@ -327,14 +327,38 @@ class SymbolicatorChainFromFiles(SymbolicatorChain):
 
         paths = list(batch["path"])
         row_groups = list(batch["row_group"])
+        # Multi-shard mode (run_checkpointed pipelined path): each
+        # fragment descriptor carries its OWN shard tag, so one warm
+        # actor pool serves every shard in a single Dataset execution;
+        # summaries gain (shard_tag, frag) columns the driver uses for
+        # streaming per-shard manifest commits.
+        tags = list(batch["shard_tag"]) if "shard_tag" in batch else None
         summaries = []
-        for path, rg in zip(paths, row_groups):
+        for i, (path, rg) in enumerate(zip(paths, row_groups)):
+            if tags is not None:
+                self.shard_tag = tags[i]
             pf = pq.ParquetFile(path)
             table = pf.read_row_group(int(rg))
+            frag_summaries = []
             for lo in range(0, table.num_rows, self.cfg.batch_size):
                 sub = table.slice(lo, self.cfg.batch_size)
-                summaries.append(SymbolicatorChain.__call__(self, sub))
-        return pa.concat_tables(summaries) if summaries else pa.Table.from_pylist([], schema=SUMMARY_SCHEMA)
+                frag_summaries.append(SymbolicatorChain.__call__(self, sub))
+            for t in frag_summaries:
+                if tags is not None:
+                    t = t.append_column(
+                        "shard_tag", pa.array([tags[i]] * t.num_rows, type=pa.string())
+                    ).append_column(
+                        "frag", pa.array([f"{path}:{rg}"] * t.num_rows, type=pa.string())
+                    )
+                summaries.append(t)
+        if summaries:
+            return pa.concat_tables(summaries)
+        empty = pa.Table.from_pylist([], schema=SUMMARY_SCHEMA)
+        if tags is not None:
+            empty = empty.append_column(
+                "shard_tag", pa.array([], type=pa.string())
+            ).append_column("frag", pa.array([], type=pa.string()))
+        return empty
 
 
 def write_sink_partitions(

@@ -432,3 +432,30 @@ def test_skip_failed_shards_resilience(ray_session, tmp_path):
     assert mf.failed_shards() == {}
     assert set(mf.committed_shards()) == {0, 1, 2, 3}
     assert drop_telemetry(healed) == drop_telemetry(ref)
+
+
+def test_pipelined_equals_sequential_checkpointed(ray_session, corpus, tmp_path):
+    """The single-execution warm-pool checkpointed path commits the same
+    per-shard manifests and identical aggregates as the sequential
+    per-shard path (telemetry stripped: durations/gauges are wall-clock
+    and pool-local)."""
+    import json
+
+    cfg = make_cfg(corpus)
+    a = run_checkpointed(corpus, str(tmp_path / "pipe"), cfg, shard_size=2)
+    b = run_checkpointed(corpus, str(tmp_path / "seq"), cfg, shard_size=2, pipelined=False)
+    assert drop_telemetry(a) == drop_telemetry(b)
+
+    ma, mb = ShardManifest(str(tmp_path / "pipe")), ShardManifest(str(tmp_path / "seq"))
+    assert ma.committed_shards() == mb.committed_shards()
+    for sid in ma.committed_shards():
+        ea, eb = ma.read(sid), mb.read(sid)
+        assert ea["input_files"] == eb["input_files"]
+        # per-shard per-sink counters match shard-for-shard
+        assert drop_telemetry(ea["sinks"]) == drop_telemetry(eb["sinks"])
+
+    # pipelined mode refuses the flags that need per-shard isolation
+    import pytest
+
+    with pytest.raises(ValueError, match="isolation"):
+        run_checkpointed(corpus, str(tmp_path / "x"), cfg, salted=True, pipelined=True)
