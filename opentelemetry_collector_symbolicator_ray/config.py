@@ -146,6 +146,10 @@ class PipelineConfig:
     # affinity routing, cold misses rarely overlap, and the per-actor
     # LRU serves all warm traffic.
     shared_artifact_cache: bool = False
+    # Number of coordinator shards for the shared cache (keys route by
+    # crc32(key) % shards).  1 is right for a single node; large
+    # clusters shard so cold-miss coordination scales horizontally.
+    artifact_cache_shards: int = 1
 
     @staticmethod
     def with_default_routing(artifacts_dir: str, **kw) -> "PipelineConfig":

@@ -59,18 +59,20 @@ def drop_telemetry(obj):
     }
 
 
-# Driver-owned handle keeping the shared artifact-cache coordinator
+# Driver-owned handles keeping the shared artifact-cache coordinators
 # alive for the session (a named actor created inside a pool worker
-# would die with the pool).
-_ARTIFACT_COORDINATOR = None
+# would die with the pool).  Keyed by shard count: pipelines with
+# different shardings each keep their own named-actor set alive.
+_ARTIFACT_COORDINATORS: dict[int, list] = {}
 
 
 def _ensure_artifact_coordinator(cfg: PipelineConfig) -> None:
-    global _ARTIFACT_COORDINATOR
-    if cfg.shared_artifact_cache and _ARTIFACT_COORDINATOR is None:
-        from ..state.artifact_cache import get_or_create_coordinator
+    if cfg.shared_artifact_cache and cfg.artifact_cache_shards not in _ARTIFACT_COORDINATORS:
+        from ..state.artifact_cache import get_or_create_coordinators
 
-        _ARTIFACT_COORDINATOR = get_or_create_coordinator()
+        _ARTIFACT_COORDINATORS[cfg.artifact_cache_shards] = get_or_create_coordinators(
+            cfg.artifact_cache_shards
+        )
 
 
 def symbolicate(ds: "ray.data.Dataset", cfg: PipelineConfig, *, salted: bool = False) -> "ray.data.Dataset":

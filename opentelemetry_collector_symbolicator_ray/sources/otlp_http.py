@@ -1,0 +1,193 @@
+"""In-engine OTLP/HTTP listener (operator S1's network receiver
+surface).
+
+The reference collector ingests OTLP over gRPC :4317 / HTTP :4318
+(config.yaml:1-7, builder-config.yaml:23-24).  This module provides the
+HTTP half natively: a threaded listener accepting the OTLP/HTTP JSON
+encoding on the standard paths ``POST /v1/logs`` and ``POST /v1/traces``
+and spooling each export request as one JSONL line.  Spool files rotate
+at a record threshold, so the DRAIN unit is a completed file — exactly
+the shard-file layout ``read_otlp_jsonl`` already consumes, which makes
+the micro-batch pipeline:
+
+    receiver.rotate() -> read_otlp_jsonl(completed files) ->
+    symbolicate(...) / run_checkpointed(...)
+
+a periodic loop with the same checkpoint/resume semantics as the batch
+path (one spool file = one resumable ingest unit).
+
+Scale notes: the listener is an EDGE process (one per ingest node), not
+a Ray actor — its output is durable spool files on shared storage that
+any number of Ray drain jobs consume.  Backpressure is the filesystem:
+the receiver never holds more than one in-flight request body in
+memory, and rotation bounds per-file replay cost.  gRPC (:4317) is out
+of scope for the sandbox (no grpc dependency): the HTTP listener plus
+the JSONL file source cover the reference's payload surface byte-for-
+byte (the protobuf-JSON mapping is shared with sources/otlp.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_OTLP_PATHS = {"/v1/logs", "/v1/traces"}
+
+
+class OTLPHttpReceiver:
+    """Threaded OTLP/HTTP JSON listener spooling to rotated JSONL files.
+
+    - ``port=0`` binds an ephemeral port (tests); ``.port`` reports it.
+    - Valid export requests append one canonical-JSON line to the open
+      spool file; after ``rotate_records`` lines the file rotates
+      (atomic rename ``.open`` -> ``.jsonl``) so drains only ever see
+      complete files.
+    - Malformed JSON -> 400 with an error body; unknown path -> 404 —
+      matching OTLP/HTTP failure semantics (the reference receiver
+      rejects undecodable payloads per request, not per connection).
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        rotate_records: int = 10_000,
+    ) -> None:
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.rotate_records = rotate_records
+        self._lock = threading.Lock()
+        self._seq = self._next_seq()
+        self._open_path: str | None = None
+        self._open_file = None
+        self._open_records = 0
+        self.received = 0
+        self.rejected = 0
+
+        receiver = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # silence per-request stderr
+                pass
+
+            def do_POST(self):
+                if self.path not in _OTLP_PATHS:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                try:
+                    req = json.loads(body)
+                    if not isinstance(req, dict):
+                        raise ValueError("export request must be a JSON object")
+                except ValueError as exc:
+                    receiver.rejected += 1
+                    payload = json.dumps({"error": str(exc)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
+                receiver._append(req)
+                payload = b"{}"  # empty ExportServiceResponse (full success)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    # ---- spooling ----
+
+    def _next_seq(self) -> int:
+        existing = [
+            int(name[len("ingest-"): len("ingest-") + 6])
+            for name in os.listdir(self.spool_dir)
+            if name.startswith("ingest-")
+        ]
+        return max(existing, default=-1) + 1
+
+    def _append(self, req: dict) -> None:
+        line = json.dumps(req, sort_keys=True)
+        with self._lock:
+            if self._open_file is None:
+                self._open_path = os.path.join(
+                    self.spool_dir, f"ingest-{self._seq:06d}.jsonl.open"
+                )
+                self._seq += 1
+                self._open_file = open(self._open_path, "w")
+                self._open_records = 0
+            self._open_file.write(line + "\n")
+            self._open_records += 1
+            self.received += 1
+            if self._open_records >= self.rotate_records:
+                self._rotate_locked()
+
+    def _rotate_locked(self) -> None:
+        if self._open_file is None:
+            return
+        self._open_file.flush()
+        os.fsync(self._open_file.fileno())
+        self._open_file.close()
+        final = self._open_path[: -len(".open")]
+        os.replace(self._open_path, final)  # atomic: drains see complete files
+        self._open_file = None
+        self._open_path = None
+        self._open_records = 0
+
+    def rotate(self) -> list[str]:
+        """Seal the open spool file (if any) and return ALL completed
+        spool files — the drainable micro-batch."""
+        with self._lock:
+            self._rotate_locked()
+        return self.completed_files()
+
+    def completed_files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.spool_dir, f)
+            for f in os.listdir(self.spool_dir)
+            if f.startswith("ingest-") and f.endswith(".jsonl")
+        )
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)
+        with self._lock:
+            self._rotate_locked()
+
+
+def drain_to_dataset(receiver: OTLPHttpReceiver, *, skip_bad_lines: bool = False):
+    """One micro-batch drain: seal the current spool and stream every
+    completed spool file through the standard OTLP JSONL source — the
+    result is the engine's canonical token-row Dataset, pipeable into
+    symbolicate()/run_checkpointed() like any other source."""
+    from .otlp import read_otlp_jsonl
+
+    files = receiver.rotate()
+    if not files:
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "tokens": pa.array([], type=pa.list_(pa.int32())),
+                    "n_tok": pa.array([], type=pa.int32()),
+                    "source": pa.array([], type=pa.string()),
+                }
+            )
+        )
+    return read_otlp_jsonl(files, skip_bad_lines=skip_bad_lines)

@@ -189,11 +189,11 @@ class SymbolicatorChain:
             # Cross-actor single-flight (reference: singleflight.Group in
             # sourcemapprocessor/symbolicator.go:70-88 and twins): wrap
             # each store's raw fetch with the shared named-actor cache.
-            from ..state.artifact_cache import get_or_create_coordinator, single_flight_fetch
+            from ..state.artifact_cache import get_or_create_coordinators, single_flight_fetch
 
-            coordinator = get_or_create_coordinator()
+            coordinators = get_or_create_coordinators(cfg.artifact_cache_shards)
             for sym in (self.dsym.symbolicator, self.proguard.symbolicator, self.js.symbolicator):
-                sym.store.fetch = single_flight_fetch(sym.store.fetch, coordinator)
+                sym.store.fetch = single_flight_fetch(sym.store.fetch, coordinators)
 
     def process_record(self, record: dict) -> tuple[str, bool, int, int, int]:
         """Run the chain on one decoded record (mutating it in place).

@@ -126,30 +126,53 @@ class ArtifactCacheCoordinator:
         }
 
 
-def get_or_create_coordinator(max_bytes: int = 256 * 1024 * 1024):
-    """Named-actor rendezvous: every symbolizer actor shares ONE
-    coordinator per job."""
+def get_or_create_coordinator(max_bytes: int = 256 * 1024 * 1024, shard: int = 0, n_shards: int = 1):
+    """Named-actor rendezvous: every symbolizer actor shares the same
+    coordinator (or shard-set) per job."""
+    name = COORDINATOR_NAME if n_shards <= 1 else f"{COORDINATOR_NAME}-{shard}of{n_shards}"
     return ArtifactCacheCoordinator.options(
-        name=COORDINATOR_NAME, get_if_exists=True, lifetime=None
+        name=name, get_if_exists=True, lifetime=None
     ).remote(max_bytes)
+
+
+def get_or_create_coordinators(n_shards: int = 1, max_bytes: int = 256 * 1024 * 1024) -> list:
+    """Sharded coordinator set for very large clusters: the single
+    coordinator only sees cold misses, but at thousands of actors even
+    misses concentrate — keys hash-partition over ``n_shards``
+    independent coordinators (each with a proportional byte budget), so
+    coordination scales horizontally with no shared state between
+    shards (a key always lands on the same shard: single-flight
+    semantics are preserved per key)."""
+    per_shard = max(1, max_bytes // max(1, n_shards))
+    return [
+        get_or_create_coordinator(per_shard, shard=i, n_shards=n_shards)
+        for i in range(n_shards)
+    ]
 
 
 def single_flight_fetch(fetch, coordinator=None):
     """Wrap a store fetch callable with the shared-cache single-flight
-    protocol.  On leader failure the exception propagates (and followers
-    re-elect), preserving the store's error semantics byte-for-byte."""
+    protocol.  ``coordinator`` may be a single handle or a LIST of
+    shard handles (keys route by crc32 — stable, so one key has exactly
+    one home shard).  On leader failure the exception propagates (and
+    followers re-elect), preserving the store's error semantics
+    byte-for-byte."""
+    import zlib
+
     if coordinator is None:
         coordinator = get_or_create_coordinator()
+    handles = coordinator if isinstance(coordinator, list) else [coordinator]
 
     def wrapped(key: str) -> bytes:
-        res = ray.get(coordinator.begin.remote(key))
+        h = handles[zlib.crc32(key.encode()) % len(handles)] if len(handles) > 1 else handles[0]
+        res = ray.get(h.begin.remote(key))
         if isinstance(res, int):  # leader; res is the generation token
             try:
                 data = fetch(key)
             except Exception:
-                ray.get(coordinator.fill.remote(key, res, None))
+                ray.get(h.fill.remote(key, res, None))
                 raise
-            ray.get(coordinator.fill.remote(key, res, data))
+            ray.get(h.fill.remote(key, res, data))
             return data
         return res
 

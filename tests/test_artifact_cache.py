@@ -177,3 +177,79 @@ def test_deposed_leader_fill_cannot_clear_incumbent(ray_session):
     assert ray.get(coord.stats.remote())["inflight"] == 1
     ray.get(coord.fill.remote("other-key", gen4, b"late-but-valid"))
     assert ray.get(coord.stats.remote())["inflight"] == 0
+
+
+def test_sharded_coordinators_route_and_dedupe(ray_session, tmp_path):
+    """Keys hash-partition over coordinator shards: every key has ONE
+    home shard (single-flight preserved per key), load spreads across
+    shards, and all callers get the right bytes."""
+    import zlib
+
+    from opentelemetry_collector_symbolicator_ray.state.artifact_cache import (
+        ArtifactCacheCoordinator,
+        single_flight_fetch,
+    )
+
+    n_shards = 3
+    coords = [
+        ArtifactCacheCoordinator.options(name=f"test_sf_shard_{i}").remote()
+        for i in range(n_shards)
+    ]
+    counter = tmp_path / "fetches"
+
+    def backend(key: str) -> bytes:
+        with open(counter, "a") as f:
+            f.write(key + "\n")
+        return f"data:{key}".encode()
+
+    @ray.remote
+    def worker(key: str):
+        fetch = single_flight_fetch(backend, coords)
+        return fetch(key)
+
+    keys = [f"artifact-{i}" for i in range(12)]
+    # every key fetched by 4 concurrent workers
+    results = ray.get([worker.remote(k) for k in keys for _ in range(4)])
+    assert results == [f"data:{k}".encode() for k in keys for _ in range(4)]
+    assert sorted(open(counter).read().splitlines()) == sorted(keys)  # one fetch per key
+
+    # shard occupancy matches the crc32 routing, and >1 shard is used
+    per_shard = [ray.get(c.stats.remote())["entries"] for c in coords]
+    want = [0] * n_shards
+    for k in keys:
+        want[zlib.crc32(k.encode()) % n_shards] += 1
+    assert per_shard == want
+    assert sum(1 for n in per_shard if n) > 1
+
+
+def test_pipeline_parity_with_sharded_cache(ray_session, tmp_path):
+    """Full pipeline with artifact_cache_shards=2 produces identical
+    per-sink aggregates to the unshared path."""
+    import os
+
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        drop_telemetry,
+        input_files,
+        per_sink_aggregates,
+        symbolicate,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 300, num_files=2, seed=23)
+    arts = os.path.join(corpus, "artifacts")
+    plain_cfg = PipelineConfig.with_default_routing(arts, concurrency=2, batch_size=128)
+    sharded_cfg = PipelineConfig.with_default_routing(
+        arts, concurrency=2, batch_size=128,
+        shared_artifact_cache=True, artifact_cache_shards=2,
+    )
+    a = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), plain_cfg)
+    ).to_pylist()
+    b = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), sharded_cfg)
+    ).to_pylist()
+    assert drop_telemetry(a) == drop_telemetry(b)

@@ -123,3 +123,41 @@ def test_object_store_miss_keeps_error_texts(bucket):
 def test_unknown_store_kind_rejected():
     with pytest.raises(ValueError, match="unknown store kind"):
         make_store("ftp_store", ".", SourceMapStore)
+
+
+def test_real_s3_gcs_filesystem_construction():
+    """The un-mocked make_store path constructs REAL pyarrow
+    S3FileSystem / GcsFileSystem instances from the `s3://bucket?region=`
+    and `gs://bucket` URIs (construction + key derivation only — the
+    sandbox has no network, and neither does construction need it when
+    the region is explicit).  Exercises sources/stores.py make_store's
+    non-injected branch end-to-end up to the GetObject call."""
+    import pyarrow.fs as pafs
+
+    from opentelemetry_collector_symbolicator_ray.sources.stores import (
+        object_store_fetcher,
+    )
+
+    fs, root = pafs.FileSystem.from_uri("s3://test-bucket?region=us-east-1")
+    assert type(fs).__name__ == "S3FileSystem"
+    assert root == "test-bucket"
+    assert fs.region == "us-east-1"
+
+    # the real-construction store derives the same keys as the mocked
+    # path; the fetch itself would need network, so only build it
+    store = make_store(
+        "s3_store", "", SourceMapStore, bucket="test-bucket",
+        region="us-east-1", prefix="maps",
+    )
+    assert store.prefix == "maps"
+    assert callable(store.fetch)
+
+    gstore = make_store("gcs_store", "", ProguardStore, bucket="test-bucket", prefix="pg")
+    assert callable(gstore.fetch)
+
+    # leading-slash trim happens before GetObject regardless of backend
+    recording = RecordingFS("/nonexistent-root")
+    f = object_store_fetcher("bkt", fs=recording)
+    with pytest.raises(FileNotFoundError):
+        f("/maps/abc/app.js.map")
+    assert recording.keys == ["bkt/maps/abc/app.js.map"]

@@ -1,0 +1,162 @@
+"""In-engine OTLP/HTTP listener tests (sources/otlp_http.py): request
+handling on the standard OTLP paths, spool rotation atomicity, and
+full-pipeline parity with the parquet source through the micro-batch
+drain — the network-receiver half of operator S1 (reference ingests
+OTLP/HTTP on :4318, config.yaml:1-7)."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from opentelemetry_collector_symbolicator_ray.sources.otlp import (
+    otlp_to_records,
+    record_to_otlp,
+)
+from opentelemetry_collector_symbolicator_ray.sources.otlp_http import (
+    OTLPHttpReceiver,
+    drain_to_dataset,
+)
+
+
+def post(url: str, body: bytes) -> tuple[int, bytes]:
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+@pytest.fixture
+def receiver(tmp_path):
+    r = OTLPHttpReceiver(str(tmp_path / "spool"), rotate_records=1000)
+    yield r
+    r.close()
+
+
+def _sample_request(i: int = 0) -> dict:
+    return record_to_otlp(
+        {
+            "event_name": f"e{i}",
+            "attributes": {"k": i},
+            "resource_attributes": {"telemetry.sdk.language": "webjs"},
+        }
+    )
+
+
+def test_http_receiver_accepts_and_rejects(receiver):
+    base = f"http://{receiver.host}:{receiver.port}"
+    status, body = post(f"{base}/v1/logs", json.dumps(_sample_request()).encode())
+    assert status == 200 and json.loads(body) == {}
+    status, _ = post(f"{base}/v1/traces", json.dumps(_sample_request(1)).encode())
+    assert status == 200
+
+    status, body = post(f"{base}/v1/logs", b"{not json")
+    assert status == 400 and "error" in json.loads(body)
+    status, _ = post(f"{base}/v1/metrics", json.dumps(_sample_request()).encode())
+    assert status == 404  # reference pipelines: logs + traces only
+
+    assert receiver.received == 2
+    assert receiver.rejected == 1
+
+
+def test_spool_rotation_and_drain_roundtrip(ray_session, receiver):
+    base = f"http://{receiver.host}:{receiver.port}"
+    sent = [_sample_request(i) for i in range(25)]
+    for req in sent:
+        status, _ = post(f"{base}/v1/logs", json.dumps(req).encode())
+        assert status == 200
+
+    # nothing is drainable until rotation seals the open file
+    assert receiver.completed_files() == []
+    files = receiver.rotate()
+    assert len(files) == 1 and files[0].endswith(".jsonl")
+    # atomicity: no half-written .open files left visible to drains
+    assert not any(f.endswith(".open") for f in os.listdir(receiver.spool_dir))
+
+    ds = drain_to_dataset(receiver)
+    rows = ds.take_all()
+    assert len(rows) == 25
+    assert len({r["doc_id"] for r in rows}) == 25  # unique doc_ids
+
+    from opentelemetry_collector_symbolicator_ray.codec import decode_batch_tokens
+    import pyarrow as pa
+
+    got = decode_batch_tokens(pa.Table.from_pylist(rows))
+    want = [otlp_to_records(req)[0] for req in sent]
+    assert sorted(got, key=lambda r: r["event_name"]) == sorted(
+        want, key=lambda r: r["event_name"]
+    )
+
+    # an empty drain (no new spool) yields an empty, correctly-typed set
+    empty = drain_to_dataset(receiver)
+    assert empty.count() == 25  # completed files re-drain until archived
+
+
+def test_rotate_by_record_threshold(tmp_path):
+    r = OTLPHttpReceiver(str(tmp_path / "spool"), rotate_records=10)
+    try:
+        base = f"http://{r.host}:{r.port}"
+        for i in range(25):
+            status, _ = post(f"{base}/v1/logs", json.dumps(_sample_request(i)).encode())
+            assert status == 200
+        # 25 records at threshold 10 -> 2 sealed files + 1 open
+        assert len(r.completed_files()) == 2
+        files = r.rotate()
+        assert len(files) == 3
+        n_lines = sum(len(open(f).read().splitlines()) for f in files)
+        assert n_lines == 25
+    finally:
+        r.close()
+
+
+def test_http_ingest_pipeline_parity(ray_session, tmp_path):
+    """corpus -> OTLP/HTTP POSTs -> drain -> symbolicate produces the
+    same per-sink aggregates as the parquet source (telemetry
+    stripped)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.codec import decode_batch_tokens
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        drop_telemetry,
+        input_files,
+        per_sink_aggregates,
+        symbolicate,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 120, num_files=1, seed=17)
+
+    r = OTLPHttpReceiver(str(tmp_path / "spool"), rotate_records=50)
+    try:
+        base = f"http://{r.host}:{r.port}"
+        for path in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
+            for record in decode_batch_tokens(pq.read_table(path)):
+                status, _ = post(
+                    f"{base}/v1/logs", json.dumps(record_to_otlp(record)).encode()
+                )
+                assert status == 200
+        ds = drain_to_dataset(r)
+    finally:
+        r.close()
+
+    cfg = PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=2, batch_size=64
+    )
+    a = per_sink_aggregates(
+        symbolicate(ray.data.read_parquet(input_files(corpus)), cfg)
+    ).to_pylist()
+    b = per_sink_aggregates(symbolicate(ds, cfg)).to_pylist()
+    assert drop_telemetry(a) == drop_telemetry(b)
