@@ -226,6 +226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": lambda sf: analytics.top_customers(sf),
         "label_text_stats": lambda sf: analytics.label_text_stats(sf),
         "events_top_per_user": lambda sf: analytics.top_events_per_user(sf),
+        "events_running_totals": lambda sf: streaming.running_user_totals(sf),
+        "events_percentiles": lambda sf: streaming.event_type_percentiles(sf),
+        "orders_by_region": lambda sf: analytics.orders_by_region(sf),
+        "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
+        "docs_distinct_words": lambda sf: text.distinct_word_counts(sf),
+        "emb_norms": lambda sf: similarity.embedding_norms(sf),
     }
 
 
@@ -433,5 +439,48 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY total_spend_cents DESC, c_custkey LIMIT 10
+        """,
+        # per-value cents BEFORE the window sum: integer accumulation is
+        # exact, so the cumulative oracle is immune to fp association
+        "events_running_totals": """
+            SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value, 2) * 100 AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_cents
+            FROM events ORDER BY event_id
+        """,
+        "events_percentiles": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   CAST(ROUND(quantile_cont(value, 0.5), 2) * 100 AS BIGINT) AS median_cents,
+                   CAST(ROUND(quantile_cont(value, 0.9), 2) * 100 AS BIGINT) AS p90_cents
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_by_region": """
+            SELECT r_name, count(*)::BIGINT AS n_orders,
+                   CAST(ROUND(SUM(o_totalprice), 2) * 100 AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "supplier_nation_stats": """
+            SELECT n_name, count(*)::BIGINT AS n_suppliers,
+                   CAST(ROUND(SUM(s_acctbal), 2) * 100 AS BIGINT) AS acctbal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "docs_distinct_words": """
+            SELECT doc_id, COUNT(DISTINCT w)::BIGINT AS n_distinct
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # sequential list_sum matches the engine's per-row cumsum order
+        "emb_norms": """
+            SELECT vec_id,
+                   ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 6) AS norm_r6
+            FROM embeddings ORDER BY vec_id
         """,
     }

@@ -273,3 +273,106 @@ def top_events_per_user(sf_dir: str, k: int = 2) -> pa.Table:
             "value_cents": pa.array([r["value_cents"] for r in rows], type=pa.int64()),
         }
     )
+
+
+def orders_by_region(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-style multi-join rollup: orders -> customer -> nation ->
+    region, grouped by region name.  Ray shape: the three DIMENSION
+    tables (customer/nation/region — small side at any scale) are
+    pre-joined into ONE custkey -> region-name lookup table on the
+    driver, ray.put once, and hash-joined against each streaming orders
+    batch with the vectorized ``pa.Table.join`` kernel; the fact table
+    (orders) never shuffles."""
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).take_all()
+    regions = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).take_all()
+    region_by_key = {r["r_regionkey"]: r["r_name"] for r in regions}
+    region_by_nation = {n["n_nationkey"]: region_by_key[n["n_regionkey"]] for n in nations}
+    lookup = pa.table(
+        {
+            "o_custkey": pa.array([c["c_custkey"] for c in customers], type=pa.int64()),
+            "r_name": pa.array(
+                [region_by_nation[c["c_nationkey"]] for c in customers], type=pa.string()
+            ),
+        }
+    )
+    lookup_ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        joined = batch.join(ray.get(lookup_ref), keys="o_custkey", join_type="inner")
+        return pa.table(
+            {
+                "r_name": joined.column("r_name"),
+                "o_totalprice": joined.column("o_totalprice"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["r_name"])
+    return pa.table(
+        {
+            "r_name": pa.array([r["r_name"] for r in rows]),
+            "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
+            "total_cents": pa.array(
+                [int(round(round(float(r["total"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def supplier_nation_stats(sf_dir: str) -> pa.Table:
+    """Suppliers per nation (dimension-dimension join): supplier joined
+    to nation via the broadcast lookup, grouped by nation name with
+    count + account-balance sum."""
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    lookup = pa.table(
+        {
+            "s_nationkey": pa.array(
+                [n["n_nationkey"] for n in nations], type=pa.int32()
+            ),
+            "n_name": pa.array([n["n_name"] for n in nations], type=pa.string()),
+        }
+    )
+    lookup_ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        joined = batch.join(ray.get(lookup_ref), keys="s_nationkey", join_type="inner")
+        return pa.table(
+            {"n_name": joined.column("n_name"), "s_acctbal": joined.column("s_acctbal")}
+        )
+
+    suppliers = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    agg = (
+        suppliers.map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["n_name"])
+    return pa.table(
+        {
+            "n_name": pa.array([r["n_name"] for r in rows]),
+            "n_suppliers": pa.array([int(r["n_suppliers"]) for r in rows], type=pa.int64()),
+            "acctbal_cents": pa.array(
+                [int(round(round(float(r["total"]), 2) * 100)) for r in rows],
+                type=pa.int64(),
+            ),
+        }
+    )

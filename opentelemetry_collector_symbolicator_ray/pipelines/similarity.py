@@ -430,3 +430,32 @@ def quantize_embeddings(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(fn, batch_format="pyarrow").sort("vec_id")
+
+
+def embedding_norms(sf_dir: str) -> "ray.data.Dataset":
+    """Per-vector L2 norm, rounded to 6 decimals — the normalization
+    profile stage of an embedding pipeline.  The squared-sum
+    accumulates SEQUENTIALLY per row (np.cumsum over the squares) so fp
+    addition order matches DuckDB's left-to-right list_sum exactly and
+    the oracle hash-compares."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "norm_r6": pa.array([], type=pa.float64()),
+                }
+            )
+        sq = mat * mat
+        ssum = np.cumsum(sq, axis=1)[:, -1]  # sequential, not pairwise
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "norm_r6": pa.array(np.round(np.sqrt(ssum), 6), type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(fn, batch_format="pyarrow").sort("vec_id")

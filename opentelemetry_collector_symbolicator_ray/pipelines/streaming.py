@@ -129,3 +129,66 @@ def hopping_event_counts(
             ),
         }
     )
+
+
+def running_user_totals(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user RUNNING total (the cumulative window aggregate —
+    SUM OVER PARTITION BY user ORDER BY ts): ``groupby(user_id)``
+    co-locates each user's log, ``map_groups`` sorts it by
+    (ts, event_id) and emits the cumulative sum.  Values convert to
+    integer cents BEFORE accumulation (per-value round is bit-identical
+    across engines; integer cumsum is exact), so the SQL window oracle
+    hash-matches regardless of float summation order.  Returns a
+    Dataset (one row per event) sorted by event_id."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def running(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in val[order]], dtype=np.int64
+        )
+        run = np.cumsum(cents)
+        uid = int(group.column("user_id")[0].as_py())
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": pa.array([uid] * len(eid), type=pa.int64()),
+                "running_cents": pa.array(run, type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow").sort("event_id")
+
+
+def event_type_percentiles(sf_dir: str) -> pa.Table:
+    """Median / p90 of value per event type (quantile_cont semantics:
+    linear interpolation, exactly numpy's default) — the per-group
+    order-statistic aggregate: ``groupby(event_type).map_groups`` sorts
+    the group's values once and reads both quantiles from it."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        vals = np.sort(group.column("value").to_numpy(zero_copy_only=False))
+        med = float(np.quantile(vals, 0.5))
+        p90 = float(np.quantile(vals, 0.9))
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_events": pa.array([len(vals)], type=pa.int64()),
+                "median_cents": pa.array(
+                    [int(round(round(med, 2) * 100))], type=pa.int64()
+                ),
+                "p90_cents": pa.array([int(round(round(p90, 2) * 100))], type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        ds.groupby("event_type").map_groups(quantiles, batch_format="pyarrow").take_all(),
+        key=lambda r: r["event_type"],
+    )
+    return pa.Table.from_pylist(rows)

@@ -456,3 +456,20 @@ def document_profile(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def distinct_word_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document distinct-word count (the vocabulary-size profile —
+    integer-exact, SQL-oracle-checkable): one streaming map_batches over
+    the pruned (doc_id, text) read."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = [len(set(t.split(" "))) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_distinct": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
