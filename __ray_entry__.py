@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
         "docs_distinct_words": lambda sf: text.distinct_word_counts(sf),
         "emb_norms": lambda sf: similarity.embedding_norms(sf),
+        "shipping_priority": lambda sf: analytics.shipping_priority(sf),
+        "revenue_forecast": lambda sf: analytics.revenue_forecast(sf),
     }
 
 
@@ -482,5 +484,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 6) AS norm_r6
             FROM embeddings ORDER BY vec_id
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) * 100 AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, o_date_us, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "revenue_forecast": """
+            SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) * 100 AS BIGINT)
+                       AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """,
     }

@@ -137,6 +137,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument(
+        "--repeats", type=int, default=2,
+        help="scaling mode: round-robin passes over the core-count points; "
+        "best per point is kept (defeats the sandbox's slow multi-minute "
+        "throughput oscillation, which would otherwise bias whichever "
+        "point happened to run in a throttled window)",
+    )
     parser.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--num-cpus", type=int, default=None, help=argparse.SUPPRESS)
     parser.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
@@ -154,21 +161,29 @@ def main() -> None:
         n_low = max(4, num_cpus // 8)
         points = sorted({n_low, max(4, num_cpus // 2), num_cpus})
         rows = args.rows
-        results = {}
-        for n in points:
-            cmd = [sys.executable, __file__, "--headline-only", "--num-cpus", str(n)]
-            if rows:
-                cmd += ["--rows", str(rows)]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True,
-                text=True,
-                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-                check=True,
-            )
-            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        results: dict[int, dict] = {}
+        samples: dict[int, list[float]] = {n: [] for n in points}
+        # round-robin over the points so every core count samples every
+        # time window; keep the best per point (hypervisor steal and the
+        # memory-bandwidth ceiling only ever push throughput DOWN)
+        for _ in range(max(1, args.repeats)):
+            for n in points:
+                cmd = [sys.executable, __file__, "--headline-only", "--num-cpus", str(n)]
+                if rows:
+                    cmd += ["--rows", str(rows)]
+                if os.path.exists("/usr/bin/taskset"):
+                    cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                out = subprocess.run(
+                    cmd,
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                    check=True,
+                )
+                res = json.loads(out.stdout.strip().splitlines()[-1])
+                samples[n].append(round(res["rows_per_sec"], 1))
+                if n not in results or res["rows_per_sec"] > results[n]["rows_per_sec"]:
+                    results[n] = res
         curve = {str(n): round(results[n]["rows_per_sec"], 1) for n in points}
         def eff(lo, hi):
             return round(results[hi]["rows_per_sec"] / ((hi / lo) * results[lo]["rows_per_sec"]), 3)
@@ -184,6 +199,7 @@ def main() -> None:
                     "unit": "ratio",
                     "rows_per_sec_by_cpus": curve,
                     "pair_efficiencies": pair_effs,
+                    "all_samples": {str(n): samples[n] for n in points},
                     "rows": results[points[0]]["rows"],
                     "sf": sf_of(sf_dir),
                 }

@@ -376,3 +376,98 @@ def supplier_nation_stats(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def shipping_priority(sf_dir: str, limit: int = 10) -> pa.Table:
+    """TPC-H Q3-style FACT-FACT join: lineitem x orders on l_orderkey —
+    both sides are fact tables, so this is the one join class broadcast
+    can't serve.  Ray shape: a true distributed hash join
+    (``Dataset.join``) with projection pushed to the reads and the
+    date predicates pushed to the parquet scan, then groupby + top-k by
+    revenue.  The shuffle moves only (orderkey, revenue-term) and
+    (orderkey, date, priority) — never whole rows."""
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def project_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_date_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    joined = lineitem.map_batches(revenue, batch_format="pyarrow").join(
+        orders.map_batches(project_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby(["l_orderkey", "o_date_us", "o_orderpriority"]).aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    rows = agg.take_all()
+    for r in rows:
+        r["revenue_cents"] = int(round(round(float(r["revenue"]), 2) * 100))
+    rows.sort(key=lambda r: (-r["revenue_cents"], r["l_orderkey"]))
+    rows = rows[:limit]
+    return pa.table(
+        {
+            "l_orderkey": pa.array([r["l_orderkey"] for r in rows], type=pa.int64()),
+            "o_date_us": pa.array([int(r["o_date_us"]) for r in rows], type=pa.int64()),
+            "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows]),
+            "revenue_cents": pa.array([r["revenue_cents"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def revenue_forecast(sf_dir: str) -> pa.Table:
+    """TPC-H Q6-style pure filter + aggregate — the predicate-pushdown
+    showcase: discount/quantity predicates evaluate at the parquet scan
+    (row-group pruning at scale), only two columns leave storage, and a
+    single global sum comes back."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24)
+        ),
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"), batch.column("l_discount"))
+        return pa.table({"revenue": rev})
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    agg = ds.map_batches(revenue, batch_format="pyarrow").aggregate(
+        _Sum("revenue", alias_name="revenue"), _Count(alias_name="n_items")
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [int(round(round(float(agg["revenue"]), 2) * 100))], type=pa.int64()
+            ),
+            "n_items": pa.array([int(agg["n_items"])], type=pa.int64()),
+        }
+    )
