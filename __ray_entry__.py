@@ -234,6 +234,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norms": lambda sf: similarity.embedding_norms(sf),
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
         "revenue_forecast": lambda sf: analytics.revenue_forecast(sf),
+        # --- sketches / iterative / cross-modal (rows-only: approximate
+        # or iterative semantics are not SQL-expressible) ---
+        "docs_approx_distinct": lambda sf: text.approx_distinct_words(sf),
+        "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
+        "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
     }
 
 

@@ -475,3 +475,42 @@ def near_dedup_keep(
         .map_batches(keep_filter, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def simhash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
+    """SimHash near-dup pairs via the SAME banded-LSH Hamming
+    verification as image/audio dedup (multimodal.banded_hamming_dupes)
+    — one 64-bit-fingerprint dedup engine across text and media
+    modalities.  Returns (doc_a, doc_b, dist) with int doc ids."""
+    from .multimodal import banded_hamming_dupes
+
+    sims = simhash64(sf_dir)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [f"{i:012d}" for i in batch.column("doc_id").to_pylist()],
+                    type=pa.string(),
+                ),
+                "simhash": batch.column("simhash"),
+            }
+        )
+
+    pairs = banded_hamming_dupes(
+        sims.map_batches(stringify, batch_format="pyarrow"),
+        "media_id",
+        "simhash",
+        max_dist=max_dist,
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(
+                [int(v) for v in pairs.column("media_a").to_pylist()], type=pa.int64()
+            ),
+            "doc_b": pa.array(
+                [int(v) for v in pairs.column("media_b").to_pylist()], type=pa.int64()
+            ),
+            "dist": pairs.column("dist"),
+        }
+    )

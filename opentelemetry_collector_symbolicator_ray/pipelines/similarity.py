@@ -459,3 +459,81 @@ def embedding_norms(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(fn, batch_format="pyarrow").sort("vec_id")
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Distributed mini k-means over the embeddings table — the
+    iterative-algorithm pattern: each Lloyd iteration is ONE streaming
+    pass (map_batches emits per-batch partial sums + counts per
+    cluster, tiny k x d partials reduce on the driver), so the corpus
+    never materializes and the driver state is k centroids.  Seeded
+    deterministic init via the shared centroid sampler.  Returns final
+    cluster sizes + within-cluster inertia (rows-only; the convergence
+    property — non-increasing inertia — is the test oracle)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()
+    centroids = _sample_centroids(sf_dir, n, k)  # unit-normalized seeds
+
+    inertias: list[float] = []
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            ids, mat = _batch_matrix(batch)
+            if not len(ids):
+                return pa.table(
+                    {
+                        "cell": pa.array([], type=pa.int64()),
+                        "count": pa.array([], type=pa.int64()),
+                        "sums": pa.array([], type=pa.binary()),
+                        "sq_err": pa.array([], type=pa.float64()),
+                    }
+                )
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2 * (mat @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            cells, counts_, errs, sums = [], [], [], []
+            for c in np.unique(assign):
+                mask = assign == c
+                cells.append(int(c))
+                counts_.append(int(mask.sum()))
+                errs.append(float(d2[mask, c].sum()))
+                sums.append(mat[mask].sum(axis=0).astype("<f8").tobytes())
+            return pa.table(
+                {
+                    "cell": pa.array(cells, type=pa.int64()),
+                    "count": pa.array(counts_, type=pa.int64()),
+                    "sums": pa.array(sums, type=pa.binary()),
+                    "sq_err": pa.array(errs, type=pa.float64()),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        dim = centroids.shape[1]
+        sums = np.zeros((len(centroids), dim))
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        inertia = 0.0
+        for r in rows:
+            c = r["cell"]
+            sums[c] += np.frombuffer(r["sums"], dtype="<f8")
+            counts[c] += r["count"]
+            inertia += r["sq_err"]
+        inertias.append(float(inertia))
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(len(centroids)), type=pa.int64()),
+            "size": pa.array(counts, type=pa.int64()),
+            "inertia_r3": pa.array(
+                [round(inertias[-1], 3)] * len(centroids), type=pa.float64()
+            ),
+        }
+    )

@@ -473,3 +473,62 @@ def distinct_word_counts(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def approx_distinct_words(sf_dir: str, p: int = 12) -> pa.Table:
+    """Corpus-wide approximate distinct-word count via a distributed
+    HyperLogLog sketch — the mergeable-sketch pattern for cardinality at
+    100 TB: every batch builds a LOCAL register array (2^p bytes), the
+    shuffle moves one tiny blob per block (never the words), and the
+    driver folds blobs with an elementwise max.  Standard HLL estimator
+    with the small-range (linear counting) correction; expected relative
+    error ~1.04/sqrt(2^p) (~1.6% at p=12).  Rows-only check: the exact
+    counterpart is the `doc_frequency` groupby (oracle-checked), and the
+    test asserts the sketch lands within the error bound."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        words = set()
+        for t in batch.column("text").to_pylist():
+            words.update(t.split(" "))
+        if words:
+            hashes = np.array(
+                [
+                    int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                    for w in words
+                ],
+                dtype=np.uint64,
+            )
+            idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+            rest = hashes << np.uint64(p)  # top (64-p) bits left-aligned
+            # rank = leading zeros of rest + 1 (capped at 64-p+1)
+            ranks = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
+            nz = rest != 0
+            # leading zeros via float64 exponent trick is lossy; use bit length
+            bl = np.zeros(len(hashes), dtype=np.int64)
+            bl[nz] = np.frompyfunc(int.bit_length, 1, 1)(rest[nz]).astype(np.int64)
+            ranks[nz] = (64 - bl[nz] + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, ranks)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    blobs = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    regs = np.zeros(m, dtype=np.uint8)
+    for row in blobs:
+        regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range correction
+    return pa.table(
+        {
+            "approx_distinct": pa.array([int(round(est))], type=pa.int64()),
+            "registers": pa.array([m], type=pa.int64()),
+        }
+    )

@@ -248,3 +248,61 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
     # auto picks join when the vocab exceeds the threshold
     forced = tfidf_top_term(sf, mode="auto", vocab_threshold=1)
     assert forced.take_all() == join.take_all()
+
+
+def test_hll_approx_distinct_within_bound(ray_session):
+    """The distributed HyperLogLog sketch lands within its theoretical
+    error band of the exact distinct-word count (p=12 -> ~1.6% sigma;
+    assert 5% = ~3 sigma), and is deterministic."""
+    import duckdb
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        approx_distinct_words,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT w) FROM (
+              SELECT UNNEST(string_split(text, ' ')) AS w
+              FROM read_parquet('{sf}/documents.parquet'))"""
+    ).fetchone()[0]
+    got = approx_distinct_words(sf).to_pylist()[0]["approx_distinct"]
+    assert abs(got - exact) / exact < 0.05
+    assert approx_distinct_words(sf).to_pylist()[0]["approx_distinct"] == got
+
+
+def test_kmeans_converges_and_partitions(ray_session):
+    """Distributed Lloyd iterations: cluster sizes partition the corpus
+    and inertia is non-increasing with more iterations."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        kmeans_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    one = kmeans_embeddings(sf, k=8, iters=1).to_pylist()
+    five = kmeans_embeddings(sf, k=8, iters=5).to_pylist()
+    assert sum(r["size"] for r in five) == 500
+    assert len(five) == 8
+    assert five[0]["inertia_r3"] <= one[0]["inertia_r3"]
+    # deterministic
+    again = kmeans_embeddings(sf, k=8, iters=5).to_pylist()
+    assert again == five
+
+
+def test_simhash_banded_dupes_cross_modal_engine(ray_session, tmp_path):
+    """Text SimHash dedup rides the SAME banded-Hamming engine as
+    image/audio dedup: byte-identical docs pair at distance 0."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import simhash_dupes
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with nothing shared at all whatsoever"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 50], type=pa.int64()),
+            "text": pa.array([text, text, other], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    pairs = simhash_dupes(str(tmp_path)).to_pylist()
+    assert {(r["doc_a"], r["doc_b"], r["dist"]) for r in pairs} >= {(1, 2, 0)}
+    assert all({r["doc_a"], r["doc_b"]} != {1, 50} for r in pairs)
