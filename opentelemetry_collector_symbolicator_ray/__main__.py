@@ -51,6 +51,24 @@ def main(argv: list[str] | None = None) -> int:
     p_agg = sub.add_parser("aggregates", help="print per-sink totals from committed manifests")
     p_agg.add_argument("--output", required=True)
 
+    p_serve = sub.add_parser(
+        "serve",
+        help="OTLP/HTTP listener + periodic micro-batch symbolication drains",
+    )
+    p_serve.add_argument("--spool", required=True, help="JSONL spool dir")
+    p_serve.add_argument("--output", required=True, help="sink/manifest output dir")
+    p_serve.add_argument("--artifacts", required=True)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=4318)
+    p_serve.add_argument("--drain-interval", type=float, default=10.0)
+    p_serve.add_argument(
+        "--max-drains", type=int, default=None,
+        help="stop after N drains (default: run until interrupted)",
+    )
+    p_serve.add_argument("--rotate-records", type=int, default=10_000)
+    p_serve.add_argument("--concurrency", type=int, default=None)
+    p_serve.add_argument("--batch-size", type=int, default=2048)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "synth":
@@ -64,6 +82,50 @@ def main(argv: list[str] | None = None) -> int:
         from .state.checkpoint import ShardManifest
 
         print(json.dumps(ShardManifest(args.output).aggregates(), sort_keys=True))
+        return 0
+
+    if args.cmd == "serve":
+        import time
+
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+        try:
+            from .config import PipelineConfig
+            from .sources.otlp_http import OTLPHttpReceiver, drain_spool_checkpointed
+
+            cfg = PipelineConfig.with_default_routing(
+                args.artifacts,
+                concurrency=args.concurrency
+                or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
+                batch_size=args.batch_size,
+            )
+            receiver = OTLPHttpReceiver(
+                args.spool, host=args.host, port=args.port,
+                rotate_records=args.rotate_records,
+            )
+            print(
+                json.dumps(
+                    {"listening": f"http://{receiver.host}:{receiver.port}",
+                     "spool": args.spool, "output": args.output}
+                ),
+                flush=True,
+            )
+            drains = 0
+            try:
+                while args.max_drains is None or drains < args.max_drains:
+                    time.sleep(args.drain_interval)
+                    receiver.rotate()
+                    res = drain_spool_checkpointed(args.spool, args.output, cfg)
+                    drains += 1
+                    print(json.dumps({"drain": drains, **res}, sort_keys=True), flush=True)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                receiver.close()
+        finally:
+            ray.shutdown()
         return 0
 
     # run

@@ -191,3 +191,44 @@ def drain_to_dataset(receiver: OTLPHttpReceiver, *, skip_bad_lines: bool = False
             )
         )
     return read_otlp_jsonl(files, skip_bad_lines=skip_bad_lines)
+
+
+def drain_spool_checkpointed(spool_dir: str, output_dir: str, cfg) -> dict:
+    """Checkpointed micro-batch drain: every COMPLETED, not-yet-committed
+    spool file is one shard whose id is its ingest sequence number, so
+    the spool sequence IS the shard id space — re-drains are no-ops
+    (committed files skip), and a crash mid-drain resumes exactly the
+    unfinished files with the batch path's orphan cleanup.  Returns the
+    drained shard ids plus cumulative per-sink totals from the
+    manifests."""
+    import re
+
+    from ..pipelines.symbolicate import (
+        _accumulate_summary_row,
+        _commit_shard,
+        symbolicate_and_write,
+    )
+    from ..state.checkpoint import ShardManifest
+    from .otlp import read_otlp_jsonl
+
+    manifest = ShardManifest(output_dir)
+    drained: list[int] = []
+    for name in sorted(os.listdir(spool_dir)):
+        m = re.fullmatch(r"ingest-(\d{6})\.jsonl", name)
+        if not m:
+            continue
+        sid = int(m.group(1))
+        if manifest.is_committed(sid):
+            continue
+        manifest.clean_orphan_outputs(sid)
+        full = os.path.join(spool_dir, name)
+        summaries = symbolicate_and_write(
+            read_otlp_jsonl([full]), cfg, output_dir, f"{sid:05d}"
+        ).take_all()
+        sinks: dict = {}
+        outputs: list[str] = []
+        for row in summaries:
+            outputs.append(_accumulate_summary_row(sinks, row))
+        _commit_shard(manifest, output_dir, sid, [full], sinks, outputs)
+        drained.append(sid)
+    return {"drained_shards": drained, "totals": manifest.aggregates()}

@@ -160,3 +160,140 @@ def test_http_ingest_pipeline_parity(ray_session, tmp_path):
     ).to_pylist()
     b = per_sink_aggregates(symbolicate(ds, cfg)).to_pylist()
     assert drop_telemetry(a) == drop_telemetry(b)
+
+
+def test_checkpointed_spool_drain(ray_session, tmp_path):
+    """drain_spool_checkpointed: each completed spool file is one
+    committed shard (sid = ingest sequence), totals equal the parquet
+    path, and a re-drain is a no-op."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.codec import decode_batch_tokens
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        drop_telemetry,
+        input_files,
+        per_sink_aggregates,
+        symbolicate,
+    )
+    from opentelemetry_collector_symbolicator_ray.sources.otlp_http import (
+        drain_spool_checkpointed,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 120, num_files=1, seed=19)
+    cfg = PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=2, batch_size=64
+    )
+
+    r = OTLPHttpReceiver(str(tmp_path / "spool"), rotate_records=40)
+    try:
+        base = f"http://{r.host}:{r.port}"
+        for path in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
+            for record in decode_batch_tokens(pq.read_table(path)):
+                status, _ = post(
+                    f"{base}/v1/logs", json.dumps(record_to_otlp(record)).encode()
+                )
+                assert status == 200
+        r.rotate()
+    finally:
+        r.close()
+
+    out = str(tmp_path / "out")
+    res = drain_spool_checkpointed(str(tmp_path / "spool"), out, cfg)
+    assert res["drained_shards"] == [0, 1, 2]  # 120 records / 40 per file
+
+    want = {
+        row["sink"]: row
+        for row in per_sink_aggregates(
+            symbolicate(ray.data.read_parquet(input_files(corpus)), cfg)
+        ).to_pylist()
+    }
+    got = res["totals"]
+
+    def comparable(d):
+        # token_hash folds doc_ids, which legitimately differ between
+        # OTLP-synthesized ids and the parquet corpus ids
+        return drop_telemetry(
+            {
+                k: {kk: vv for kk, vv in v.items() if kk not in ("sink", "token_hash")}
+                for k, v in d.items()
+            }
+        )
+
+    assert comparable(got) == comparable(want)
+
+    # re-drain: committed spool files skip; totals unchanged
+    res2 = drain_spool_checkpointed(str(tmp_path / "spool"), out, cfg)
+    assert res2["drained_shards"] == []
+    assert res2["totals"] == res["totals"]
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """`serve` CLI: listener + periodic drains in a real subprocess —
+    POST records, watch the drain line commit them, aggregates match."""
+    import subprocess
+    import sys
+    import time
+
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 40, num_files=1, seed=29)
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "opentelemetry_collector_symbolicator_ray", "serve",
+            "--spool", str(tmp_path / "spool"), "--output", str(tmp_path / "out"),
+            "--artifacts", os.path.join(corpus, "artifacts"),
+            "--port", "0", "--drain-interval", "1.0", "--max-drains", "3",
+            "--concurrency", "2", "--batch-size", "32",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    try:
+        line = proc.stdout.readline()
+        info = json.loads(line)
+        base = info["listening"]
+
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from opentelemetry_collector_symbolicator_ray.codec import decode_batch_tokens
+
+        n_posted = 0
+        for path in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
+            for record in decode_batch_tokens(pq.read_table(path)):
+                status, _ = post(
+                    f"{base}/v1/logs", json.dumps(record_to_otlp(record)).encode()
+                )
+                assert status == 200
+                n_posted += 1
+
+        out_lines = [json.loads(l) for l in proc.stdout]
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    assert len(out_lines) == 3  # --max-drains honored
+    totals = out_lines[-1]["totals"]
+    assert sum(v["rows"] for v in totals.values()) == n_posted
+    # manifests on disk agree with the printed totals
+    agg = subprocess.run(
+        [
+            sys.executable, "-m", "opentelemetry_collector_symbolicator_ray",
+            "aggregates", "--output", str(tmp_path / "out"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    assert json.loads(agg.stdout.strip().splitlines()[-1]) == totals
