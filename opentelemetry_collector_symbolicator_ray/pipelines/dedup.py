@@ -136,8 +136,11 @@ def _guard_block_pair_fanout(op: str, n_blocks: int, max_blocks: int, scale_alt:
     fan-out, and refuse outright when the O(B^2/2) block-pair task count
     would explode (e.g. 4096 blocks -> 8.4M tasks) — pointing at the
     sub-quadratic scale path instead."""
+    import sys
+
     n_tasks = n_blocks * (n_blocks + 1) // 2
-    print(f"{op}: {n_blocks} blocks -> {n_tasks} block-pair tasks")
+    # stderr: stdout belongs to the one-JSON-line bench/driver contract
+    print(f"{op}: {n_blocks} blocks -> {n_tasks} block-pair tasks", file=sys.stderr)
     if n_blocks > max_blocks:
         raise ValueError(
             f"{op}: {n_blocks} input blocks would fan out to {n_tasks} "
