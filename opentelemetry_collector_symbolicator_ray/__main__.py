@@ -66,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
         help="stop after N drains (default: run until interrupted)",
     )
     p_serve.add_argument("--rotate-records", type=int, default=10_000)
+    p_serve.add_argument(
+        "--archive-drained", action="store_true",
+        help="move committed spool files to <spool>/drained/ (bounds the "
+        "spool listing for long-running listeners)",
+    )
     p_serve.add_argument("--concurrency", type=int, default=None)
     p_serve.add_argument("--batch-size", type=int, default=2048)
 
@@ -117,7 +122,9 @@ def main(argv: list[str] | None = None) -> int:
                 while args.max_drains is None or drains < args.max_drains:
                     time.sleep(args.drain_interval)
                     receiver.rotate()
-                    res = drain_spool_checkpointed(args.spool, args.output, cfg)
+                    res = drain_spool_checkpointed(
+                        args.spool, args.output, cfg, archive=args.archive_drained
+                    )
                     drains += 1
                     print(json.dumps({"drain": drains, **res}, sort_keys=True), flush=True)
             except KeyboardInterrupt:

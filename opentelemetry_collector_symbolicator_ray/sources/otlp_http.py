@@ -193,14 +193,22 @@ def drain_to_dataset(receiver: OTLPHttpReceiver, *, skip_bad_lines: bool = False
     return read_otlp_jsonl(files, skip_bad_lines=skip_bad_lines)
 
 
-def drain_spool_checkpointed(spool_dir: str, output_dir: str, cfg) -> dict:
+def drain_spool_checkpointed(
+    spool_dir: str, output_dir: str, cfg, *, archive: bool = False
+) -> dict:
     """Checkpointed micro-batch drain: every COMPLETED, not-yet-committed
     spool file is one shard whose id is its ingest sequence number, so
     the spool sequence IS the shard id space — re-drains are no-ops
     (committed files skip), and a crash mid-drain resumes exactly the
     unfinished files with the batch path's orphan cleanup.  Returns the
     drained shard ids plus cumulative per-sink totals from the
-    manifests."""
+    manifests.
+
+    ``archive=True`` moves each spool file into ``spool_dir/drained/``
+    AFTER its manifest commit (move-after-commit: a crash between the
+    two just re-skips the committed sid next drain).  For a long-running
+    listener this bounds the spool directory listing — at ingest scale
+    an unarchived spool would grow without bound."""
     import re
 
     from ..pipelines.symbolicate import (
@@ -212,16 +220,20 @@ def drain_spool_checkpointed(spool_dir: str, output_dir: str, cfg) -> dict:
     from .otlp import read_otlp_jsonl
 
     manifest = ShardManifest(output_dir)
+    archive_dir = os.path.join(spool_dir, "drained")
     drained: list[int] = []
     for name in sorted(os.listdir(spool_dir)):
         m = re.fullmatch(r"ingest-(\d{6})\.jsonl", name)
         if not m:
             continue
         sid = int(m.group(1))
+        full = os.path.join(spool_dir, name)
         if manifest.is_committed(sid):
+            if archive:
+                os.makedirs(archive_dir, exist_ok=True)
+                os.replace(full, os.path.join(archive_dir, name))
             continue
         manifest.clean_orphan_outputs(sid)
-        full = os.path.join(spool_dir, name)
         summaries = symbolicate_and_write(
             read_otlp_jsonl([full]), cfg, output_dir, f"{sid:05d}"
         ).take_all()
@@ -231,4 +243,7 @@ def drain_spool_checkpointed(spool_dir: str, output_dir: str, cfg) -> dict:
             outputs.append(_accumulate_summary_row(sinks, row))
         _commit_shard(manifest, output_dir, sid, [full], sinks, outputs)
         drained.append(sid)
+        if archive:
+            os.makedirs(archive_dir, exist_ok=True)
+            os.replace(full, os.path.join(archive_dir, name))
     return {"drained_shards": drained, "totals": manifest.aggregates()}

@@ -297,3 +297,65 @@ def test_serve_cli_end_to_end(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", check=True,
     )
     assert json.loads(agg.stdout.strip().splitlines()[-1]) == totals
+
+
+def test_drain_archive_bounds_spool(ray_session, tmp_path):
+    """archive=True moves committed spool files to <spool>/drained/
+    after commit, so the listing stays bounded; re-drains stay no-ops
+    and totals are unchanged."""
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.sources.otlp_http import (
+        drain_spool_checkpointed,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 30, num_files=1, seed=37)
+    cfg = PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=2, batch_size=32
+    )
+    spool = str(tmp_path / "spool")
+    r = OTLPHttpReceiver(spool, rotate_records=10)
+    try:
+        base = f"http://{r.host}:{r.port}"
+        for i in range(20):
+            status, _ = post(f"{base}/v1/logs", json.dumps(_sample_request(i)).encode())
+            assert status == 200
+        r.rotate()
+    finally:
+        r.close()
+
+    out = str(tmp_path / "out")
+    res = drain_spool_checkpointed(spool, out, cfg, archive=True)
+    assert res["drained_shards"] == [0, 1]
+    assert not any(f.endswith(".jsonl") for f in os.listdir(spool))
+    assert sorted(os.listdir(os.path.join(spool, "drained"))) == [
+        "ingest-000000.jsonl", "ingest-000001.jsonl",
+    ]
+    res2 = drain_spool_checkpointed(spool, out, cfg, archive=True)
+    assert res2["drained_shards"] == [] and res2["totals"] == res["totals"]
+
+
+def test_http_listener_fuzz_never_crashes(receiver):
+    """Garbage bodies (binary junk, truncated JSON, deep nesting, huge
+    strings, wrong types) must yield 4xx responses — never kill the
+    listener; a valid request afterwards still lands."""
+    import random
+
+    rng = random.Random(99)
+    base = f"http://{receiver.host}:{receiver.port}"
+    bodies = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+        for _ in range(20)
+    ] + [
+        b"", b"null", b"[1,2,3]", b'"just a string"', b"123",
+        b'{"resourceLogs": ' * 50,
+        b'{"a": "' + b"x" * 100_000 + b'"',
+    ]
+    for body in bodies:
+        status, _ = post(f"{base}/v1/logs", body)
+        assert 400 <= status < 500
+
+    status, _ = post(f"{base}/v1/logs", json.dumps(_sample_request()).encode())
+    assert status == 200
+    assert receiver.received == 1
