@@ -459,3 +459,46 @@ def test_pipelined_equals_sequential_checkpointed(ray_session, corpus, tmp_path)
 
     with pytest.raises(ValueError, match="isolation"):
         run_checkpointed(corpus, str(tmp_path / "x"), cfg, salted=True, pipelined=True)
+
+
+def test_pipelined_survives_actor_death_exactly_once(
+    ray_session, corpus, tmp_path, monkeypatch
+):
+    """Exactly-once under ACTOR death (not just driver kill): a chain
+    worker that writes its part files and then dies mid-task is
+    restarted by Ray, the task retries on the fresh actor, and commit-
+    time reconciliation removes the dead attempt's orphan parts —
+    totals equal a clean run and every part on disk is
+    manifest-recorded."""
+    import glob
+    import json
+
+    import opentelemetry_collector_symbolicator_ray.stages.symbolicate_stage as stage_mod
+
+    ref_out = str(tmp_path / "ref")
+    ref = run_checkpointed(corpus, ref_out, make_cfg(corpus), shard_size=2)
+
+    marker = str(tmp_path / "crashed.marker")
+    real_cls = stage_mod.SymbolicatorChainFromFiles
+
+    class CrashOnce(real_cls):
+        def __call__(self, batch):
+            out = real_cls.__call__(self, batch)
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                os._exit(1)  # die AFTER writing parts, BEFORE returning
+            return out
+
+    monkeypatch.setattr(stage_mod, "SymbolicatorChainFromFiles", CrashOnce)
+    out = str(tmp_path / "crashy")
+    agg = run_checkpointed(corpus, out, make_cfg(corpus), shard_size=2)
+
+    assert os.path.exists(marker)  # the crash really happened
+    assert drop_telemetry(agg) == drop_telemetry(ref)
+
+    recorded = set()
+    for mf in glob.glob(os.path.join(out, "manifest", "shard-*.json")):
+        with open(mf) as f:
+            recorded.update(json.load(f)["outputs"])
+    on_disk = set(glob.glob(os.path.join(out, "*", "part-*.parquet")))
+    assert on_disk == recorded  # dead attempt's duplicates reconciled away
