@@ -127,17 +127,35 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
         .groupby(["c_custkey", "c_name"])
         .aggregate(Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders"))
     )
-    rows = agg.take_all()
-    for r in rows:
-        r["total_spend_cents"] = int(round(round(float(r["total_spend"]), 2) * 100))
-    rows.sort(key=lambda r: (-r["total_spend_cents"], r["c_custkey"]))
-    rows = rows[:limit]
+
+    # customer-count-sized aggregate: cents in a streaming stage, top-k
+    # via distributed sort+limit — only `limit` rows reach the driver
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = [
+            int(round(round(float(v), 2) * 100))
+            for v in batch.column("total_spend").to_pylist()
+        ]
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "c_name": batch.column("c_name"),
+                "total_spend_cents": pa.array(cents, type=pa.int64()),
+                "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+            }
+        )
+
+    rows = (
+        agg.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["total_spend_cents", "c_custkey"], descending=[True, False])
+        .limit(limit)
+        .take_all()
+    )
     return pa.table(
         {
             "c_custkey": pa.array([r["c_custkey"] for r in rows], type=pa.int64()),
             "c_name": pa.array([r["c_name"] for r in rows], type=pa.string()),
             "total_spend_cents": pa.array(
-                [r["total_spend_cents"] for r in rows], type=pa.int64()
+                [int(r["total_spend_cents"]) for r in rows], type=pa.int64()
             ),
             "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
         }
@@ -422,17 +440,36 @@ def shipping_priority(sf_dir: str, limit: int = 10) -> pa.Table:
     agg = joined.groupby(["l_orderkey", "o_date_us", "o_orderpriority"]).aggregate(
         Sum("revenue", alias_name="revenue")
     )
-    rows = agg.take_all()
-    for r in rows:
-        r["revenue_cents"] = int(round(round(float(r["revenue"]), 2) * 100))
-    rows.sort(key=lambda r: (-r["revenue_cents"], r["l_orderkey"]))
-    rows = rows[:limit]
+
+    # the per-order aggregate is order-count-sized: convert to cents in
+    # a streaming stage and take the top-k with a DISTRIBUTED
+    # sort+limit — the driver only ever sees `limit` rows
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = [
+            int(round(round(float(v), 2) * 100))
+            for v in batch.column("revenue").to_pylist()
+        ]
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "o_date_us": pc.cast(batch.column("o_date_us"), pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "revenue_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    rows = (
+        agg.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(limit)
+        .take_all()
+    )
     return pa.table(
         {
             "l_orderkey": pa.array([r["l_orderkey"] for r in rows], type=pa.int64()),
             "o_date_us": pa.array([int(r["o_date_us"]) for r in rows], type=pa.int64()),
             "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows]),
-            "revenue_cents": pa.array([r["revenue_cents"] for r in rows], type=pa.int64()),
+            "revenue_cents": pa.array([int(r["revenue_cents"]) for r in rows], type=pa.int64()),
         }
     )
 
