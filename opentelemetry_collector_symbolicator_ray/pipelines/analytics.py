@@ -162,7 +162,7 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
     )
 
 
-def error_events_by_user(sf_dir: str) -> pa.Table:
+def error_events_by_user(sf_dir: str) -> "ray.data.Dataset":
     """Predicate + projection pushdown at the read: only the 'error'
     rows of the two needed columns leave storage (read_parquet row
     filter), then a small groupby."""
@@ -176,17 +176,23 @@ def error_events_by_user(sf_dir: str) -> pa.Table:
     agg = ds.groupby("user_id").aggregate(
         Count(alias_name="n_errors"), Sum("value", alias_name="total_value")
     )
-    rows = sorted(agg.take_all(), key=lambda r: r["user_id"])
-    return pa.table(
-        {
-            "user_id": pa.array([int(r["user_id"]) for r in rows], type=pa.int64()),
-            "n_errors": pa.array([int(r["n_errors"]) for r in rows], type=pa.int64()),
-            "total_value_cents": pa.array(
-                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
-                type=pa.int64(),
-            ),
-        }
-    )
+
+    # user-count-sized result: cents in a streaming stage, distributed
+    # sort, returned as a Dataset
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = [
+            int(round(round(float(v), 2) * 100))
+            for v in batch.column("total_value").to_pylist()
+        ]
+        return pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "n_errors": pc.cast(batch.column("n_errors"), pa.int64()),
+                "total_value_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(to_cents, batch_format="pyarrow").sort("user_id")
 
 
 def label_stratified_sample(sf_dir: str, per_label: int = 5) -> pa.Table:
@@ -254,7 +260,7 @@ def label_text_stats(sf_dir: str, num_partitions: int = 8) -> pa.Table:
     )
 
 
-def top_events_per_user(sf_dir: str, k: int = 2) -> pa.Table:
+def top_events_per_user(sf_dir: str, k: int = 2) -> "ray.data.Dataset":
     """Per-key top-k (the grouped-reorder primitive): each user's k
     highest-value events via ``groupby(user).map_groups`` with the
     deterministic (value desc, ts, event_type) ordering the SQL oracle
@@ -281,15 +287,12 @@ def top_events_per_user(sf_dir: str, k: int = 2) -> pa.Table:
             }
         )
 
-    out = ds.groupby("user_id").map_groups(topk, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: (r["user_id"], r["rank"]))
-    return pa.table(
-        {
-            "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
-            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
-            "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
-            "value_cents": pa.array([r["value_cents"] for r in rows], type=pa.int64()),
-        }
+    # user-count-sized result: stream it (distributed sort, no
+    # driver-side materialization)
+    return (
+        ds.groupby("user_id")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["user_id", "rank"])
     )
 
 

@@ -21,9 +21,28 @@ from ray.data.aggregate import Count, Sum
 US_PER_HOUR = 3600 * 1_000_000
 
 
-def tumbling_event_counts(sf_dir: str, window_us: int = US_PER_HOUR) -> pa.Table:
+def _window_cents(batch: pa.Table, key: str) -> pa.Table:
+    """Streaming cents conversion for windowed aggregates (the window
+    table grows with the time range — never a driver-side loop)."""
+    cents = [
+        int(round(round(float(v), 2) * 100))
+        for v in batch.column("total_value").to_pylist()
+    ]
+    return pa.table(
+        {
+            "event_type": batch.column("event_type"),
+            key: pc.cast(batch.column(key), pa.int64()),
+            "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+            "total_value_cents": pa.array(cents, type=pa.int64()),
+        }
+    )
+
+
+def tumbling_event_counts(sf_dir: str, window_us: int = US_PER_HOUR) -> "ray.data.Dataset":
     """Tumbling windows per event type: window key derived vectorized in
-    map_batches (no shuffle), then a grouped aggregate."""
+    map_batches (no shuffle), then a grouped aggregate.  The result is
+    window-count-sized (grows with the time range), so it streams out as
+    a sorted Dataset."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
@@ -37,26 +56,16 @@ def tumbling_event_counts(sf_dir: str, window_us: int = US_PER_HOUR) -> pa.Table
             }
         )
 
-    agg = (
+    return (
         ds.map_batches(add_window, batch_format="pyarrow")
         .groupby(["event_type", "window_id"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
-    )
-    rows = sorted(agg.take_all(), key=lambda r: (r["event_type"], r["window_id"]))
-    return pa.table(
-        {
-            "event_type": pa.array([r["event_type"] for r in rows]),
-            "window_id": pa.array([int(r["window_id"]) for r in rows], type=pa.int64()),
-            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
-            "total_value_cents": pa.array(
-                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
-                type=pa.int64(),
-            ),
-        }
+        .map_batches(lambda b: _window_cents(b, "window_id"), batch_format="pyarrow")
+        .sort(["event_type", "window_id"])
     )
 
 
-def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
+def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> "ray.data.Dataset":
     """Gap-based sessionization: groupby(user).map_groups sorts each
     user's events by ts and counts gap-breaks — the canonical Ray shape
     for per-key stateful windowing (one group = one key's full log).
@@ -74,20 +83,13 @@ def user_sessions(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> pa.Table:
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
-    return pa.table(
-        {
-            "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
-            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
-            "n_sessions": pa.array([int(r["n_sessions"]) for r in rows], type=pa.int64()),
-        }
-    )
+    # user-count-sized: stream the sorted result
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow").sort("user_id")
 
 
 def hopping_event_counts(
     sf_dir: str, window_us: int = US_PER_HOUR, hop_us: int = 900 * 1_000_000
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Hopping (sliding) windows: each event belongs to window_size/hop
     overlapping windows, expanded VECTORIZED inside map_batches
     (np.repeat row fan-out — the flat_map shape), then the same grouped
@@ -112,22 +114,12 @@ def hopping_event_counts(
         )
         return out
 
-    agg = (
+    return (
         ds.map_batches(expand, batch_format="pyarrow")
         .groupby(["event_type", "hop_id"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
-    )
-    rows = sorted(agg.take_all(), key=lambda r: (r["event_type"], r["hop_id"]))
-    return pa.table(
-        {
-            "event_type": pa.array([r["event_type"] for r in rows]),
-            "hop_id": pa.array([int(r["hop_id"]) for r in rows], type=pa.int64()),
-            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
-            "total_value_cents": pa.array(
-                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
-                type=pa.int64(),
-            ),
-        }
+        .map_batches(lambda b: _window_cents(b, "hop_id"), batch_format="pyarrow")
+        .sort(["event_type", "hop_id"])
     )
 
 
