@@ -499,8 +499,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
         """,
         "revenue_forecast": """
-            SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) * 100 AS BIGINT)
-                       AS revenue_cents,
+            SELECT COALESCE(CAST(ROUND(SUM(l_extendedprice * l_discount), 2) * 100
+                                 AS BIGINT), 0) AS revenue_cents,
                    count(*)::BIGINT AS n_items
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24

@@ -17,6 +17,17 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
+def _cents(v) -> int:
+    """Shared integer-cents conversion (round-to-2dp, x100, int64) — ONE
+    implementation of the oracle-shared rounding rule so it cannot drift
+    per query."""
+    return int(round(round(float(v), 2) * 100))
+
+
+def _cents_array(col) -> pa.Array:
+    return pa.array([_cents(v) for v in col.to_pylist()], type=pa.int64())
+
+
 def events_by_type(sf_dir: str) -> pa.Table:
     """groupby(event_type): count + sum(value) (rounded)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
@@ -29,7 +40,7 @@ def events_by_type(sf_dir: str) -> pa.Table:
             "event_type": pa.array([r["event_type"] for r in rows]),
             "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
             "total_value_cents": pa.array(
-                [int(round(round(float(r["total_value"]), 2) * 100)) for r in rows],
+                [_cents(r["total_value"]) for r in rows],
                 type=pa.int64(),
             ),
         }
@@ -74,14 +85,14 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
             "l_returnflag": pa.array([r["l_returnflag"] for r in rows]),
             "l_linestatus": pa.array([r["l_linestatus"] for r in rows]),
             "sum_qty_cents": pa.array(
-                [int(round(round(float(r["sum_qty"]), 2) * 100)) for r in rows], type=pa.int64()
+                [_cents(r["sum_qty"]) for r in rows], type=pa.int64()
             ),
             "sum_base_price_cents": pa.array(
-                [int(round(round(float(r["sum_base_price"]), 2) * 100)) for r in rows],
+                [_cents(r["sum_base_price"]) for r in rows],
                 type=pa.int64(),
             ),
             "sum_disc_price_cents": pa.array(
-                [int(round(round(float(r["sum_disc_price"]), 2) * 100)) for r in rows],
+                [_cents(r["sum_disc_price"]) for r in rows],
                 type=pa.int64(),
             ),
             "count_order": pa.array([int(r["count_order"]) for r in rows], type=pa.int64()),
@@ -131,15 +142,12 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
     # customer-count-sized aggregate: cents in a streaming stage, top-k
     # via distributed sort+limit — only `limit` rows reach the driver
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = [
-            int(round(round(float(v), 2) * 100))
-            for v in batch.column("total_spend").to_pylist()
-        ]
+        cents = _cents_array(batch.column("total_spend"))
         return pa.table(
             {
                 "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
                 "c_name": batch.column("c_name"),
-                "total_spend_cents": pa.array(cents, type=pa.int64()),
+                "total_spend_cents": cents,
                 "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
             }
         )
@@ -180,15 +188,12 @@ def error_events_by_user(sf_dir: str) -> "ray.data.Dataset":
     # user-count-sized result: cents in a streaming stage, distributed
     # sort, returned as a Dataset
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = [
-            int(round(round(float(v), 2) * 100))
-            for v in batch.column("total_value").to_pylist()
-        ]
+        cents = _cents_array(batch.column("total_value"))
         return pa.table(
             {
                 "user_id": pc.cast(batch.column("user_id"), pa.int64()),
                 "n_errors": pc.cast(batch.column("n_errors"), pa.int64()),
-                "total_value_cents": pa.array(cents, type=pa.int64()),
+                "total_value_cents": cents,
             }
         )
 
@@ -281,7 +286,7 @@ def top_events_per_user(sf_dir: str, k: int = 2) -> "ray.data.Dataset":
                 "rank": pa.array(list(range(1, len(order) + 1)), type=pa.int64()),
                 "event_type": pa.array([types[i] for i in order], type=pa.string()),
                 "value_cents": pa.array(
-                    [int(round(round(float(vals[i]), 2) * 100)) for i in order],
+                    [_cents(vals[i]) for i in order],
                     type=pa.int64(),
                 ),
             }
@@ -348,7 +353,7 @@ def orders_by_region(sf_dir: str) -> pa.Table:
             "r_name": pa.array([r["r_name"] for r in rows]),
             "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
             "total_cents": pa.array(
-                [int(round(round(float(r["total"]), 2) * 100)) for r in rows],
+                [_cents(r["total"]) for r in rows],
                 type=pa.int64(),
             ),
         }
@@ -392,7 +397,7 @@ def supplier_nation_stats(sf_dir: str) -> pa.Table:
             "n_name": pa.array([r["n_name"] for r in rows]),
             "n_suppliers": pa.array([int(r["n_suppliers"]) for r in rows], type=pa.int64()),
             "acctbal_cents": pa.array(
-                [int(round(round(float(r["total"]), 2) * 100)) for r in rows],
+                [_cents(r["total"]) for r in rows],
                 type=pa.int64(),
             ),
         }
@@ -448,16 +453,13 @@ def shipping_priority(sf_dir: str, limit: int = 10) -> pa.Table:
     # a streaming stage and take the top-k with a DISTRIBUTED
     # sort+limit — the driver only ever sees `limit` rows
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = [
-            int(round(round(float(v), 2) * 100))
-            for v in batch.column("revenue").to_pylist()
-        ]
+        cents = _cents_array(batch.column("revenue"))
         return pa.table(
             {
                 "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
                 "o_date_us": pc.cast(batch.column("o_date_us"), pa.int64()),
                 "o_orderpriority": batch.column("o_orderpriority"),
-                "revenue_cents": pa.array(cents, type=pa.int64()),
+                "revenue_cents": cents,
             }
         )
 
@@ -498,16 +500,17 @@ def revenue_forecast(sf_dir: str) -> pa.Table:
         rev = pc.multiply(batch.column("l_extendedprice"), batch.column("l_discount"))
         return pa.table({"revenue": rev})
 
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
-
     agg = ds.map_batches(revenue, batch_format="pyarrow").aggregate(
-        _Sum("revenue", alias_name="revenue"), _Count(alias_name="n_items")
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
     )
+    # zero matching rows: Sum aggregates to None — the forecast is 0,
+    # not a crash (the oracle COALESCEs the same way)
+    agg = agg or {}
+    revenue_total = agg.get("revenue") or 0.0
+    n_items = agg.get("n_items") or 0
     return pa.table(
         {
-            "revenue_cents": pa.array(
-                [int(round(round(float(agg["revenue"]), 2) * 100))], type=pa.int64()
-            ),
-            "n_items": pa.array([int(agg["n_items"])], type=pa.int64()),
+            "revenue_cents": pa.array([_cents(revenue_total)], type=pa.int64()),
+            "n_items": pa.array([int(n_items)], type=pa.int64()),
         }
     )

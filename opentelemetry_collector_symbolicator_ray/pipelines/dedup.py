@@ -490,12 +490,16 @@ def simhash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
     sims = simhash64(sf_dir)
 
     def stringify(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        # zero-padding must cover the full int64 range (19 digits) so
+        # lexicographic order == numeric order — the banded engine's
+        # doc_a < doc_b contract and star-cap keeper (min id) depend on
+        # it; negative ids would break the padding invariant, so refuse
+        if any(i < 0 for i in ids):
+            raise ValueError("simhash_dupes requires non-negative doc_ids")
         return pa.table(
             {
-                "media_id": pa.array(
-                    [f"{i:012d}" for i in batch.column("doc_id").to_pylist()],
-                    type=pa.string(),
-                ),
+                "media_id": pa.array([f"{i:019d}" for i in ids], type=pa.string()),
                 "simhash": batch.column("simhash"),
             }
         )

@@ -467,16 +467,21 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     pass (map_batches emits per-batch partial sums + counts per
     cluster, tiny k x d partials reduce on the driver), so the corpus
     never materializes and the driver state is k centroids.  Seeded
-    deterministic init via the shared centroid sampler.  Returns final
-    cluster sizes + within-cluster inertia (rows-only; the convergence
-    property — non-increasing inertia — is the test oracle)."""
+    deterministic init via the shared centroid sampler.  After ``iters``
+    update steps a FINAL assignment-only pass computes the reported
+    cluster sizes + within-cluster inertia against the FINAL centroids
+    (without it they would describe the previous iteration's centroids —
+    a consumer pairing these rows with a final-centroid predict stage
+    would see inconsistent counts).  Rows-only; the convergence
+    property — non-increasing inertia — is the test oracle."""
     path = f"{sf_dir}/embeddings.parquet"
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     n = ds.count()
     centroids = _sample_centroids(sf_dir, n, k)  # unit-normalized seeds
 
     inertias: list[float] = []
-    for _ in range(iters):
+    # iters update passes + 1 evaluation-only pass (no update)
+    for it in range(iters + 1):
         cent_ref = ray.put(centroids)
 
         def partial(batch: pa.Table) -> pa.Table:
@@ -524,6 +529,8 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
             counts[c] += r["count"]
             inertia += r["sq_err"]
         inertias.append(float(inertia))
+        if it == iters:
+            break  # evaluation pass: report against THESE centroids
         nonempty = counts > 0
         centroids = centroids.copy()
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]

@@ -331,18 +331,39 @@ def _run_shards_pipelined(
     frags: list[dict] = []
     expected: dict[int, set[str]] = {}
     inputs_by_sid: dict[int, list[str]] = {}
+    # A shard whose metadata is unreadable (corrupt file) must not abort
+    # the WHOLE run before anything commits: exclude it, process every
+    # healthy shard, and raise at the end — strictly more progress than
+    # the sequential path, which committed only the shards BEFORE the
+    # bad one.
+    bad_shards: dict[int, str] = {}
     for sid, shard_files in pending:
+        exp: set[str] = set()
+        shard_frags: list[dict] = []
+        try:
+            for f in shard_files:
+                md = pq.read_metadata(f)
+                for rg in range(md.num_row_groups):
+                    if md.row_group(rg).num_rows == 0:
+                        continue  # empty fragments never report a summary
+                    shard_frags.append({"path": f, "row_group": rg, "shard_tag": f"{sid:05d}"})
+                    exp.add(f"{f}:{rg}")
+        except Exception as exc:
+            bad_shards[sid] = f"{type(exc).__name__}: {exc}"
+            continue
         manifest.clean_orphan_outputs(sid)
         inputs_by_sid[sid] = shard_files
-        exp: set[str] = set()
-        for f in shard_files:
-            md = pq.read_metadata(f)
-            for rg in range(md.num_row_groups):
-                if md.row_group(rg).num_rows == 0:
-                    continue  # empty fragments never report a summary
-                frags.append({"path": f, "row_group": rg, "shard_tag": f"{sid:05d}"})
-                exp.add(f"{f}:{rg}")
+        frags.extend(shard_frags)
         expected[sid] = exp
+    pending = [(sid, fs) for sid, fs in pending if sid not in bad_shards]
+
+    def raise_bad_shards() -> None:
+        if bad_shards:
+            raise RuntimeError(
+                f"unreadable input in shard(s) {sorted(bad_shards)} "
+                f"(healthy shards committed; resume retries only these): "
+                f"{bad_shards}"
+            )
 
     state = {sid: {"sinks": {}, "outputs": [], "done": set()} for sid, _ in pending}
     committed: set[int] = set()
@@ -351,6 +372,7 @@ def _run_shards_pipelined(
             _commit_shard(manifest, output_dir, sid, inputs_by_sid[sid], {}, [])
             committed.add(sid)
     if not frags:
+        raise_bad_shards()
         return
 
     summary_ds = ray.data.from_items(frags).map_batches(
@@ -379,6 +401,7 @@ def _run_shards_pipelined(
     missing = [sid for sid, _ in pending if sid not in committed]
     if missing:  # a fragment never reported — never commit partial shards
         raise RuntimeError(f"pipelined run finished with incomplete shards: {missing}")
+    raise_bad_shards()
 
 
 def run_checkpointed(

@@ -30,10 +30,24 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _OTLP_PATHS = {"/v1/logs", "/v1/traces"}
+# 6+ digits: the %06d format WIDENS past 999999 rotations, and parsing
+# must follow (a fixed 6-char slice would re-allocate live sequence
+# numbers after a million files)
+_SPOOL_RE = re.compile(r"ingest-(\d{6,})\.jsonl")
+_OPEN_RE = re.compile(r"ingest-(\d{6,})\.jsonl\.open")
+
+
+class _Server(ThreadingHTTPServer):
+    # non-daemon handler threads + block_on_close: server_close() JOINS
+    # in-flight requests, so close() can never race a handler appending
+    # to a spool file that was just sealed
+    daemon_threads = False
+    block_on_close = True
 
 
 class OTLPHttpReceiver:
@@ -60,6 +74,7 @@ class OTLPHttpReceiver:
         os.makedirs(spool_dir, exist_ok=True)
         self.rotate_records = rotate_records
         self._lock = threading.Lock()
+        self._recover_orphans()
         self._seq = self._next_seq()
         self._open_path: str | None = None
         self._open_file = None
@@ -101,7 +116,7 @@ class OTLPHttpReceiver:
                 self.end_headers()
                 self.wfile.write(payload)
 
-        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._server = _Server((host, port), Handler)
         self.host = host
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
@@ -109,25 +124,56 @@ class OTLPHttpReceiver:
 
     # ---- spooling ----
 
+    def _recover_orphans(self) -> None:
+        """Seal ``.jsonl.open`` files left by a crashed receiver: their
+        records were acked with 200, so they MUST become drainable —
+        leaving them orphaned would silently lose acknowledged data."""
+        for name in os.listdir(self.spool_dir):
+            if _OPEN_RE.fullmatch(name):
+                full = os.path.join(self.spool_dir, name)
+                os.replace(full, full[: -len(".open")])
+
     def _next_seq(self) -> int:
-        existing = [
-            int(name[len("ingest-"): len("ingest-") + 6])
-            for name in os.listdir(self.spool_dir)
-            if name.startswith("ingest-")
-        ]
-        return max(existing, default=-1) + 1
+        """Next unused sequence number — scans the live spool AND the
+        ``drained/`` archive, so an archive+restart can never re-issue a
+        committed sequence (which would make new data look
+        already-drained and be skipped)."""
+        existing = [-1]
+        dirs = [self.spool_dir, os.path.join(self.spool_dir, "drained")]
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                m = _SPOOL_RE.fullmatch(name) or _OPEN_RE.fullmatch(name)
+                if m:
+                    existing.append(int(m.group(1)))
+        return max(existing) + 1
 
     def _append(self, req: dict) -> None:
         line = json.dumps(req, sort_keys=True)
         with self._lock:
             if self._open_file is None:
-                self._open_path = os.path.join(
-                    self.spool_dir, f"ingest-{self._seq:06d}.jsonl.open"
-                )
-                self._seq += 1
-                self._open_file = open(self._open_path, "w")
+                # O_EXCL ("x"): two receivers pointed at one spool dir
+                # (misconfiguration, or deliberate shared storage) must
+                # never truncate each other's open file — on collision
+                # this one skips to the next free sequence
+                while True:
+                    path = os.path.join(
+                        self.spool_dir, f"ingest-{self._seq:06d}.jsonl.open"
+                    )
+                    self._seq += 1
+                    try:
+                        self._open_file = open(path, "x")
+                    except FileExistsError:
+                        continue
+                    self._open_path = path
+                    break
                 self._open_records = 0
             self._open_file.write(line + "\n")
+            # flush per request: an acked record survives a crashed
+            # receiver PROCESS (fsync still happens only at rotation —
+            # the documented durability window is host, not process)
+            self._open_file.flush()
             self._open_records += 1
             self.received += 1
             if self._open_records >= self.rotate_records:
@@ -156,7 +202,7 @@ class OTLPHttpReceiver:
         return sorted(
             os.path.join(self.spool_dir, f)
             for f in os.listdir(self.spool_dir)
-            if f.startswith("ingest-") and f.endswith(".jsonl")
+            if _SPOOL_RE.fullmatch(f)
         )
 
     def close(self) -> None:
@@ -208,9 +254,10 @@ def drain_spool_checkpointed(
     AFTER its manifest commit (move-after-commit: a crash between the
     two just re-skips the committed sid next drain).  For a long-running
     listener this bounds the spool directory listing — at ingest scale
-    an unarchived spool would grow without bound."""
-    import re
-
+    an unarchived spool would grow without bound.  The receiver's
+    sequence allocator scans ``drained/`` too, so a restart can never
+    re-issue an archived sequence; an archive-destination collision is
+    therefore a loud error, never a silent overwrite."""
     from ..pipelines.symbolicate import (
         _accumulate_summary_row,
         _commit_shard,
@@ -221,17 +268,27 @@ def drain_spool_checkpointed(
 
     manifest = ShardManifest(output_dir)
     archive_dir = os.path.join(spool_dir, "drained")
+
+    def archive_file(name: str, full: str) -> None:
+        os.makedirs(archive_dir, exist_ok=True)
+        dest = os.path.join(archive_dir, name)
+        if os.path.exists(dest):
+            raise RuntimeError(
+                f"spool archive collision: {dest} already exists — a sequence "
+                f"number was re-issued; refusing to overwrite drained data"
+            )
+        os.replace(full, dest)
+
     drained: list[int] = []
     for name in sorted(os.listdir(spool_dir)):
-        m = re.fullmatch(r"ingest-(\d{6})\.jsonl", name)
+        m = _SPOOL_RE.fullmatch(name)
         if not m:
             continue
         sid = int(m.group(1))
         full = os.path.join(spool_dir, name)
         if manifest.is_committed(sid):
             if archive:
-                os.makedirs(archive_dir, exist_ok=True)
-                os.replace(full, os.path.join(archive_dir, name))
+                archive_file(name, full)
             continue
         manifest.clean_orphan_outputs(sid)
         summaries = symbolicate_and_write(
@@ -244,6 +301,5 @@ def drain_spool_checkpointed(
         _commit_shard(manifest, output_dir, sid, [full], sinks, outputs)
         drained.append(sid)
         if archive:
-            os.makedirs(archive_dir, exist_ok=True)
-            os.replace(full, os.path.join(archive_dir, name))
+            archive_file(name, full)
     return {"drained_shards": drained, "totals": manifest.aggregates()}

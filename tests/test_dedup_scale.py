@@ -306,3 +306,53 @@ def test_simhash_banded_dupes_cross_modal_engine(ray_session, tmp_path):
     pairs = simhash_dupes(str(tmp_path)).to_pylist()
     assert {(r["doc_a"], r["doc_b"], r["dist"]) for r in pairs} >= {(1, 2, 0)}
     assert all({r["doc_a"], r["doc_b"]} != {1, 50} for r in pairs)
+
+
+def test_simhash_dupes_wide_and_negative_ids(ray_session, tmp_path):
+    """Pair ordering (doc_a < doc_b numerically) must survive doc_ids
+    wider than 12 digits, and negative ids are refused loudly (they
+    would silently corrupt the star-cap keeper choice)."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import simhash_dupes
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    big_a, big_b = 999_999_999_999, 1_000_000_000_000  # 12 vs 13 digits
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([big_a, big_b], type=pa.int64()),
+            "text": pa.array([text, text], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    pairs = simhash_dupes(str(tmp_path)).to_pylist()
+    assert pairs == [{"doc_a": big_a, "doc_b": big_b, "dist": 0}]
+
+    neg = pa.table(
+        {
+            "doc_id": pa.array([-1, 5], type=pa.int64()),
+            "text": pa.array([text, text], type=pa.string()),
+        }
+    )
+    pq.write_table(neg, str(tmp_path / "documents.parquet"))
+    import ray.exceptions
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        simhash_dupes(str(tmp_path)).to_pylist()
+
+
+def test_revenue_forecast_zero_match_returns_zero(ray_session, tmp_path):
+    """A filter matching no rows yields revenue_cents=0 / n_items=0 —
+    never a crash on the None aggregate."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        revenue_forecast,
+    )
+
+    tbl = pa.table(
+        {
+            "l_extendedprice": pa.array([100.0, 200.0], type=pa.float64()),
+            "l_discount": pa.array([0.5, 0.5], type=pa.float64()),  # outside [0.05, 0.07]
+            "l_quantity": pa.array([1.0, 2.0], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    out = revenue_forecast(str(tmp_path)).to_pylist()
+    assert out == [{"revenue_cents": 0, "n_items": 0}]

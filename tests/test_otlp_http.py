@@ -359,3 +359,91 @@ def test_http_listener_fuzz_never_crashes(receiver):
     status, _ = post(f"{base}/v1/logs", json.dumps(_sample_request()).encode())
     assert status == 200
     assert receiver.received == 1
+
+
+def test_archive_restart_never_reuses_sequences(ray_session, tmp_path):
+    """THE confirmed data-loss bug: after drain --archive and a
+    listener restart, new spool files must get FRESH sequence numbers —
+    never a committed one (which would make them look already-drained
+    and be silently skipped/clobbered)."""
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.sources.otlp_http import (
+        drain_spool_checkpointed,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 10, num_files=1, seed=41)
+    cfg = PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=1, batch_size=32
+    )
+    spool, out = str(tmp_path / "spool"), str(tmp_path / "out")
+
+    r1 = OTLPHttpReceiver(spool, rotate_records=100)
+    try:
+        post(f"http://{r1.host}:{r1.port}/v1/logs", json.dumps(_sample_request(1)).encode())
+        r1.rotate()
+    finally:
+        r1.close()
+    res1 = drain_spool_checkpointed(spool, out, cfg, archive=True)
+    assert res1["drained_shards"] == [0]
+
+    # restart: the allocator must scan drained/ and continue at 1
+    r2 = OTLPHttpReceiver(spool, rotate_records=100)
+    try:
+        post(f"http://{r2.host}:{r2.port}/v1/logs", json.dumps(_sample_request(2)).encode())
+        files = r2.rotate()
+    finally:
+        r2.close()
+    assert [os.path.basename(f) for f in files] == ["ingest-000001.jsonl"]
+
+    res2 = drain_spool_checkpointed(spool, out, cfg, archive=True)
+    assert res2["drained_shards"] == [1]  # the new record IS processed
+    assert sum(v["rows"] for v in res2["totals"].values()) == 2
+    assert sorted(os.listdir(os.path.join(spool, "drained"))) == [
+        "ingest-000000.jsonl", "ingest-000001.jsonl",
+    ]
+
+
+def test_orphaned_open_spool_recovered_on_restart(tmp_path):
+    """Acked records stranded in a crashed receiver's .jsonl.open file
+    are sealed (made drainable) by the next receiver startup."""
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "ingest-000000.jsonl.open"), "w") as f:
+        f.write(json.dumps(_sample_request(7)) + "\n")
+
+    r = OTLPHttpReceiver(spool, rotate_records=100)
+    try:
+        # orphan sealed and visible to drains
+        assert [os.path.basename(p) for p in r.completed_files()] == [
+            "ingest-000000.jsonl"
+        ]
+        # and the allocator moved PAST the recovered sequence
+        post(f"http://{r.host}:{r.port}/v1/logs", json.dumps(_sample_request(8)).encode())
+        files = r.rotate()
+    finally:
+        r.close()
+    assert [os.path.basename(p) for p in files] == [
+        "ingest-000000.jsonl", "ingest-000001.jsonl",
+    ]
+
+
+def test_two_receivers_shared_spool_no_truncation(tmp_path):
+    """Two receivers on ONE spool dir (shared-storage topology) must
+    never truncate each other's open file: O_EXCL allocation gives them
+    disjoint sequences and every acked record survives."""
+    spool = str(tmp_path / "spool")
+    a = OTLPHttpReceiver(spool, rotate_records=100)
+    b = OTLPHttpReceiver(spool, rotate_records=100)
+    try:
+        for i in range(5):
+            post(f"http://{a.host}:{a.port}/v1/logs", json.dumps(_sample_request(i)).encode())
+            post(f"http://{b.host}:{b.port}/v1/logs", json.dumps(_sample_request(100 + i)).encode())
+        files = sorted(set(a.rotate()) | set(b.rotate()))
+    finally:
+        a.close()
+        b.close()
+    n_lines = sum(len(open(f).read().splitlines()) for f in files)
+    assert n_lines == 10  # nothing clobbered
+    assert len(files) == 2  # disjoint sequences

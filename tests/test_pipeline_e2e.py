@@ -502,3 +502,33 @@ def test_pipelined_survives_actor_death_exactly_once(
             recorded.update(json.load(f)["outputs"])
     on_disk = set(glob.glob(os.path.join(out, "*", "part-*.parquet")))
     assert on_disk == recorded  # dead attempt's duplicates reconciled away
+
+
+def test_pipelined_commits_healthy_shards_despite_corrupt_file(
+    ray_session, tmp_path
+):
+    """A corrupt input file in ONE shard must not abort the pipelined
+    run before anything commits: every healthy shard commits, the error
+    names exactly the bad shard, and a resume after repair completes."""
+    import shutil
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 300, num_files=4, seed=43)
+    cfg = make_cfg(corpus)
+    ref = run_checkpointed(corpus, str(tmp_path / "ref"), cfg, shard_size=1)
+
+    victim = input_files(corpus)[1]
+    shutil.copy(victim, victim + ".bak")
+    with open(victim, "wb") as f:
+        f.write(b"definitely not parquet")
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match=r"shard\(s\) \[1\]"):
+        run_checkpointed(corpus, out, cfg, shard_size=1)
+    # the healthy shards committed BEFORE the raise
+    assert set(ShardManifest(out).committed_shards()) == {0, 2, 3}
+
+    shutil.move(victim + ".bak", victim)
+    healed = run_checkpointed(corpus, out, cfg, shard_size=1)
+    assert set(ShardManifest(out).committed_shards()) == {0, 1, 2, 3}
+    assert drop_telemetry(healed) == drop_telemetry(ref)
