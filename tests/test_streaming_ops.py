@@ -1,0 +1,72 @@
+"""Edge-case tests for the streaming-shaped operators: deterministic
+tie-breaking in cumulative windows and empty-input behavior."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_running_totals_timestamp_ties(ray_session, tmp_path):
+    """Events sharing (user, ts) are ordered by event_id on BOTH sides —
+    the cumulative sums agree row-for-row with the SQL window even when
+    the sort key alone is ambiguous."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import (
+        running_user_totals,
+    )
+
+    ts = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([5, 3, 4, 1, 2], type=pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7], type=pa.int64()),
+            "ts": pa.array([ts, ts, ts, ts + 10, ts], type=pa.timestamp("us")),
+            "value": pa.array([1.11, 2.22, 3.33, 4.44, 5.55], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = running_user_totals(str(tmp_path)).take_all()
+    want = duckdb.sql(
+        f"""SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value, 2) * 100 AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_cents
+            FROM read_parquet('{tmp_path}/events.parquet') ORDER BY event_id"""
+    ).fetchall()
+    assert [(r["event_id"], r["user_id"], r["running_cents"]) for r in got] == want
+    # ties resolved by event_id: 2 -> 3 -> 4 -> 5 accumulate in id order,
+    # then event 1 (later ts) caps the total
+    by_id = {r["event_id"]: r["running_cents"] for r in got}
+    assert by_id[2] == 555
+    assert by_id[3] == 555 + 222
+    assert by_id[4] == 555 + 222 + 333
+    assert by_id[5] == 555 + 222 + 333 + 111
+    assert by_id[1] == 555 + 222 + 333 + 111 + 444
+
+
+def test_windows_empty_events(ray_session, tmp_path):
+    """Windowed aggregates over an empty events table produce empty,
+    well-typed Datasets — no crash on the empty aggregate."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import (
+        running_user_totals,
+        tumbling_event_counts,
+        user_sessions,
+    )
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "value": pa.array([], type=pa.float64()),
+            "event_type": pa.array([], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    assert tumbling_event_counts(sf).count() == 0
+    assert user_sessions(sf).count() == 0
+    assert running_user_totals(sf).count() == 0
