@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--batch-size", type=int, default=2048)
     p_run.add_argument("--salted", action="store_true", help="salted debug-id repartition")
     p_run.add_argument(
+        "--shared-cache", action="store_true",
+        help="cross-actor single-flight artifact cache (named coordinator actors)",
+    )
+    p_run.add_argument(
+        "--cache-shards", type=int, default=1,
+        help="hash-partition the shared cache over N coordinator shards",
+    )
+    p_run.add_argument(
         "--sequential",
         action="store_true",
         help="force per-shard sequential executions (default: one pipelined "
@@ -149,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
             artifacts,
             concurrency=args.concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
             batch_size=args.batch_size,
+            shared_artifact_cache=args.shared_cache,
+            artifact_cache_shards=args.cache_shards,
         )
         totals = run_checkpointed(
             args.input,

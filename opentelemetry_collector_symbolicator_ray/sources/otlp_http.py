@@ -40,6 +40,8 @@ _OTLP_PATHS = {"/v1/logs", "/v1/traces"}
 # numbers after a million files)
 _SPOOL_RE = re.compile(r"ingest-(\d{6,})\.jsonl")
 _OPEN_RE = re.compile(r"ingest-(\d{6,})\.jsonl\.open")
+# serializes Dataset construction across drain threads (see drain_one)
+_DS_BUILD_LOCK = threading.Lock()
 
 
 class _Server(ThreadingHTTPServer):
@@ -240,7 +242,12 @@ def drain_to_dataset(receiver: OTLPHttpReceiver, *, skip_bad_lines: bool = False
 
 
 def drain_spool_checkpointed(
-    spool_dir: str, output_dir: str, cfg, *, archive: bool = False
+    spool_dir: str,
+    output_dir: str,
+    cfg,
+    *,
+    archive: bool = False,
+    max_parallel_files: int = 4,
 ) -> dict:
     """Checkpointed micro-batch drain: every COMPLETED, not-yet-committed
     spool file is one shard whose id is its ingest sequence number, so
@@ -279,7 +286,7 @@ def drain_spool_checkpointed(
             )
         os.replace(full, dest)
 
-    drained: list[int] = []
+    pending: list[tuple[int, str, str]] = []
     for name in sorted(os.listdir(spool_dir)):
         m = _SPOOL_RE.fullmatch(name)
         if not m:
@@ -290,16 +297,54 @@ def drain_spool_checkpointed(
             if archive:
                 archive_file(name, full)
             continue
+        pending.append((sid, name, full))
+
+    def drain_one(sid: int, name: str, full: str) -> int:
         manifest.clean_orphan_outputs(sid)
+        # Dataset CONSTRUCTION is serialized: read_binary_files resolves
+        # filesystems eagerly, and concurrent first-imports of
+        # fsspec.implementations.http race into a partially-initialized
+        # module ("cannot import name HTTPFileSystem" — plain
+        # ImportError, which Ray's ModuleNotFoundError guard misses, and
+        # failed imports are never cached so every thread re-races).
+        # Execution below still overlaps.
+        with _DS_BUILD_LOCK:
+            ds = read_otlp_jsonl([full])
         summaries = symbolicate_and_write(
-            read_otlp_jsonl([full]), cfg, output_dir, f"{sid:05d}"
+            ds, cfg, output_dir, f"{sid:05d}"
         ).take_all()
         sinks: dict = {}
         outputs: list[str] = []
         for row in summaries:
             outputs.append(_accumulate_summary_row(sinks, row))
         _commit_shard(manifest, output_dir, sid, [full], sinks, outputs)
-        drained.append(sid)
         if archive:
             archive_file(name, full)
+        return sid
+
+    # Overlapping per-file Dataset executions hides each file's actor-
+    # pool ramp behind another's steady state — but concurrent
+    # executions with FIXED-size actor pools can STARVE each other on a
+    # small cluster (3 executions x 2-actor pools on 4 CPUs never all
+    # schedule), so parallelism is capped by what the cluster can
+    # actually run side by side: each execution needs its actor pool
+    # minimum plus one CPU for its read tasks.
+    import ray as _ray
+
+    conc = cfg.concurrency
+    pool_min = conc if isinstance(conc, int) else conc[0]
+    cpus = int(_ray.cluster_resources().get("CPU", 1)) if _ray.is_initialized() else 1
+    workers = max(1, min(max_parallel_files, cpus // (pool_min + 1)))
+
+    drained: list[int] = []
+    if len(pending) <= 1 or workers <= 1:
+        for sid, name, full in pending:
+            drained.append(drain_one(sid, name, full))
+    else:
+        # each sid's manifest/part files are independent — same
+        # isolation as the batch path
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            drained = sorted(ex.map(lambda args: drain_one(*args), pending))
     return {"drained_shards": drained, "totals": manifest.aggregates()}
