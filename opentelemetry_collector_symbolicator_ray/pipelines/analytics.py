@@ -197,7 +197,9 @@ def error_events_by_user(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return agg.map_batches(to_cents, batch_format="pyarrow").sort("user_id")
+    from .streaming import _compact_sort
+
+    return _compact_sort(agg.map_batches(to_cents, batch_format="pyarrow"), "user_id")
 
 
 def label_stratified_sample(sf_dir: str, per_label: int = 5) -> pa.Table:
@@ -294,10 +296,11 @@ def top_events_per_user(sf_dir: str, k: int = 2) -> "ray.data.Dataset":
 
     # user-count-sized result: stream it (distributed sort, no
     # driver-side materialization)
-    return (
-        ds.groupby("user_id")
-        .map_groups(topk, batch_format="pyarrow")
-        .sort(["user_id", "rank"])
+    from .streaming import _compact_sort
+
+    return _compact_sort(
+        ds.groupby("user_id").map_groups(topk, batch_format="pyarrow"),
+        ["user_id", "rank"],
     )
 
 
