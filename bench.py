@@ -125,12 +125,19 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     ]
     queries = entry_mod.queries()
     for name in picks:
-        started = time.perf_counter()
-        result = queries[name](sf_dir)
-        # consume lazily-built datasets
-        if hasattr(result, "materialize"):
-            result.materialize()
-        timings[name] = round(time.perf_counter() - started, 3)
+        # best-of-2, matching the headline's methodology (bench.py:89):
+        # the sandbox's multi-minute throttle oscillation otherwise
+        # swings single-pass timings 2-5x between runs
+        best = None
+        for _ in range(2):
+            started = time.perf_counter()
+            result = queries[name](sf_dir)
+            # consume lazily-built datasets
+            if hasattr(result, "materialize"):
+                result.materialize()
+            rep = time.perf_counter() - started
+            best = rep if best is None else min(best, rep)
+        timings[name] = round(best, 3)
     return timings
 
 
