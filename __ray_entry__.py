@@ -37,6 +37,10 @@ from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
 from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
 
 SEED = 42
+# PII patterns shared verbatim with pipelines/text.py (the oracle SQL
+# interpolates them into regexp_replace/extract_all)
+PII_EMAIL = text.PII_EMAIL_PATTERN
+PII_PHONE = text.PII_PHONE_PATTERN
 NGRAM_THRESHOLD = 0.8
 # embeddings in the driver tables are random (max pairwise cosine ~0.5);
 # 0.35 yields a non-trivial near-dup pair set with a wide margin from
@@ -239,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_approx_distinct": lambda sf: text.approx_distinct_words(sf),
         "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
+        # --- training-data hygiene: decontamination / PII / repetition ---
+        "docs_contamination": lambda sf: text.eval_contamination(sf),
+        "docs_pii_redact": lambda sf: text.pii_redact(sf),
+        "docs_repetition": lambda sf: text.repetition_scores(sf),
     }
 
 
@@ -504,5 +512,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "docs_contamination": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ng
+              FROM tok, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) g
+            ),
+            ev AS (SELECT DISTINCT ng FROM grams WHERE doc_id < 20),
+            tr AS (SELECT DISTINCT doc_id, ng FROM grams WHERE doc_id >= 20)
+            SELECT doc_id, COUNT(*)::BIGINT AS shared_ngrams
+            FROM tr JOIN ev USING (ng)
+            GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id
+        """,
+        "docs_pii_redact": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_PHONE}', '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(
+                     regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_PHONE}'))::BIGINT AS n_phones
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_repetition": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng
+              FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+            ),
+            counts AS (SELECT doc_id, ng, COUNT(*) AS c FROM grams GROUP BY doc_id, ng),
+            agg AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS m FROM counts GROUP BY doc_id)
+            SELECT doc_id, total::BIGINT AS n_ngrams, m::BIGINT AS top_ngram_count,
+                   ((m * 1000000) // total)::BIGINT AS top_ngram_ppm
+            FROM agg ORDER BY doc_id
         """,
     }

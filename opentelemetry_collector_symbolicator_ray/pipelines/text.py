@@ -532,3 +532,127 @@ def approx_distinct_words(sf_dir: str, p: int = 12) -> pa.Table:
             "registers": pa.array([m], type=pa.int64()),
         }
     )
+
+
+def eval_contamination(
+    sf_dir: str, eval_max_doc_id: int = 20, n: int = 3, min_shared: int = 1
+) -> "ray.data.Dataset":
+    """Benchmark-decontamination check — a first-class op of any
+    training-data pipeline: flag training documents sharing >=
+    ``min_shared`` distinct word n-grams with the EVAL set (here: docs
+    with doc_id < ``eval_max_doc_id``, standing in for a held-out
+    benchmark).  Ray shape: the eval n-gram set (small side) is built
+    with a pushdown read, ray.put ONCE, and each training batch counts
+    overlaps against the broadcast set — the corpus never joins or
+    shuffles.  Returns (doc_id, shared_ngrams) for flagged docs, sorted;
+    integer-exact vs the SQL oracle."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    def doc_ngrams(text: str) -> set[str]:
+        ws = text.split(" ")
+        return {" ".join(ws[i: i + n]) for i in range(len(ws) - n + 1)}
+
+    eval_rows = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filter=pads.field("doc_id") < eval_max_doc_id,
+    ).take_all()
+    eval_ngrams = frozenset().union(*(doc_ngrams(r["text"]) for r in eval_rows)) if eval_rows else frozenset()
+    eval_ref = ray.put(eval_ngrams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        ids, shared = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id < eval_max_doc_id:
+                continue  # eval docs are not their own contamination
+            k = len(doc_ngrams(t) & ev)
+            if k >= min_shared:
+                ids.append(doc_id)
+                shared.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shared_ngrams": pa.array(shared, type=pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
+# PII patterns shared VERBATIM with the SQL oracle (RE2-safe, re.ASCII
+# \b semantics match DuckDB's RE2 on this corpus's ASCII text).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+_PII_EMAIL_RE = re.compile(PII_EMAIL_PATTERN, re.ASCII)
+_PII_PHONE_RE = re.compile(PII_PHONE_PATTERN, re.ASCII)
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrubbing — the cleaning stage every web-scale text pipeline
+    runs before training: emails and phone-shaped numbers are replaced
+    with typed placeholders, with per-document match counts for audit.
+    Pure streaming map_batches with compiled regexes; the redacted text
+    and counts are string/integer-exact vs the SQL oracle (same
+    patterns via regexp_replace / regexp_extract_all)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        reds, n_emails, n_phones = [], [], []
+        for t in batch.column("text").to_pylist():
+            ne = len(_PII_EMAIL_RE.findall(t))
+            red = _PII_EMAIL_RE.sub("<EMAIL>", t)
+            npn = len(_PII_PHONE_RE.findall(red))
+            red = _PII_PHONE_RE.sub("<PHONE>", red)
+            reds.append(red)
+            n_emails.append(ne)
+            n_phones.append(npn)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "redacted": pa.array(reds, type=pa.string()),
+                "n_emails": pa.array(n_emails, type=pa.int64()),
+                "n_phones": pa.array(n_phones, type=pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def repetition_scores(sf_dir: str, n: int = 2) -> "ray.data.Dataset":
+    """Gopher-style repetition quality rule: the fraction of a
+    document's word n-grams taken by its single most frequent n-gram
+    (scaled to integer parts-per-million for hash-exact oracle
+    comparison).  High values mark degenerate/boilerplate docs that a
+    training pipeline drops.  One streaming pass, Counter per doc."""
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, total, top, ppm = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = t.split(" ")
+            grams = [" ".join(ws[i: i + n]) for i in range(len(ws) - n + 1)]
+            if not grams:
+                continue
+            c = Counter(grams)
+            m = max(c.values())
+            ids.append(doc_id)
+            total.append(len(grams))
+            top.append(m)
+            ppm.append((m * 1_000_000) // len(grams))  # integer ppm: exact
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_ngrams": pa.array(total, type=pa.int64()),
+                "top_ngram_count": pa.array(top, type=pa.int64()),
+                "top_ngram_ppm": pa.array(ppm, type=pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")

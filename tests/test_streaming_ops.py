@@ -70,3 +70,67 @@ def test_windows_empty_events(ray_session, tmp_path):
     assert tumbling_event_counts(sf).count() == 0
     assert user_sessions(sf).count() == 0
     assert running_user_totals(sf).count() == 0
+
+
+def test_pii_redaction_planted(ray_session, tmp_path):
+    """Planted emails/phones are replaced with typed placeholders and
+    counted — and the result matches the SQL oracle patterns verbatim."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        PII_EMAIL_PATTERN,
+        PII_PHONE_PATTERN,
+        pii_redact,
+    )
+
+    docs = [
+        "contact me at alice.smith+x@example.org or bob@test.co today",
+        "call 555-123-4567 or +1 555.123.4567 thanks",
+        "clean document with no sensitive content at all",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in pii_redact(str(tmp_path)).take_all()}
+    assert rows[0]["n_emails"] == 2
+    assert rows[0]["redacted"] == "contact me at <EMAIL> or <EMAIL> today"
+    assert rows[1]["n_phones"] == 2
+    assert "<PHONE>" in rows[1]["redacted"] and "4567" not in rows[1]["redacted"]
+    assert rows[2]["redacted"] == docs[2]
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+
+    want = duckdb.sql(
+        f"""SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+            FROM read_parquet('{tmp_path}/documents.parquet') ORDER BY doc_id"""
+    ).fetchall()
+    assert [(r[0], r[1]) for r in want] == [
+        (i, rows[i]["redacted"]) for i in range(3)
+    ]
+
+
+def test_contamination_flags_overlap(ray_session, tmp_path):
+    """Training docs sharing 3-grams with the eval slice are flagged
+    with exact shared counts; disjoint docs are not."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        eval_contamination,
+    )
+
+    eval_doc = "the quick brown fox jumps over the lazy dog"
+    leaked = "here is the quick brown fox jumps text copied"  # shares 3 of the 3-grams +
+    clean = "completely different words nothing shared whatsoever here today"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 100, 101], type=pa.int64()),
+            "text": pa.array([eval_doc, leaked, clean], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = eval_contamination(str(tmp_path), eval_max_doc_id=20).take_all()
+    assert [r["doc_id"] for r in out] == [100]
+    # shared 3-grams: "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[0]["shared_ngrams"] == 3
