@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
         # --- training-data hygiene: decontamination / PII / repetition ---
         "docs_contamination": lambda sf: text.eval_contamination(sf),
+        "events_props_stats": lambda sf: analytics.props_stats_by_type(sf),
         "docs_pii_redact": lambda sf: text.pii_redact(sf),
         "docs_repetition": lambda sf: text.repetition_scores(sf),
     }
@@ -512,6 +513,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "events_props_stats": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+                   MIN(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+                   MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "docs_contamination": """
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -517,3 +517,46 @@ def revenue_forecast(sf_dir: str) -> pa.Table:
             "n_items": pa.array([int(n_items)], type=pa.int64()),
         }
     )
+
+
+def props_stats_by_type(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction — the JSON-column pattern every log
+    pipeline needs: ``props`` holds per-event JSON; a streaming
+    map_batches parses it (orjson, compiled once per process) and
+    projects the typed field, then a grouped aggregate summarizes per
+    event type.  Integer-exact vs the DuckDB json_extract oracle."""
+    import orjson
+
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [int(orjson.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="k_sum"),
+            Min("k", alias_name="k_min"),
+            Max("k", alias_name="k_max"),
+        )
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "n_events": pa.array([int(r["n_events"]) for r in rows], type=pa.int64()),
+            "k_sum": pa.array([int(r["k_sum"]) for r in rows], type=pa.int64()),
+            "k_min": pa.array([int(r["k_min"]) for r in rows], type=pa.int64()),
+            "k_max": pa.array([int(r["k_max"]) for r in rows], type=pa.int64()),
+        }
+    )
