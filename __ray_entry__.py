@@ -457,13 +457,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_spend_cents DESC, c_custkey LIMIT 10
         """,
         # per-value cents BEFORE the window sum: integer accumulation is
-        # exact, so the cumulative oracle is immune to fp association
+        # exact, so the cumulative oracle is immune to fp association.
+        # Outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which arrow
+        # converts to float64 — the engine emits int64, so cast back.
         "events_running_totals": """
             SELECT event_id, user_id,
-                   SUM(CAST(ROUND(value, 2) * 100 AS BIGINT)) OVER (
+                   CAST(SUM(CAST(ROUND(value, 2) * 100 AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS running_cents
+                   ) AS BIGINT) AS running_cents
             FROM events ORDER BY event_id
         """,
         "events_percentiles": """

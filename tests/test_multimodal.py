@@ -30,7 +30,7 @@ def _load(media_dir):
     import pyarrow as pa
 
     return pa.concat_tables(
-        [pq.read_table(p) for p in sorted(glob.glob(f"{media_dir}/*.parquet"))]
+        [pq.read_table(p) for p in sorted(glob.glob(f"{media_dir}/kind=*/*.parquet"))]
     )
 
 
@@ -244,3 +244,29 @@ def test_banded_hamming_small_bucket_still_clique(ray_session):
     ).to_pylist()
     got = {(r["media_a"], r["media_b"]): r["dist"] for r in pairs}
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 3}
+
+
+def test_kind_partition_pruning(media_dir):
+    """Single-kind scans list ONLY that kind's partition files — the
+    other kinds' payload bytes never leave storage (VERDICT r3 #3)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.multimodal import (
+        MEDIA_COLUMNS,
+        media_files,
+    )
+
+    all_files = media_files(media_dir)
+    img_files = media_files(media_dir, "image")
+    assert img_files and set(img_files) < set(all_files)
+    assert all(f"{os.sep}kind=image{os.sep}" in p for p in img_files)
+    for p in img_files:
+        kinds = set(pq.read_table(p, columns=["kind"]).column("kind").to_pylist())
+        assert kinds == {"image"}
+    # the pruned scan reads ~1/3 of the table's payload bytes
+    total = sum(os.path.getsize(p) for p in all_files)
+    image_only = sum(os.path.getsize(p) for p in img_files)
+    assert image_only < 0.6 * total
+    assert "source" not in MEDIA_COLUMNS  # provenance col never shipped
