@@ -506,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) * 100 AS BIGINT)
                        AS revenue_cents
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate  > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, o_date_us, o_orderpriority
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
         """,

@@ -412,12 +412,20 @@ def shipping_priority(sf_dir: str, limit: int = 10) -> pa.Table:
     both sides are fact tables, so this is the one join class broadcast
     can't serve.  Ray shape: a true distributed hash join
     (``Dataset.join``) with projection pushed to the reads and the
-    date predicates pushed to the parquet scan, then groupby + top-k by
-    revenue.  The shuffle moves only (orderkey, revenue-term) and
-    (orderkey, date, priority) — never whole rows."""
+    date predicates pushed to the parquet scan (Q3's
+    ``o_orderdate < cutoff < l_shipdate``, row-group pruning before any
+    bytes ship), then groupby + top-k by revenue.  The shuffle moves
+    only (orderkey, revenue-term) and (orderkey, date, priority) —
+    never whole rows."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    cutoff = datetime.datetime(1998, 1, 1)
     lineitem = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pa.scalar(cutoff),
     )
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -430,6 +438,7 @@ def shipping_priority(sf_dir: str, limit: int = 10) -> pa.Table:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pa.scalar(cutoff),
     )
 
     def project_orders(batch: pa.Table) -> pa.Table:

@@ -275,8 +275,12 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
     shingles = _shingle_rows(sf_dir, k)
 
+    # hoisted: the permutation params ride the serialized closure once
+    # per task instead of being re-derived per batch
+    perm_a, perm_b = _minhash_params(num_perm)
+
     def to_buckets(batch: pa.Table) -> pa.Table:
-        a, b = _minhash_params(num_perm)
+        a, b = perm_a, perm_b
         doc_ids, buckets, blobs = [], [], []
         ids = batch.column("doc_id").to_pylist()
         for i, blob in enumerate(batch.column("shingles").to_pylist()):

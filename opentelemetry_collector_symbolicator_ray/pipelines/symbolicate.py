@@ -365,7 +365,10 @@ def _run_shards_pipelined(
                 f"{bad_shards}"
             )
 
-    state = {sid: {"sinks": {}, "outputs": [], "done": set()} for sid, _ in pending}
+    state = {
+        sid: {"sinks": {}, "outputs": [], "done": set(), "got": {}}
+        for sid, _ in pending
+    }
     committed: set[int] = set()
     for sid, _ in pending:  # shards with no (nonempty) fragments
         if not expected[sid]:
@@ -389,7 +392,14 @@ def _run_shards_pipelined(
             sid = int(row["shard_tag"])
             st = state[sid]
             st["outputs"].append(_accumulate_summary_row(st["sinks"], row))
-            st["done"].add(row["frag"])
+            # a fragment is done only when ALL its summary rows arrived
+            # (frag_rows is stamped by the actor) — guards against Ray
+            # splitting a map_batches output block mid-fragment, which
+            # would otherwise commit a manifest with partial counters
+            got = st["got"].get(row["frag"], 0) + 1
+            st["got"][row["frag"]] = got
+            if got == int(row["frag_rows"]):
+                st["done"].add(row["frag"])
             touched.add(sid)
         for sid in touched:
             if sid not in committed and state[sid]["done"] == expected[sid]:

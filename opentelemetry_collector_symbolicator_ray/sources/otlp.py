@@ -165,7 +165,12 @@ def read_otlp_jsonl(paths: str | list[str], *, skip_bad_lines: bool = False) -> 
     and joins rely on).  To get per-file line numbers each JSONL file is
     one read unit (``read_binary_files``, the exporter's shard = file
     layout), so parallelism is per shard-file — matching the
-    checkpointed writer that produced them.
+    checkpointed writer that produced them.  SIZE CONTRACT: each file
+    is loaded whole into one read task, so inputs must be spool-sized
+    shards (the rotating spool caps them at ~tens of MB); pointing this
+    at a few multi-GB monolithic JSONL files will serialize the read
+    and can OOM a worker — re-shard such files first (split -l) or use
+    a line-splitting reader.
 
     Malformed lines fail the read task loudly by default;
     ``skip_bad_lines=True`` quarantines them instead (dropped with a

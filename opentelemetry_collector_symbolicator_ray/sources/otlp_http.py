@@ -102,7 +102,8 @@ class OTLPHttpReceiver:
                     if not isinstance(req, dict):
                         raise ValueError("export request must be a JSON object")
                 except ValueError as exc:
-                    receiver.rejected += 1
+                    with receiver._lock:  # handler threads race; count under lock
+                        receiver.rejected += 1
                     payload = json.dumps({"error": str(exc)}).encode()
                     self.send_response(400)
                     self.send_header("Content-Type", "application/json")

@@ -343,21 +343,29 @@ class SymbolicatorChainFromFiles(SymbolicatorChain):
             for lo in range(0, table.num_rows, self.cfg.batch_size):
                 sub = table.slice(lo, self.cfg.batch_size)
                 frag_summaries.append(SymbolicatorChain.__call__(self, sub))
+            # frag_rows = this fragment's TOTAL summary-row count: the
+            # driver marks a fragment done only once all of them arrive,
+            # so a commit can never act on a Ray-split partial block
+            frag_rows = sum(t.num_rows for t in frag_summaries)
             for t in frag_summaries:
                 if tags is not None:
                     t = t.append_column(
                         "shard_tag", pa.array([tags[i]] * t.num_rows, type=pa.string())
                     ).append_column(
                         "frag", pa.array([f"{path}:{rg}"] * t.num_rows, type=pa.string())
+                    ).append_column(
+                        "frag_rows", pa.array([frag_rows] * t.num_rows, type=pa.int64())
                     )
                 summaries.append(t)
         if summaries:
             return pa.concat_tables(summaries)
         empty = pa.Table.from_pylist([], schema=SUMMARY_SCHEMA)
         if tags is not None:
-            empty = empty.append_column(
-                "shard_tag", pa.array([], type=pa.string())
-            ).append_column("frag", pa.array([], type=pa.string()))
+            empty = (
+                empty.append_column("shard_tag", pa.array([], type=pa.string()))
+                .append_column("frag", pa.array([], type=pa.string()))
+                .append_column("frag_rows", pa.array([], type=pa.int64()))
+            )
         return empty
 
 
