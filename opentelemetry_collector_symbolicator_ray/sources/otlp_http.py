@@ -3,9 +3,13 @@ surface).
 
 The reference collector ingests OTLP over gRPC :4317 / HTTP :4318
 (config.yaml:1-7, builder-config.yaml:23-24).  This module provides the
-HTTP half natively: a threaded listener accepting the OTLP/HTTP JSON
-encoding on the standard paths ``POST /v1/logs`` and ``POST /v1/traces``
-and spooling each export request as one JSONL line.  Spool files rotate
+HTTP half natively: a threaded listener accepting BOTH OTLP/HTTP
+encodings — ``application/json`` and ``application/x-protobuf`` (the
+stock receiver's default; decoded by the hand-rolled wire codec in
+``otlp_proto.py``) — on the standard paths ``POST /v1/logs`` and
+``POST /v1/traces``, spooling each export request as one JSONL line
+(binary bodies are converted to the shared protobuf-JSON mapping at the
+edge, so every downstream stage sees one canonical encoding).  Spool files rotate
 at a record threshold, so the DRAIN unit is a completed file — exactly
 the shard-file layout ``read_otlp_jsonl`` already consumes, which makes
 the micro-batch pipeline:
@@ -60,9 +64,11 @@ class OTLPHttpReceiver:
       spool file; after ``rotate_records`` lines the file rotates
       (atomic rename ``.open`` -> ``.jsonl``) so drains only ever see
       complete files.
-    - Malformed JSON -> 400 with an error body; unknown path -> 404 —
-      matching OTLP/HTTP failure semantics (the reference receiver
-      rejects undecodable payloads per request, not per connection).
+    - Malformed payloads -> 400 with an error body in the request's
+      encoding (JSON error object, or a protobuf ``google.rpc.Status``);
+      unknown path -> 404 — matching OTLP/HTTP failure semantics (the
+      reference receiver rejects undecodable payloads per request, not
+      per connection).
     """
 
     def __init__(
@@ -90,6 +96,13 @@ class OTLPHttpReceiver:
             def log_message(self, fmt, *args):  # silence per-request stderr
                 pass
 
+            def _reply(self, status: int, ctype: str, payload: bytes) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
             def do_POST(self):
                 if self.path not in _OTLP_PATHS:
                     self.send_response(404)
@@ -97,27 +110,40 @@ class OTLPHttpReceiver:
                     return
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0].strip()
+                binary = ctype == "application/x-protobuf"
                 try:
-                    req = json.loads(body)
-                    if not isinstance(req, dict):
-                        raise ValueError("export request must be a JSON object")
-                except ValueError as exc:
+                    if binary:
+                        from .otlp_proto import decode_export_request
+
+                        signal = "logs" if self.path == "/v1/logs" else "traces"
+                        req = decode_export_request(body, signal)
+                    else:
+                        req = json.loads(body)
+                        if not isinstance(req, dict):
+                            raise ValueError("export request must be a JSON object")
+                except ValueError as exc:  # ProtoDecodeError is a ValueError
                     with receiver._lock:  # handler threads race; count under lock
                         receiver.rejected += 1
-                    payload = json.dumps({"error": str(exc)}).encode()
-                    self.send_response(400)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(payload)))
-                    self.end_headers()
-                    self.wfile.write(payload)
+                    if binary:
+                        # minimal google.rpc.Status: code=3 INVALID_ARGUMENT
+                        from .otlp_proto import _write_len, _write_varint  # noqa: SLF001
+
+                        out = bytearray()
+                        _write_varint(out, (1 << 3) | 0)  # field 1 varint
+                        _write_varint(out, 3)
+                        _write_len(out, 2, str(exc).encode("utf-8"))
+                        self._reply(400, "application/x-protobuf", bytes(out))
+                    else:
+                        payload = json.dumps({"error": str(exc)}).encode()
+                        self._reply(400, "application/json", payload)
                     return
                 receiver._append(req)
-                payload = b"{}"  # empty ExportServiceResponse (full success)
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                if binary:
+                    # empty ExportServiceResponse: zero-byte message
+                    self._reply(200, "application/x-protobuf", b"")
+                else:
+                    self._reply(200, "application/json", b"{}")
 
         self._server = _Server((host, port), Handler)
         self.host = host
