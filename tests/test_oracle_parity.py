@@ -1,10 +1,16 @@
 """Mirror of the driver's correctness gate: run every queries() entry at
-sf0.001 and compare row-count + schema + order-insensitive values
-against oracle_sql() via DuckDB."""
+sf0.001 (override with GRAFT_PARITY_SF_DIR) and compare row-count +
+schema + order-insensitive values against oracle_sql() via DuckDB.
+
+Dtype-strict: the driver's value-hash is dtype-sensitive (round 3's
+only red row was an engine int64 vs an oracle HUGEINT->float64 window
+sum with bit-identical values), so numeric KIND mismatches here are
+failures, not tolerated coercions."""
 
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -12,7 +18,7 @@ import pytest
 
 import __ray_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -49,6 +55,13 @@ def assert_frames_match(ray_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str
     a, b = normalize(ray_df), normalize(oracle_df)
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for col in a.columns:
+        ak, bk = a[col].dtype.kind, b[col].dtype.kind
+        assert ak == bk, (
+            f"{name}.{col}: dtype kind mismatch engine={a[col].dtype} "
+            f"oracle={b[col].dtype} — the driver's value-hash is "
+            f"dtype-sensitive; cast the oracle (or engine) so kinds agree"
+        )
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
