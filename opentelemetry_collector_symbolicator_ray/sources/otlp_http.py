@@ -24,10 +24,16 @@ Scale notes: the listener is an EDGE process (one per ingest node), not
 a Ray actor — its output is durable spool files on shared storage that
 any number of Ray drain jobs consume.  Backpressure is the filesystem:
 the receiver never holds more than one in-flight request body in
-memory, and rotation bounds per-file replay cost.  gRPC (:4317) is out
-of scope for the sandbox (no grpc dependency): the HTTP listener plus
-the JSONL file source cover the reference's payload surface byte-for-
-byte (the protobuf-JSON mapping is shared with sources/otlp.py).
+memory, and rotation bounds per-file replay cost.
+
+The gRPC half (:4317) lives in ``otlp_grpc.py``: a native grpcio
+server when grpcio is installed, plus gRPC-Web over THIS listener
+(``application/grpc-web+proto`` on the two Export method paths — the
+framing and proto decode are identical to native gRPC, only the HTTP
+version differs), so the full encode surface is exercised even in
+environments without grpcio.  All encodings share one spool
+(``JsonlSpool``) and one canonical downstream representation, the
+protobuf-JSON mapping of ``sources/otlp.py``.
 """
 
 from __future__ import annotations
@@ -48,36 +54,13 @@ _OPEN_RE = re.compile(r"ingest-(\d{6,})\.jsonl\.open")
 _DS_BUILD_LOCK = threading.Lock()
 
 
-class _Server(ThreadingHTTPServer):
-    # non-daemon handler threads + block_on_close: server_close() JOINS
-    # in-flight requests, so close() can never race a handler appending
-    # to a spool file that was just sealed
-    daemon_threads = False
-    block_on_close = True
+class JsonlSpool:
+    """Rotated JSONL spool shared by every receiver encoding (HTTP JSON,
+    HTTP protobuf, gRPC-Web, native gRPC): one canonical-JSON line per
+    export request, atomic ``.open`` -> ``.jsonl`` rotation so drains
+    only ever see complete files, crash-safe sequence allocation."""
 
-
-class OTLPHttpReceiver:
-    """Threaded OTLP/HTTP JSON listener spooling to rotated JSONL files.
-
-    - ``port=0`` binds an ephemeral port (tests); ``.port`` reports it.
-    - Valid export requests append one canonical-JSON line to the open
-      spool file; after ``rotate_records`` lines the file rotates
-      (atomic rename ``.open`` -> ``.jsonl``) so drains only ever see
-      complete files.
-    - Malformed payloads -> 400 with an error body in the request's
-      encoding (JSON error object, or a protobuf ``google.rpc.Status``);
-      unknown path -> 404 — matching OTLP/HTTP failure semantics (the
-      reference receiver rejects undecodable payloads per request, not
-      per connection).
-    """
-
-    def __init__(
-        self,
-        spool_dir: str,
-        host: str = "127.0.0.1",
-        port: int = 0,
-        rotate_records: int = 10_000,
-    ) -> None:
+    def __init__(self, spool_dir: str, rotate_records: int = 10_000) -> None:
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
         self.rotate_records = rotate_records
@@ -88,70 +71,6 @@ class OTLPHttpReceiver:
         self._open_file = None
         self._open_records = 0
         self.received = 0
-        self.rejected = 0
-
-        receiver = self
-
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, fmt, *args):  # silence per-request stderr
-                pass
-
-            def _reply(self, status: int, ctype: str, payload: bytes) -> None:
-                self.send_response(status)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
-
-            def do_POST(self):
-                if self.path not in _OTLP_PATHS:
-                    self.send_response(404)
-                    self.end_headers()
-                    return
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
-                ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0].strip()
-                binary = ctype == "application/x-protobuf"
-                try:
-                    if binary:
-                        from .otlp_proto import decode_export_request
-
-                        signal = "logs" if self.path == "/v1/logs" else "traces"
-                        req = decode_export_request(body, signal)
-                    else:
-                        req = json.loads(body)
-                        if not isinstance(req, dict):
-                            raise ValueError("export request must be a JSON object")
-                except ValueError as exc:  # ProtoDecodeError is a ValueError
-                    with receiver._lock:  # handler threads race; count under lock
-                        receiver.rejected += 1
-                    if binary:
-                        # minimal google.rpc.Status: code=3 INVALID_ARGUMENT
-                        from .otlp_proto import _write_len, _write_varint  # noqa: SLF001
-
-                        out = bytearray()
-                        _write_varint(out, (1 << 3) | 0)  # field 1 varint
-                        _write_varint(out, 3)
-                        _write_len(out, 2, str(exc).encode("utf-8"))
-                        self._reply(400, "application/x-protobuf", bytes(out))
-                    else:
-                        payload = json.dumps({"error": str(exc)}).encode()
-                        self._reply(400, "application/json", payload)
-                    return
-                receiver._append(req)
-                if binary:
-                    # empty ExportServiceResponse: zero-byte message
-                    self._reply(200, "application/x-protobuf", b"")
-                else:
-                    self._reply(200, "application/json", b"{}")
-
-        self._server = _Server((host, port), Handler)
-        self.host = host
-        self.port = self._server.server_address[1]
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
-        self._thread.start()
-
-    # ---- spooling ----
 
     def _recover_orphans(self) -> None:
         """Seal ``.jsonl.open`` files left by a crashed receiver: their
@@ -178,7 +97,7 @@ class OTLPHttpReceiver:
                     existing.append(int(m.group(1)))
         return max(existing) + 1
 
-    def _append(self, req: dict) -> None:
+    def append(self, req: dict) -> None:
         line = json.dumps(req, sort_keys=True)
         with self._lock:
             if self._open_file is None:
@@ -235,11 +154,163 @@ class OTLPHttpReceiver:
         )
 
     def close(self) -> None:
+        with self._lock:
+            self._rotate_locked()
+
+
+class _Server(ThreadingHTTPServer):
+    # non-daemon handler threads + block_on_close: server_close() JOINS
+    # in-flight requests, so close() can never race a handler appending
+    # to a spool file that was just sealed
+    daemon_threads = False
+    block_on_close = True
+
+
+class OTLPHttpReceiver:
+    """Threaded OTLP/HTTP JSON listener spooling to rotated JSONL files.
+
+    - ``port=0`` binds an ephemeral port (tests); ``.port`` reports it.
+    - Valid export requests append one canonical-JSON line to the open
+      spool file; after ``rotate_records`` lines the file rotates
+      (atomic rename ``.open`` -> ``.jsonl``) so drains only ever see
+      complete files.
+    - Malformed payloads -> 400 with an error body in the request's
+      encoding (JSON error object, or a protobuf ``google.rpc.Status``);
+      unknown path -> 404 — matching OTLP/HTTP failure semantics (the
+      reference receiver rejects undecodable payloads per request, not
+      per connection).
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        rotate_records: int = 10_000,
+    ) -> None:
+        self.spool_dir = spool_dir
+        self._spool = JsonlSpool(spool_dir, rotate_records)
+        self._lock = self._spool._lock  # rejected counter shares the spool lock
+        self.rejected = 0
+
+        receiver = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # silence per-request stderr
+                pass
+
+            def _reply(self, status: int, ctype: str, payload: bytes) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _grpc_web(self, body: bytes, ctype: str) -> None:
+                """gRPC-Web Export on the native method paths: identical
+                framing + proto decode to gRPC over HTTP/2; per the
+                grpc-web spec, failures are HTTP 200 with a non-zero
+                grpc-status trailer, never an HTTP error status."""
+                from .otlp_grpc import (
+                    GRPC_METHOD_SIGNALS,
+                    grpc_web_response,
+                    unframe_messages,
+                )
+                from .otlp_proto import ProtoDecodeError, decode_export_request
+
+                signal = GRPC_METHOD_SIGNALS[self.path]
+                try:
+                    reqs = [
+                        decode_export_request(msg, signal)
+                        for msg in unframe_messages(body)
+                    ]
+                except ValueError as exc:  # framing or proto decode
+                    with receiver._lock:
+                        receiver.rejected += 1
+                    self._reply(200, ctype, grpc_web_response(status=3,
+                                                              message=str(exc)))
+                    return
+                for req in reqs:
+                    receiver._append(req)
+                self._reply(200, ctype, grpc_web_response())
+
+            def do_POST(self):
+                ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0].strip()
+                from .otlp_grpc import GRPC_METHOD_SIGNALS
+
+                grpc_web = self.path in GRPC_METHOD_SIGNALS and ctype in (
+                    "application/grpc-web+proto",
+                    "application/grpc-web",
+                )
+                if self.path not in _OTLP_PATHS and not grpc_web:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if grpc_web:
+                    self._grpc_web(body, ctype)
+                    return
+                binary = ctype == "application/x-protobuf"
+                try:
+                    if binary:
+                        from .otlp_proto import decode_export_request
+
+                        signal = "logs" if self.path == "/v1/logs" else "traces"
+                        req = decode_export_request(body, signal)
+                    else:
+                        req = json.loads(body)
+                        if not isinstance(req, dict):
+                            raise ValueError("export request must be a JSON object")
+                except ValueError as exc:  # ProtoDecodeError is a ValueError
+                    with receiver._lock:  # handler threads race; count under lock
+                        receiver.rejected += 1
+                    if binary:
+                        # minimal google.rpc.Status: code=3 INVALID_ARGUMENT
+                        from .otlp_proto import _write_len, _write_varint  # noqa: SLF001
+
+                        out = bytearray()
+                        _write_varint(out, (1 << 3) | 0)  # field 1 varint
+                        _write_varint(out, 3)
+                        _write_len(out, 2, str(exc).encode("utf-8"))
+                        self._reply(400, "application/x-protobuf", bytes(out))
+                    else:
+                        payload = json.dumps({"error": str(exc)}).encode()
+                        self._reply(400, "application/json", payload)
+                    return
+                receiver._append(req)
+                if binary:
+                    # empty ExportServiceResponse: zero-byte message
+                    self._reply(200, "application/x-protobuf", b"")
+                else:
+                    self._reply(200, "application/json", b"{}")
+
+        self._server = _Server((host, port), Handler)
+        self.host = host
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    # ---- spooling (delegated to JsonlSpool) ----
+
+    @property
+    def received(self) -> int:
+        return self._spool.received
+
+    def _append(self, req: dict) -> None:
+        self._spool.append(req)
+
+    def rotate(self) -> list[str]:
+        return self._spool.rotate()
+
+    def completed_files(self) -> list[str]:
+        return self._spool.completed_files()
+
+    def close(self) -> None:
         self._server.shutdown()
         self._server.server_close()
         self._thread.join(timeout=5)
-        with self._lock:
-            self._rotate_locked()
+        self._spool.close()
 
 
 def drain_to_dataset(receiver: OTLPHttpReceiver, *, skip_bad_lines: bool = False):
