@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
+        "docs_near_dedup_keep_dcc": lambda sf: dedup.near_dedup_keep(
+            sf, threshold=NGRAM_THRESHOLD, cc="distributed"
+        ),
         # --- dedup suite ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "docs_dedup_stats": lambda sf: dedup.exact_dedup_stats(sf),

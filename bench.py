@@ -151,6 +151,12 @@ def main() -> None:
         "throughput oscillation, which would otherwise bias whichever "
         "point happened to run in a throttled window)",
     )
+    parser.add_argument(
+        "--cooldown", type=float, default=0.0,
+        help="scaling mode: seconds to sleep before each pinned run — "
+        "back-to-back passes run hot into the hypervisor's throttle "
+        "window and depress whichever point runs later (measured r3/r4)",
+    )
     parser.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--num-cpus", type=int, default=None, help=argparse.SUPPRESS)
     parser.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
@@ -175,6 +181,8 @@ def main() -> None:
         # memory-bandwidth ceiling only ever push throughput DOWN)
         for _ in range(max(1, args.repeats)):
             for n in points:
+                if args.cooldown:
+                    time.sleep(args.cooldown)
                 cmd = [sys.executable, __file__, "--headline-only", "--num-cpus", str(n)]
                 if rows:
                     cmd += ["--rows", str(rows)]
@@ -191,21 +199,46 @@ def main() -> None:
                 samples[n].append(round(res["rows_per_sec"], 1))
                 if n not in results or res["rows_per_sec"] > results[n]["rows_per_sec"]:
                     results[n] = res
+        import statistics
+
         curve = {str(n): round(results[n]["rows_per_sec"], 1) for n in points}
-        def eff(lo, hi):
-            return round(results[hi]["rows_per_sec"] / ((hi / lo) * results[lo]["rows_per_sec"]), 3)
+        medians = {
+            str(n): round(statistics.median(samples[n]), 1) for n in points
+        }
+        def eff(lo_v, hi_v, lo, hi):
+            return round(hi_v / ((hi / lo) * lo_v), 3)
+        # best-of-point efficiencies can pair samples from DIFFERENT time
+        # windows (overstates under the sandbox's throttle oscillation);
+        # same-pass efficiencies pair the low and high point of one
+        # round-robin pass, so both sides saw the same window
         pair_effs = {
-            f"{points[i]}->{points[i + 1]}": eff(points[i], points[i + 1])
+            f"{points[i]}->{points[i + 1]}": eff(
+                results[points[i]]["rows_per_sec"],
+                results[points[i + 1]]["rows_per_sec"],
+                points[i], points[i + 1],
+            )
             for i in range(len(points) - 1)
         }
+        same_pass = {
+            f"{points[i]}->{points[i + 1]}": [
+                eff(samples[points[i]][p], samples[points[i + 1]][p],
+                    points[i], points[i + 1])
+                for p in range(len(samples[points[i]]))
+            ]
+            for i in range(len(points) - 1)
+        }
+        head_pair = f"{points[0]}->{points[1]}"
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency (rows/s at 4N vs 4x rows/s at N, pinned cores)",
-                    "value": pair_effs.get(f"{points[0]}->{points[1]}", 1.0),
+                    "metric": "scaling efficiency (rows/s at 4N vs 4x rows/s at N, pinned cores, median of same-pass pairs)",
+                    "value": statistics.median(same_pass[head_pair])
+                    if same_pass.get(head_pair) else 1.0,
                     "unit": "ratio",
                     "rows_per_sec_by_cpus": curve,
-                    "pair_efficiencies": pair_effs,
+                    "median_rows_per_sec_by_cpus": medians,
+                    "pair_efficiencies_best": pair_effs,
+                    "pair_efficiencies_same_pass": same_pass,
                     "all_samples": {str(n): samples[n] for n in points},
                     "rows": results[points[0]]["rows"],
                     "sf": sf_of(sf_dir),

@@ -241,14 +241,14 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, k: int = 2) -> "ray.data
     return _shingle_rows(sf_dir, k).map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_lsh_dedup(
+def minhash_lsh_pairs_ds(
     sf_dir: str,
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
     k: int = 2,
     max_bucket: int = 256,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """MinHash+LSH near-dup detection, fully distributed:
 
     1. shingle stage (once; blobs of sorted int64 crc32 hashes) ->
@@ -256,7 +256,8 @@ def minhash_lsh_dedup(
     ``groupby(bucket)`` shuffle co-locates every bucket's docs with
     their shingles -> 4. exact-Jaccard verification runs inside
     ``map_groups`` (vectorized intersections, bucket-size capped) ->
-    5. the tiny verified pair set dedups on the driver.
+    5. multi-band duplicate pairs collapse in a second (pairs-sized)
+    distributed groupby.
 
     This is the in-shuffle verification shape: no whole-corpus state on
     the driver, no second pass over the corpus.  Cost model: shingle
@@ -333,19 +334,177 @@ def minhash_lsh_dedup(
             }
         )
 
-    verified = (
-        band_rows.groupby("bucket")
-        .map_groups(verify_bucket, batch_format="pyarrow")
-        .take_all()
+    verified = band_rows.groupby("bucket").map_groups(
+        verify_bucket, batch_format="pyarrow"
     )
-    # a pair verified in multiple bands collapses here (tiny result set)
-    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in verified})
+    # a pair verified in multiple bands collapses DISTRIBUTED: one more
+    # pairs-sized groupby, so the pair set never has to fit one process
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return verified.groupby(["doc_a", "doc_b"]).map_groups(
+        first_row, batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_dedup(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    k: int = 2,
+    max_bucket: int = 256,
+) -> pa.Table:
+    """Driver-table view of ``minhash_lsh_pairs_ds`` (sorted verified
+    pairs) — the collect here is PAIR-SET-sized, not corpus-sized; use
+    the Dataset variant when even the pair set may not fit one
+    process."""
+    ds = minhash_lsh_pairs_ds(
+        sf_dir, num_perm=num_perm, bands=bands, threshold=threshold,
+        k=k, max_bucket=max_bucket,
+    )
+    pairs = sorted(
+        {(r["doc_a"], r["doc_b"]) for r in ds.take_all()}
+    )
     return pa.table(
         {
             "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
             "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
         }
     )
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the live cluster.  Ray Data's
+    join operator schedules one aggregator actor per partition and the
+    CC loop chains TWO joins per round, so asking a 4-CPU pytest
+    cluster for 16-partition joins over-subscribes the actor pool and
+    stalls; at 32 CPUs 16 partitions is plenty for pairs-sized label
+    tables (a 256-node run passes num_partitions explicitly)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 30,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed connected components over an edge-list Dataset via
+    min-label propagation: every node starts labeled with itself; each
+    round every edge endpoint adopts the minimum of its own and its
+    neighbors' labels (two distributed hash joins to attach endpoint
+    labels + one groupby-min), until the global label sum stops
+    changing.  The label sum is monotone non-increasing and strictly
+    decreases until the fixpoint, so it doubles as the convergence
+    test — one cheap aggregate per round, no driver-side edge state.
+
+    Rounds needed = graph diameter.  LSH dedup graphs are unions of
+    near-cliques and star-capped buckets (tiny diameter), so 2-4 rounds
+    are typical; ``max_iters`` guards pathological chains.  Labels are
+    (re)materialized each round — the label table is node-count-sized
+    (nodes that appear in ANY edge, not the corpus), which is the same
+    scale the edge shuffle already handles.
+
+    Returns a Dataset of ``(node, component)`` where component is the
+    min node id of the node's component.  Nodes with no edges don't
+    appear (their component is trivially themselves)."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [
+                batch.column(col_a).combine_chunks().cast(pa.int64()),
+                batch.column(col_b).combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table({"node": both, "label": both})
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    labels = (
+        edges.map_batches(to_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(first_row, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    def rename(node_col: str, label_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    node_col: batch.column("node"),
+                    label_col: batch.column("label"),
+                }
+            )
+
+        return fn
+
+    def min_label(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": group.column("node").slice(0, 1),
+                "label": pa.array(
+                    [pc.min(group.column("label")).as_py()], type=pa.int64()
+                ),
+            }
+        )
+
+    for _ in range(max_iters):
+        la = labels.map_batches(rename("_na", "_la"), batch_format="pyarrow")
+        lb = labels.map_batches(rename("_nb", "_lb"), batch_format="pyarrow")
+        annotated = edges.join(
+            la, join_type="inner", num_partitions=num_partitions,
+            on=(col_a,), right_on=("_na",),
+        ).join(
+            lb, join_type="inner", num_partitions=num_partitions,
+            on=(col_b,), right_on=("_nb",),
+        )
+
+        def messages(batch: pa.Table) -> pa.Table:
+            a = batch.column(col_a).combine_chunks().cast(pa.int64())
+            b = batch.column(col_b).combine_chunks().cast(pa.int64())
+            la_ = batch.column("_la").combine_chunks().cast(pa.int64())
+            lb_ = batch.column("_lb").combine_chunks().cast(pa.int64())
+            # each endpoint hears the other's label
+            return pa.table(
+                {
+                    "node": pa.concat_arrays([a, b]),
+                    "label": pa.concat_arrays([lb_, la_]),
+                }
+            )
+
+        msgs = annotated.map_batches(messages, batch_format="pyarrow")
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .map_groups(min_label, batch_format="pyarrow")
+            .materialize()
+        )
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def to_components(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "component": batch.column("label"),
+            }
+        )
+
+    return labels.map_batches(to_components, batch_format="pyarrow")
 
 
 def simhash64(sf_dir: str, cache_cap: int = 1 << 20) -> "ray.data.Dataset":
@@ -441,17 +600,44 @@ def near_dedup_keep(
     bands: int = 16,
     threshold: float = 0.8,
     k: int = 2,
+    cc: str = "driver",
 ) -> "ray.data.Dataset":
     """End-to-end near-duplicate REMOVAL: LSH pair detection ->
-    connected components over the (small) verified pair set -> keep the
-    min doc_id of each component -> broadcast the dropped-id set into a
-    vectorized filter over the corpus.
+    connected components over the verified pair set -> keep the min
+    doc_id of each component -> filter the corpus down to survivors.
 
-    The union-find runs on the driver over PAIRS ONLY (pairs << corpus
-    after LSH); the corpus-sized work — pair detection and the final
-    filter — is distributed.  Returns the surviving doc_ids as a
-    DATASET (corpus-sized: callers stream or write it, never a driver
-    table)."""
+    ``cc`` picks the component engine:
+
+    - ``"driver"`` (default): union-find on the driver over PAIRS ONLY
+      (pairs << corpus after LSH), dropped ids broadcast into a
+      vectorized corpus filter.  The right default — the pair set after
+      LSH verification is tiny relative to the corpus.
+    - ``"distributed"``: label-propagation ``connected_components``
+      over the pair DATASET plus a hash anti-join corpus filter —
+      nothing pair-shaped ever materializes on the driver.  For the
+      pathological corpus whose verified pair set itself breaks the
+      driver-sized assumption.
+
+    Either way the corpus-sized work — pair detection and the final
+    filter — is distributed, and the result is the surviving doc_ids
+    as a DATASET (corpus-sized: callers stream or write it, never a
+    driver table)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if cc == "distributed":
+        pairs_ds = minhash_lsh_pairs_ds(
+            sf_dir, num_perm=num_perm, bands=bands, threshold=threshold, k=k
+        )
+        comps = connected_components(pairs_ds)
+        # survivors of the pair graph are nodes labeling themselves;
+        # everything else in a component drops
+        drops = comps.filter(expr="node != component")
+        return docs.join(
+            drops, join_type="left_anti", num_partitions=_join_partitions(),
+            on=("doc_id",), right_on=("node",),
+        ).sort("doc_id")
+    if cc != "driver":
+        raise ValueError(f"unknown cc engine {cc!r}")
+
     pairs = minhash_lsh_dedup(sf_dir, num_perm=num_perm, bands=bands, threshold=threshold, k=k)
 
     parent: dict[int, int] = {}
@@ -477,11 +663,7 @@ def near_dedup_keep(
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~np.isin(ids, drop))).select(["doc_id"])
 
-    return (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        .map_batches(keep_filter, batch_format="pyarrow")
-        .sort("doc_id")
-    )
+    return docs.map_batches(keep_filter, batch_format="pyarrow").sort("doc_id")
 
 
 def simhash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:

@@ -356,3 +356,56 @@ def test_revenue_forecast_zero_match_returns_zero(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
     out = revenue_forecast(str(tmp_path)).to_pylist()
     assert out == [{"revenue_cents": 0, "n_items": 0}]
+
+
+def test_connected_components_label_propagation(ray_session):
+    """Distributed CC over a hand-built edge list: a 5-node chain (needs
+    diameter rounds, exercising the fixpoint loop), a star, one isolated
+    pair — every node must label with its component's min id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain: component 1
+        (10, 11), (10, 12), (10, 13),             # star:  component 10
+        (20, 21),                                  # pair:  component 20
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["component"] for r in connected_components(ds).take_all()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20}
+    assert got == want
+
+
+def test_near_dedup_keep_distributed_equals_driver(ray_session):
+    """cc="distributed" (label-propagation components + anti-join
+    filter; pairs never on the driver) must produce the same keep-set
+    as the driver union-find path."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import (
+        near_dedup_keep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    driver = [r["doc_id"] for r in near_dedup_keep(sf, threshold=0.8).take_all()]
+    dist = [
+        r["doc_id"]
+        for r in near_dedup_keep(sf, threshold=0.8, cc="distributed").take_all()
+    ]
+    assert driver == dist and len(driver) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown cc engine"):
+        near_dedup_keep(sf, cc="bogus")
