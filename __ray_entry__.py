@@ -31,6 +31,7 @@ from opentelemetry_collector_symbolicator_ray.pipelines import (
 )
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
     input_files,
+    per_processor_telemetry,
     per_sink_aggregates,
     symbolicate,
 )
@@ -91,6 +92,13 @@ def sym_routed_rows(sf_dir: str):
     return out.select_columns(
         ["doc_id", "sink", "symbolicator_failed", "n_tok", "frames_processed", "frames_failed"]
     ).sort("doc_id")
+
+
+def sym_processor_telemetry(sf_dir: str):
+    """Reference-shaped per-PROCESSOR telemetry (each processor's
+    metadata.yaml: duration histogram, frame counters, store-specific
+    fetch-failure counter) regrouped from the routed rows."""
+    return per_processor_telemetry(_sym_out(sf_dir))
 
 
 def sym_sink_counts_salted(sf_dir: str):
@@ -183,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_routed_rows": sym_routed_rows,
         "sym_otlp_source_counts": sym_otlp_source_counts,
         "sym_sink_counts_sharedcache": sym_sink_counts_sharedcache,
+        "sym_processor_telemetry": sym_processor_telemetry,
         # --- training-data ops: text analysis ---
         "docs_token_counts": lambda sf: text.token_counts(sf),
         "docs_quality": lambda sf: text.quality_scores(sf),
@@ -235,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_per_user": lambda sf: analytics.top_events_per_user(sf),
         "events_running_totals": lambda sf: streaming.running_user_totals(sf),
         "events_percentiles": lambda sf: streaming.event_type_percentiles(sf),
+        "events_asof_attribution": lambda sf: streaming.purchase_click_attribution(sf),
+        "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
         "docs_distinct_words": lambda sf: text.distinct_word_counts(sf),
@@ -470,6 +481,29 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_cents
             FROM events ORDER BY event_id
+        """,
+        # AS-OF join (purchase -> most recent prior-or-equal click per
+        # user): LEFT semantics keep unattributed purchases with nulls.
+        "events_asof_attribution": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.event_id AS click_event_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
+        """,
+        # RANGE join (clicks per user in the hour before each purchase,
+        # inclusive of the purchase instant)
+        "events_range_join_counts": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   count(c.event_id)::BIGINT AS n_prior_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts > p.ts - INTERVAL 1 HOUR
+            GROUP BY p.event_id, p.user_id, p.ts
+            ORDER BY p.event_id
         """,
         "events_percentiles": """
             SELECT event_type, count(*)::BIGINT AS n_events,

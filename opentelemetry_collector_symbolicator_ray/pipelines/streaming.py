@@ -202,3 +202,223 @@ def event_type_percentiles(sf_dir: str) -> pa.Table:
         key=lambda r: r["event_type"],
     )
     return pa.Table.from_pylist(rows)
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    take: dict[str, str],
+) -> "ray.data.Dataset":
+    """Distributed AS-OF join: for every left row, attach the columns in
+    ``take`` (right-name -> output-name) from the RIGHT row with the
+    greatest ``ts_col`` <= the left row's (same ``key``); left rows with
+    no prior right row keep nulls (LEFT asof semantics, matching DuckDB
+    ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts``).
+
+    Ray Data has no asof/range join; the composition is the documented
+    custom-operator shape: tag the two sides, align schemas, union, and
+    ``groupby(key).map_groups`` — inside each co-located key group the
+    right side sorts once by ts and every left row binary-searches it
+    (vectorized ``np.searchsorted``).  ONE shuffle total (the key
+    groupby); per-group memory is one key's rows on both sides, the
+    same partitioning assumption sessionization already relies on.
+    Key-skew caveat: a single hot key's full history must fit one task.
+    """
+    # capture plain Arrow types up front: Dataset objects must not ride
+    # into task closures (schemas are cheap, Datasets aren't serializable)
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    take_src = list(take)
+    ltype = {c: lsch.base_schema.field(c).type for c in left_cols}
+    rtype = {c: rsch.base_schema.field(c).type for c in take_src}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["_side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for src in take_src:
+            cols[f"_r_{src}"] = pa.nulls(batch.num_rows, rtype[src])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for c in left_cols:
+            if c == key:
+                cols[c] = batch.column(key)
+            elif c == ts_col:
+                cols[c] = batch.column(ts_col)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, ltype[c])
+        cols["_side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        for src in take_src:
+            cols[f"_r_{src}"] = batch.column(src)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group.column("_side").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = (
+            group.column(ts_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lmask, rmask = side == 0, side == 1
+        lefts = group.filter(pa.array(lmask))
+        if lefts.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=ltype[c]) for c in left_cols},
+                    **{
+                        out: pa.array([], type=rtype[src])
+                        for src, out in take.items()
+                    },
+                }
+            )
+        lts = ts[lmask]
+        rts = ts[rmask]
+        order = np.argsort(rts, kind="stable")
+        rts = rts[order]
+        # greatest right ts <= left ts (inclusive, DuckDB l.ts >= r.ts)
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        hit = idx >= 0
+        out = {c: lefts.column(c) for c in left_cols}
+        rights = group.filter(pa.array(rmask))
+        for src, name in take.items():
+            rcol = rights.column(f"_r_{src}").combine_chunks().take(
+                pa.array(order[np.clip(idx, 0, None)], type=pa.int64())
+            ) if len(rts) else pa.nulls(len(lts), rtype[src])
+            out[name] = pc.if_else(pa.array(hit), rcol, pa.nulls(len(lts), rtype[src]))
+        return pa.table(out)
+
+    return tagged.groupby(key).map_groups(join_group, batch_format="pyarrow")
+
+
+def range_join_counts(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    lookback_us: int,
+    out_col: str = "n_in_range",
+) -> "ray.data.Dataset":
+    """Distributed RANGE join (count form): for every left row, count
+    right rows with the same ``key`` whose ts lies in
+    ``(left.ts - lookback_us, left.ts]``.  Same one-shuffle
+    union + ``groupby(key).map_groups`` shape as :func:`asof_join`;
+    counts come from two vectorized ``searchsorted`` bounds against the
+    group's sorted right-side timestamps, so a W-row window never
+    fans out W joined rows per left row (the count never leaves the
+    group)."""
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: batch.column(key),
+                    ts_col: batch.column(ts_col),
+                    "_side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
+                    "_id": batch.column("event_id")
+                    if side == 0
+                    else pa.nulls(batch.num_rows, pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def count_group(group: pa.Table) -> pa.Table:
+        side = group.column("_side").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = (
+            group.column(ts_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lmask = side == 0
+        lefts = group.filter(pa.array(lmask))
+        if lefts.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=group.schema.field(key).type),
+                    "event_id": pa.array([], type=pa.int64()),
+                    ts_col: pa.array([], type=group.schema.field(ts_col).type),
+                    out_col: pa.array([], type=pa.int64()),
+                }
+            )
+        lts = ts[lmask]
+        rts = np.sort(ts[~lmask], kind="stable")
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - lookback_us, side="right")
+        return pa.table(
+            {
+                key: lefts.column(key),
+                "event_id": lefts.column("_id"),
+                ts_col: lefts.column(ts_col),
+                out_col: pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby(key).map_groups(count_group, batch_format="pyarrow")
+
+
+def purchase_click_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """AS-OF JOIN showcase: every purchase event attributed to the same
+    user's most recent prior (or simultaneous) click.  Oracle: DuckDB
+    ``ASOF LEFT JOIN``."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "click_event_id": batch.column("event_id"),
+                "click_ts": batch.column("ts"),
+            }
+        )
+
+    clicks = clicks.map_batches(stamp, batch_format="pyarrow")
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        take={"click_event_id": "click_event_id", "click_ts": "click_ts"},
+    )
+    return _compact_sort(joined.select_columns(
+        ["event_id", "user_id", "ts", "click_event_id", "click_ts"]
+    ), ["event_id"])
+
+
+def purchase_click_window_counts(sf_dir: str) -> "ray.data.Dataset":
+    """RANGE-JOIN showcase: clicks per user in the hour before each
+    purchase (inclusive of the purchase instant)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    counted = range_join_counts(
+        purchases, clicks, key="user_id", ts_col="ts",
+        lookback_us=US_PER_HOUR, out_col="n_prior_clicks",
+    )
+    return _compact_sort(
+        counted.select_columns(["event_id", "user_id", "ts", "n_prior_clicks"]),
+        ["event_id"],
+    )

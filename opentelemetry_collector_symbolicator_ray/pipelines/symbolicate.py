@@ -542,3 +542,135 @@ def per_sink_aggregates(out_ds: "ray.data.Dataset") -> pa.Table:
     )
     table = pa.Table.from_pylist(sorted(agg.take_all(), key=lambda r: r["sink"]))
     return table
+
+
+# metadata.yaml `type` of the processor that owns each sink.  The chain's
+# routes are exclusive (disjoint language allowlists; G4), so every routed
+# row was symbolicated by exactly one processor and the reference's
+# per-PROCESSOR telemetry (each processor's metadata.yaml declares its own
+# processor_symbolication_duration histogram, frame counters, and a
+# store-specific fetch-failure counter) is a regrouping of the per-sink
+# rows.  Unsymbolicated rows map to no processor: the reference starts the
+# duration timer only after the gate passes ("Start timing symbolication
+# only when we actually perform it", sourcemapprocessor/processor.go:145),
+# so skipped records record nothing.
+SINK_PROCESSOR = {
+    "js": "source_map_symbolicator",
+    "android": "proguard_symbolicator",
+    "apple": "dsym_symbolicator",
+}
+# the fetch-failure metric is named per store in each metadata.yaml
+PROCESSOR_FETCH_METRIC = {
+    "source_map_symbolicator": "processor_total_source_map_fetch_failures",
+    "proguard_symbolicator": "processor_total_proguard_fetch_failures",
+    "dsym_symbolicator": "processor_total_dsym_fetch_failures",
+}
+
+
+def per_processor_telemetry(out_ds: "ray.data.Dataset") -> pa.Table:
+    """Reference-shaped per-PROCESSOR telemetry (metadata.yaml parity:
+    sourcemapprocessor/dsymprocessor/proguardprocessor metadata.yaml
+    each declare processor_symbolication_duration + frame counters +
+    a store-specific fetch-failure counter keyed by processor type).
+
+    Same map-side-partial shape as :func:`per_sink_aggregates`: the
+    duration histogram is bucketed per block with vectorized
+    ``searchsorted`` one-hots, partials hash-aggregate inside
+    ``map_batches``, and only a <=3-row table ever reaches the driver."""
+    import numpy as np
+
+    from ..stages.symbolicate_stage import DURATION_BUCKETS
+
+    edges = np.array([1e-4, 1e-3, 1e-2])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sinks = batch.column("sink").to_pylist()
+        procs = [SINK_PROCESSOR.get(s) for s in sinks]
+        mask = pa.array([p is not None for p in procs])
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            # full partial schema, zero rows (blocks of pure
+            # unsymbolicated records must still union cleanly)
+            empty = {"processor": pa.array([], type=pa.string())}
+            for c in (
+                "processor_symbolication_duration_count",
+                "processor_total_processed_frames",
+                "processor_total_failed_frames",
+                "processor_total_fetch_failures",
+                "dur_le_100us",
+                "dur_le_1ms",
+                "dur_le_10ms",
+                "dur_gt_10ms",
+            ):
+                empty[c] = pa.array([], type=pa.int64())
+            empty["processor_symbolication_duration_sum"] = pa.array(
+                [], type=pa.float64()
+            )
+            order = [
+                "processor",
+                "processor_symbolication_duration_count",
+                "processor_symbolication_duration_sum",
+                "processor_total_processed_frames",
+                "processor_total_failed_frames",
+                "processor_total_fetch_failures",
+                "dur_le_100us",
+                "dur_le_1ms",
+                "dur_le_10ms",
+                "dur_gt_10ms",
+            ]
+            return pa.table({k: empty[k] for k in order})
+        durs = batch.column("symbolication_duration").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(edges, durs, side="left")
+        cols = {
+            "processor": pa.array(
+                [p for p in procs if p is not None], type=pa.string()
+            ),
+            "processor_symbolication_duration_count": pa.array(
+                np.ones(len(idx), dtype=np.int64)
+            ),
+            "processor_symbolication_duration_sum": batch.column(
+                "symbolication_duration"
+            ),
+            "processor_total_processed_frames": pc.cast(
+                batch.column("frames_processed"), pa.int64()
+            ),
+            "processor_total_failed_frames": pc.cast(
+                batch.column("frames_failed"), pa.int64()
+            ),
+            "processor_total_fetch_failures": pc.cast(
+                batch.column("fetch_failures"), pa.int64()
+            ),
+        }
+        for b, name in enumerate(DURATION_BUCKETS):
+            cols[name] = pa.array((idx == b).astype(np.int64))
+        t = pa.table(cols)
+        value_cols = [c for c in t.column_names if c != "processor"]
+        g = t.group_by("processor").aggregate([(c, "sum") for c in value_cols])
+        return g.rename_columns(["processor"] + value_cols)
+
+    from ray.data.aggregate import Sum
+
+    partials = out_ds.map_batches(partial, batch_format="pyarrow")
+    value_cols = [
+        "processor_symbolication_duration_count",
+        "processor_symbolication_duration_sum",
+        "processor_total_processed_frames",
+        "processor_total_failed_frames",
+        "processor_total_fetch_failures",
+        "dur_le_100us",
+        "dur_le_1ms",
+        "dur_le_10ms",
+        "dur_gt_10ms",
+    ]
+    agg = partials.groupby("processor").aggregate(
+        *[Sum(c, alias_name=c) for c in value_cols]
+    )
+    rows = sorted(
+        (r for r in agg.take_all() if r["processor"] is not None),
+        key=lambda r: r["processor"],
+    )
+    for r in rows:
+        r["fetch_failure_metric"] = PROCESSOR_FETCH_METRIC[r["processor"]]
+    return pa.Table.from_pylist(rows)

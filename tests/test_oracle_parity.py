@@ -65,6 +65,12 @@ def assert_frames_match(ray_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
+            # NULLs (e.g. unmatched LEFT-asof rows) surface as NaN/NaT;
+            # null==null for parity (the driver's hash is byte-stable)
+            if (x is None or (not isinstance(x, (list, tuple)) and pd.isna(x))) and (
+                y is None or (not isinstance(y, (list, tuple)) and pd.isna(y))
+            ):
+                continue
             if isinstance(x, float) or isinstance(y, float):
                 assert math.isclose(float(x), float(y), rel_tol=0, abs_tol=1e-9), (
                     f"{name}.{col}[{i}]: {x} != {y}"

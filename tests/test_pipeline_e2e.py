@@ -532,3 +532,50 @@ def test_pipelined_commits_healthy_shards_despite_corrupt_file(
     healed = run_checkpointed(corpus, out, cfg, shard_size=1)
     assert set(ShardManifest(out).committed_shards()) == {0, 1, 2, 3}
     assert drop_telemetry(healed) == drop_telemetry(ref)
+
+
+def test_per_processor_telemetry_conserves_sink_aggregates(ray_session, corpus):
+    """The per-processor telemetry view (metadata.yaml parity) is a
+    regrouping of the per-sink aggregates under the exclusive-route
+    invariant: each processor row must carry exactly its sink's frame /
+    fetch / duration totals, buckets must partition the rows, and the
+    store-specific fetch-failure metric names must match metadata.yaml."""
+    import ray.data
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        PROCESSOR_FETCH_METRIC,
+        SINK_PROCESSOR,
+        per_processor_telemetry,
+    )
+
+    cfg = make_cfg(corpus)
+    ds = ray.data.read_parquet(input_files(corpus))
+    out = symbolicate(ds, cfg).materialize()
+    sinks = {r["sink"]: r for r in per_sink_aggregates(out).to_pylist()}
+    procs = {r["processor"]: r for r in per_processor_telemetry(out).to_pylist()}
+
+    assert set(procs) == {
+        "source_map_symbolicator", "proguard_symbolicator", "dsym_symbolicator"
+    }
+    for sink, pname in SINK_PROCESSOR.items():
+        p, s = procs[pname], sinks[sink]
+        assert p["processor_total_processed_frames"] == s["frames_processed"]
+        assert p["processor_total_failed_frames"] == s["frames_failed"]
+        assert p["processor_total_fetch_failures"] == s["fetch_failures"]
+        assert p["processor_symbolication_duration_count"] == s["rows"]
+        assert p["processor_symbolication_duration_sum"] == pytest.approx(
+            s["symbolication_duration"]
+        )
+        buckets = (
+            p["dur_le_100us"] + p["dur_le_1ms"] + p["dur_le_10ms"] + p["dur_gt_10ms"]
+        )
+        assert buckets == s["rows"]
+        assert p["fetch_failure_metric"] == PROCESSOR_FETCH_METRIC[pname]
+    # unsymbolicated rows record nothing (reference starts the duration
+    # timer only after the gate passes)
+    total_proc_rows = sum(
+        p["processor_symbolication_duration_count"] for p in procs.values()
+    )
+    assert total_proc_rows == sum(
+        s["rows"] for k, s in sinks.items() if k != "unsymbolicated"
+    )

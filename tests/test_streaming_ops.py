@@ -134,3 +134,62 @@ def test_contamination_flags_overlap(ray_session, tmp_path):
     assert [r["doc_id"] for r in out] == [100]
     # shared 3-grams: "the quick brown", "quick brown fox", "brown fox jumps"
     assert out[0]["shared_ngrams"] == 3
+
+
+def _ts_table(rows, cols=("event_id", "user_id", "ts")):
+    import pyarrow as pa
+
+    arrays = {
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+    }
+    return pa.table({c: arrays[c] for c in cols})
+
+
+def test_asof_join_edges(ray_session):
+    """Boundary semantics: equal timestamps MATCH (l.ts >= r.ts),
+    left rows before any right row get nulls, keys with no right rows
+    get nulls, and the greatest-not-exceeding right row wins."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import asof_join
+
+    left = rd.from_arrow(_ts_table([
+        (1, 7, 1000), (2, 7, 2000), (3, 7, 500),   # key 7
+        (4, 9, 1000),                               # key 9: no rights
+    ]))
+    right_tbl = _ts_table([
+        (101, 7, 1000),   # equal-ts: must match event 1
+        (102, 7, 1500),   # most recent for event 2
+        (103, 7, 99),     # too old for nothing (event 3 at 500 matches this)
+    ])
+    right = rd.from_arrow(right_tbl.rename_columns(["r_id", "user_id", "ts"]))
+    out = asof_join(
+        left, right, key="user_id", ts_col="ts", take={"r_id": "r_id"}
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    got = {int(e): (None if r != r else int(r)) for e, r in zip(out.event_id, out.r_id)}
+    assert got == {1: 101, 2: 102, 3: 103, 4: None}
+
+
+def test_range_join_counts_edges(ray_session):
+    """Window is (ts - lookback, ts]: the left instant is included, the
+    exact lookback edge is excluded; keys with no rights count 0."""
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import (
+        range_join_counts,
+    )
+
+    left = rd.from_arrow(_ts_table([(1, 7, 1000), (2, 8, 1000)]))
+    right = rd.from_arrow(_ts_table([
+        (101, 7, 1000),  # == left instant -> counted
+        (102, 7, 900),   # inside
+        (103, 7, 800),   # == ts - lookback -> EXCLUDED (open lower bound)
+        (104, 7, 1001),  # future -> excluded
+    ]))
+    out = range_join_counts(
+        left, right, key="user_id", ts_col="ts", lookback_us=200, out_col="n"
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert dict(zip(out.event_id, out.n)) == {1: 2, 2: 0}
