@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
         "docs_profile": lambda sf: text.document_profile(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
+        "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
+        "docs_pack_sequences": lambda sf: text.pack_sequences(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
@@ -294,6 +296,15 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(text, ' ')) AS avg_word_len,
                    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # per-language deterministic mix rates; thresholds shared
+        # verbatim with DEFAULT_LANG_MIX in pipelines/text.py
+        "docs_weighted_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(text), 1, 2) < CASE lang
+                WHEN 'en' THEN '80' WHEN 'de' THEN '33' WHEN 'fr' THEN '33'
+                WHEN 'es' THEN '33' WHEN 'zh' THEN '1a' ELSE '00' END
+            ORDER BY doc_id
         """,
         "docs_hash_sample": """
             SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '33'

@@ -82,7 +82,30 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--concurrency", type=int, default=None)
     p_serve.add_argument("--batch-size", type=int, default=2048)
 
+    p_compact = sub.add_parser(
+        "compact-spool",
+        help="merge <spool>/drained/*.jsonl into a parquet archive "
+        "(replayable via read_archived_spool with identical doc_ids)",
+    )
+    p_compact.add_argument("--spool", required=True)
+    p_compact.add_argument(
+        "--keep-jsonl", action="store_true",
+        help="keep the source drained files (default: delete after the "
+        "archive rename commits)",
+    )
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "compact-spool":
+        from .sources.otlp_http import compact_drained_spool
+
+        print(
+            json.dumps(
+                compact_drained_spool(args.spool, delete=not args.keep_jsonl),
+                sort_keys=True,
+            )
+        )
+        return 0
 
     if args.cmd == "synth":
         from .synth import generate_corpus

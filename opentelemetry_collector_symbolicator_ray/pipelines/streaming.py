@@ -225,6 +225,10 @@ def asof_join(
     groupby); per-group memory is one key's rows on both sides, the
     same partitioning assumption sessionization already relies on.
     Key-skew caveat: a single hot key's full history must fit one task.
+    Tie caveat: when several right rows share the chosen timestamp the
+    winner among them is arbitrary (same as SQL ASOF JOIN) — results
+    are fully deterministic iff the right side is unique per
+    ``(key, ts)``, which the events table guarantees.
     """
     # capture plain Arrow types up front: Dataset objects must not ride
     # into task closures (schemas are cheap, Datasets aren't serializable)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -656,3 +657,123 @@ def repetition_scores(sf_dir: str, n: int = 2) -> "ray.data.Dataset":
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+DEFAULT_LANG_MIX: dict[str, str] = {
+    # per-language hex thresholds on md5(text)[:2] — "80" ~ 50%,
+    # "33" ~ 20%, "1a" ~ 10%: an English-weighted training mix
+    "en": "80",
+    "de": "33",
+    "fr": "33",
+    "es": "33",
+    "zh": "1a",
+}
+
+
+def weighted_lang_sample(
+    sf_dir: str, rates: dict[str, str] | None = None, default_rate: str = "00"
+) -> "ray.data.Dataset":
+    """Training-mix sampling: keep each document with a per-LANGUAGE
+    deterministic content-hash rate (domain/language reweighting, the
+    standard knob for composing a pretraining mix).  Content-keyed like
+    :func:`hash_sample`, so the subset is stable across partitioning,
+    ordering and resumption, composable with dedup (same doc always
+    samples the same way), and SQL-checkable.  ``rates`` maps language
+    -> 2-hex-digit threshold on ``md5(text)[:2]``; unlisted languages
+    fall back to ``default_rate`` ("00" = drop)."""
+    rates = DEFAULT_LANG_MIX if rates is None else rates
+
+    def fn(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        keep = [
+            hashlib.md5(t.encode()).hexdigest()[:2] < rates.get(lang, default_rate)
+            for t, lang in zip(batch.column("text").to_pylist(), langs)
+        ]
+        return batch.filter(pa.array(keep, type=pa.bool_())).select(["doc_id", "lang"])
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 256, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Sequence packing: greedily pack documents into fixed
+    token-budget bins (the sample-efficiency step before LLM training —
+    concatenate short docs so a context window wastes no tokens).
+
+    Distributed shape: docs hash-partition by ``crc32(doc_id)`` (ONE
+    groupby shuffle of (doc_id, n_tokens) pairs only — text stays in
+    the source files); each partition group sorts by doc_id and runs
+    greedy first-fit over bins, emitting ``(doc_id, n_tokens, pack_id,
+    pack_pos)``.  ``pack_id = partition << 32 | local bin`` keeps ids
+    globally unique, and the assignment is DETERMINISTIC regardless of
+    physical block layout (partition and intra-partition order are both
+    content-keyed).  A doc longer than ``budget`` gets a bin of its own
+    (callers chunk oversized docs upstream; packing never truncates).
+    Token counts use the whitespace-word convention shared with
+    token_counts/the SQL oracles."""
+
+    def count_and_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n_tok = [len(t.split(" ")) for t in batch.column("text").to_pylist()]
+        parts = [zlib.crc32(str(i).encode()) % num_partitions for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "part": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        part = int(group.column("part")[0].as_py())
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        # greedy first-fit in doc_id order: O(n * open-bins) worst
+        # case; exactly-full bins retire from the scan list
+        bins: list[tuple[int, int]] = []  # (bin_id, used)
+        next_bin = 0
+        out_pack, out_pos = {}, {}
+        for i in order:
+            t = int(toks[i])
+            placed = False
+            for bi in range(len(bins)):
+                b_id, used = bins[bi]
+                if used + t <= budget:
+                    out_pack[i] = b_id
+                    out_pos[i] = used
+                    bins[bi] = (b_id, used + t)
+                    placed = True
+                    break
+            if not placed:
+                out_pack[i] = next_bin
+                out_pos[i] = 0
+                bins.append((next_bin, t))
+                next_bin += 1
+            # retire full bins so the inner scan stays short
+            bins = [(b, u) for b, u in bins if budget - u > 0]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(ids[i]) for i in order], type=pa.int64()),
+                "n_tokens": pa.array([int(toks[i]) for i in order], type=pa.int64()),
+                "pack_id": pa.array(
+                    [(part << 32) | out_pack[i] for i in order], type=pa.int64()
+                ),
+                "pack_pos": pa.array([out_pos[i] for i in order], type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(count_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack_group, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -175,8 +175,6 @@ def read_otlp_jsonl(paths: str | list[str], *, skip_bad_lines: bool = False) -> 
     Malformed lines fail the read task loudly by default;
     ``skip_bad_lines=True`` quarantines them instead (dropped with a
     count in the task log) — the dead-letter pattern for dirty feeds."""
-    import zlib
-
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def to_rows(batch: pa.Table) -> pa.Table:
@@ -186,31 +184,62 @@ def read_otlp_jsonl(paths: str | list[str], *, skip_bad_lines: bool = False) -> 
         for path, blob in zip(
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
-            ptag = zlib.crc32(path.encode())
-            for lineno, line in enumerate(blob.decode("utf-8").splitlines()):
-                if not line.strip():
-                    continue
-                try:
-                    req = json.loads(line)
-                except ValueError:
-                    if skip_bad_lines:
-                        dropped += 1
-                        continue
-                    raise
-                for recno, record in enumerate(otlp_to_records(req)):
-                    records.append(record)
-                    digest = zlib.crc32(json.dumps(record, sort_keys=True).encode())
-                    doc_ids.append(f"otlp-{ptag:08x}-{lineno}-{recno}-{digest:08x}")
+            d = _numbered_lines_to_rows(
+                path,
+                enumerate(blob.decode("utf-8").splitlines()),
+                records,
+                doc_ids,
+                skip_bad_lines,
+            )
+            dropped += d
         if dropped:
             print(f"read_otlp_jsonl: quarantined {dropped} malformed line(s)")
-        tokens, n_tok = encode_batch_records(records)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.string()),
-                "tokens": tokens,
-                "n_tok": n_tok,
-                "source": pa.array(["otlp-jsonl"] * len(doc_ids), type=pa.string()),
-            }
-        )
+        return _rows_table(doc_ids, records)
 
     return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def _numbered_lines_to_rows(
+    path: str,
+    numbered_lines,
+    records: list[dict],
+    doc_ids: list[str],
+    skip_bad_lines: bool,
+) -> int:
+    """Shared line->record expansion for the live JSONL reader and the
+    compacted-archive replay path: doc_id depends only on (path,
+    lineno, recno, content), so replay from an archive that preserves
+    the ORIGINAL spool path and line numbers reproduces the exact ids
+    the original drain emitted.  Appends into records/doc_ids; returns
+    the number of quarantined lines."""
+    import zlib
+
+    ptag = zlib.crc32(path.encode())
+    dropped = 0
+    for lineno, line in numbered_lines:
+        if not line.strip():
+            continue
+        try:
+            req = json.loads(line)
+        except ValueError:
+            if skip_bad_lines:
+                dropped += 1
+                continue
+            raise
+        for recno, record in enumerate(otlp_to_records(req)):
+            records.append(record)
+            digest = zlib.crc32(json.dumps(record, sort_keys=True).encode())
+            doc_ids.append(f"otlp-{ptag:08x}-{lineno}-{recno}-{digest:08x}")
+    return dropped
+
+
+def _rows_table(doc_ids: list[str], records: list[dict]) -> pa.Table:
+    tokens, n_tok = encode_batch_records(records)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": pa.array(["otlp-jsonl"] * len(doc_ids), type=pa.string()),
+        }
+    )

@@ -446,3 +446,106 @@ def drain_spool_checkpointed(
         with ThreadPoolExecutor(max_workers=workers) as ex:
             drained = sorted(ex.map(lambda args: drain_one(*args), pending))
     return {"drained_shards": drained, "totals": manifest.aggregates()}
+
+
+def compact_drained_spool(spool_dir: str, *, delete: bool = True) -> dict:
+    """Compact ``spool_dir/drained/*.jsonl`` into one columnar parquet
+    archive under ``spool_dir/archive/`` — the retention step after
+    :func:`drain_spool_checkpointed(..., archive=True)`: a long-running
+    listener otherwise accumulates one inode per drained micro-batch.
+
+    Each archive row preserves the ORIGINAL spool path (the path the
+    drain actually read, i.e. ``spool_dir/<name>``, not the drained/
+    location) and line number, so :func:`read_archived_spool` replays
+    byte-identical records under the exact doc_ids the original drain
+    emitted (the audit/backfill contract).  The archive file is named
+    ``archive-<minseq>-<maxseq>.parquet``; a name collision is a loud
+    error (sequence numbers are never re-issued).  Written atomically
+    (tmp + rename); sources are deleted only after the rename, so a
+    crash mid-compact loses nothing.
+
+    Scale: one compact call processes the CURRENT drained set in the
+    sidecar process — spool shards are rotation-bounded (~tens of MB),
+    so a periodic compact loop touches bounded data per pass; the
+    archives themselves are plain parquet any Ray job can scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drained_dir = os.path.join(spool_dir, "drained")
+    if not os.path.isdir(drained_dir):
+        return {"archived_files": 0, "archive": None}
+    names = sorted(n for n in os.listdir(drained_dir) if _SPOOL_RE.fullmatch(n))
+    if not names:
+        return {"archived_files": 0, "archive": None}
+
+    seqs, paths, linenos, lines = [], [], [], []
+    for name in names:
+        seq = int(_SPOOL_RE.fullmatch(name).group(1))
+        original_path = os.path.join(spool_dir, name)
+        with open(os.path.join(drained_dir, name), "r") as f:
+            for lineno, line in enumerate(f.read().splitlines()):
+                seqs.append(seq)
+                paths.append(original_path)
+                linenos.append(lineno)
+                lines.append(line)
+    lo, hi = min(seqs), max(seqs)
+    archive_dir = os.path.join(spool_dir, "archive")
+    os.makedirs(archive_dir, exist_ok=True)
+    dest = os.path.join(archive_dir, f"archive-{lo:06d}-{hi:06d}.parquet")
+    if os.path.exists(dest):
+        raise RuntimeError(
+            f"spool archive collision: {dest} exists — a sequence number "
+            f"was re-issued; refusing to overwrite archived data"
+        )
+    tbl = pa.table(
+        {
+            "seq": pa.array(seqs, type=pa.int64()),
+            "path": pa.array(paths, type=pa.string()),
+            "lineno": pa.array(linenos, type=pa.int64()),
+            "line": pa.array(lines, type=pa.string()),
+        }
+    )
+    tmp = dest + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, dest)
+    if delete:
+        for name in names:
+            os.remove(os.path.join(drained_dir, name))
+    return {"archived_files": len(names), "archive": dest, "rows": len(lines)}
+
+
+def read_archived_spool(paths, *, skip_bad_lines: bool = False):
+    """Replay compacted spool archives as the canonical token-row
+    Dataset.  Emits the SAME doc_ids as the original live drain —
+    doc_id is a pure function of (original path, lineno, recno,
+    content), all of which the archive preserves."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from .otlp import _numbered_lines_to_rows, _rows_table
+
+    ds = ray.data.read_parquet(paths)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        records: list[dict] = []
+        doc_ids: list[str] = []
+        dropped = 0
+        # rows in a block may interleave paths; group per path so the
+        # crc tag computes once per file
+        by_path: dict[str, list[tuple[int, str]]] = {}
+        for p, ln, line in zip(
+            batch.column("path").to_pylist(),
+            batch.column("lineno").to_pylist(),
+            batch.column("line").to_pylist(),
+        ):
+            by_path.setdefault(p, []).append((ln, line))
+        for p, numbered in by_path.items():
+            dropped += _numbered_lines_to_rows(
+                p, numbered, records, doc_ids, skip_bad_lines
+            )
+        if dropped:
+            print(f"read_archived_spool: quarantined {dropped} malformed line(s)")
+        return _rows_table(doc_ids, records)
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")

@@ -447,3 +447,63 @@ def test_two_receivers_shared_spool_no_truncation(tmp_path):
     n_lines = sum(len(open(f).read().splitlines()) for f in files)
     assert n_lines == 10  # nothing clobbered
     assert len(files) == 2  # disjoint sequences
+
+
+def test_compact_and_replay_archived_spool(ray_session, tmp_path):
+    """compact-spool merges drained shards into one parquet archive and
+    read_archived_spool replays EXACTLY the doc_ids the live drain path
+    would have produced (audit/backfill contract); source jsonl is
+    removed only after the archive commits, and a second compact is a
+    clean no-op."""
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.sources.otlp import read_otlp_jsonl
+    from opentelemetry_collector_symbolicator_ray.sources.otlp_http import (
+        compact_drained_spool,
+        drain_spool_checkpointed,
+        read_archived_spool,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 30, num_files=1, seed=37)
+    cfg = PipelineConfig.with_default_routing(
+        os.path.join(corpus, "artifacts"), concurrency=2, batch_size=32
+    )
+    spool = str(tmp_path / "spool")
+    r = OTLPHttpReceiver(spool, rotate_records=10)
+    try:
+        base = f"http://{r.host}:{r.port}"
+        for i in range(20):
+            status, _ = post(f"{base}/v1/logs", json.dumps(_sample_request(i)).encode())
+            assert status == 200
+        r.rotate()
+    finally:
+        r.close()
+
+    # capture the live-path doc ids BEFORE drain moves the files
+    live_files = sorted(
+        os.path.join(spool, f) for f in os.listdir(spool) if f.endswith(".jsonl")
+    )
+    live_ids = sorted(
+        row["doc_id"] for row in read_otlp_jsonl(live_files).take_all()
+    )
+
+    out = str(tmp_path / "out")
+    drain_spool_checkpointed(spool, out, cfg, archive=True)
+
+    res = compact_drained_spool(spool)
+    assert res["archived_files"] == 2 and res["rows"] == 20
+    assert os.path.basename(res["archive"]) == "archive-000000-000001.parquet"
+    # sources deleted after the rename committed
+    assert not any(
+        f.endswith(".jsonl") for f in os.listdir(os.path.join(spool, "drained"))
+    )
+
+    replay_ids = sorted(
+        row["doc_id"] for row in read_archived_spool([res["archive"]]).take_all()
+    )
+    assert replay_ids == live_ids and len(replay_ids) == 20
+
+    # idempotent on an empty drained dir
+    res2 = compact_drained_spool(spool)
+    assert res2 == {"archived_files": 0, "archive": None}

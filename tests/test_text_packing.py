@@ -1,0 +1,117 @@
+"""Sequence packing + weighted-mix sampling invariants (the ops whose
+semantics the SQL oracle can't fully pin: greedy bin state is
+iterative, so the packing contract is asserted against a reference
+single-process implementation here)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_invariants(ray_session):
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import pack_sequences
+
+    budget = 256
+    rows = pack_sequences(SF, budget=budget).take_all()
+
+    # every document appears exactly once
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 500
+
+    # no pack exceeds the budget unless it is a single oversized doc
+    by_pack: dict[int, list[dict]] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack, members in by_pack.items():
+        total = sum(m["n_tokens"] for m in members)
+        if total > budget:
+            assert len(members) == 1, f"pack {pack} overflows with {len(members)} docs"
+
+    # pack_pos is the exclusive prefix sum of the pack's member sizes
+    for members in by_pack.values():
+        members = sorted(members, key=lambda m: m["pack_pos"])
+        running = 0
+        for m in members:
+            assert m["pack_pos"] == running
+            running += m["n_tokens"]
+
+    # packing actually packs: far fewer bins than docs at this budget
+    assert len(by_pack) < 500 / 2
+
+
+def test_pack_sequences_matches_reference_and_is_deterministic(ray_session):
+    """The distributed assignment must equal a single-process greedy
+    first-fit over the same (partition, doc_id-order) layout — i.e. the
+    result is a pure function of content, not of Ray block boundaries."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import pack_sequences
+
+    budget, P = 256, 32
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(
+        (int(i), len(t.split(" ")))
+        for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    expect: dict[int, tuple[int, int]] = {}
+    for part in range(P):
+        bins: list[tuple[int, int]] = []
+        next_bin = 0
+        for doc_id, t in docs:
+            if zlib.crc32(str(doc_id).encode()) % P != part:
+                continue
+            placed = False
+            for bi, (b_id, used) in enumerate(bins):
+                if used + t <= budget:
+                    expect[doc_id] = ((part << 32) | b_id, used)
+                    bins[bi] = (b_id, used + t)
+                    placed = True
+                    break
+            if not placed:
+                expect[doc_id] = ((part << 32) | next_bin, 0)
+                bins.append((next_bin, t))
+                next_bin += 1
+            bins = [(b, u) for b, u in bins if budget - u > 0]
+
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(SF, budget=budget, num_partitions=P).take_all()
+    }
+    assert got == expect
+
+    again = {
+        r["doc_id"]: (r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(SF, budget=budget, num_partitions=P).take_all()
+    }
+    assert again == got
+
+
+def test_weighted_lang_sample_rates(ray_session):
+    """Higher-threshold languages keep more; a zeroed language keeps
+    nothing; sample is a subset of the unweighted population."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        weighted_lang_sample,
+    )
+
+    rows = weighted_lang_sample(SF).take_all()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang.get("en", 0) > by_lang.get("zh", 0)
+
+    none_kept = weighted_lang_sample(SF, rates={"en": "00"}).take_all()
+    assert none_kept == []
+
+    all_en = weighted_lang_sample(SF, rates={"en": "ff"}).take_all()
+    import duckdb
+
+    n_en = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet') WHERE lang='en'"
+    ).fetchone()[0]
+    # "ff" keeps every md5 whose first byte < 0xff (255/256 of docs)
+    assert len(all_en) == pytest.approx(n_en, abs=3)
+    assert all(r["lang"] == "en" for r in all_en)
