@@ -158,3 +158,60 @@ def write_dsym(
     payload = {"debug_id": debug_id.lower(), "symbols": symbols}
     with open(os.path.join(dwarf_dir, binary_name), "w") as f:
         json.dump(payload, f)
+
+
+def build_macho_symtab(debug_id: str, symbols: list[tuple[int, str]]) -> bytes:
+    """Assemble a REAL minimal Mach-O 64-bit little-endian binary
+    (MH_MAGIC_64 header + LC_UUID + LC_SYMTAB + nlist_64 records +
+    string table) — the genuine on-disk format of a dSYM bundle's
+    DWARF/<binary> file at the symtab layer, parseable by
+    functions/dsymfile.parse_macho_symtab AND by any standard Mach-O
+    tool.  ``debug_id`` must be a UUID string (it becomes LC_UUID);
+    ``symbols`` are (address, name) pairs."""
+    import struct
+    import uuid as uuid_mod
+
+    uuid_bytes = uuid_mod.UUID(debug_id).bytes
+
+    strtab = bytearray(b"\x00")  # index 0 is the traditional empty name
+    nlists = bytearray()
+    for addr, name in sorted(symbols):
+        n_strx = len(strtab)
+        strtab += name.encode("utf-8") + b"\x00"
+        # n_type=N_SECT (defined in section), n_sect=1, n_desc=0
+        nlists += struct.pack("<IBBHQ", n_strx, 0x0E, 1, 0, addr)
+
+    lc_uuid = struct.pack("<II", 0x1B, 24) + uuid_bytes
+    # header(32) + LC_UUID(24) + LC_SYMTAB(24)
+    symoff = 32 + 24 + 24
+    stroff = symoff + len(nlists)
+    lc_symtab = struct.pack(
+        "<IIIIII", 0x02, 24, symoff, len(symbols), stroff, len(strtab)
+    )
+    header = struct.pack(
+        "<IiiIIII",
+        0xFEEDFACF,        # MH_MAGIC_64
+        0x0100000C,        # CPU_TYPE_ARM64
+        0,                 # cpusubtype
+        0xA,               # MH_DSYM
+        2,                 # ncmds
+        len(lc_uuid) + len(lc_symtab),
+        0,                 # flags
+    ) + struct.pack("<I", 0)  # reserved
+    return bytes(header + lc_uuid + lc_symtab + nlists + strtab)
+
+
+def write_macho_dsym(
+    dir_path: str,
+    debug_id: str,
+    binary_name: str,
+    symbols: list[tuple[int, str]],
+) -> None:
+    """Write a real Mach-O symtab dSYM under the reference's store key
+    layout <dir>/<debug_id>.dSYM/Contents/Resources/DWARF/<binary>."""
+    dwarf_dir = os.path.join(
+        dir_path, f"{debug_id}.dSYM", "Contents", "Resources", "DWARF"
+    )
+    os.makedirs(dwarf_dir, exist_ok=True)
+    with open(os.path.join(dwarf_dir, binary_name), "wb") as f:
+        f.write(build_macho_symtab(debug_id, symbols))

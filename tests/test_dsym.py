@@ -394,3 +394,73 @@ def test_error_caching_metrickit():
         cfg.output_metrickit_stack_trace_attribute_key == cfg.stack_trace_attribute_key
         and cfg.stack_trace_attribute_key not in attrs
     )
+
+
+# ---------------- real Mach-O symtab archives ----------------
+
+MACHO_UUID = "6A8CB813-45F6-3652-AD33-778FD1EAB196"
+
+
+def test_macho_symtab_roundtrip(tmp_path):
+    """build_macho_symtab emits a structurally real Mach-O 64 binary
+    (magic, LC_UUID, LC_SYMTAB, nlist_64, strtab) and
+    parse_macho_symtab recovers the uuid and the sorted symbol table
+    with next-start end addresses."""
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        parse_macho_symtab,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        build_macho_symtab,
+    )
+
+    blob = build_macho_symtab(MACHO_UUID, [(100372, "main"), (4096, "start")])
+    assert blob[:4] == b"\xcf\xfa\xed\xfe"
+    uuid_str, symbols = parse_macho_symtab(blob)
+    assert uuid_str == MACHO_UUID.lower()
+    assert symbols == [
+        {"sym_addr": 4096, "end": 100372, "symbol": "start"},
+        {"sym_addr": 100372, "end": 1 << 63, "symbol": "main"},
+    ]
+
+
+def test_macho_backed_symbolication_end_to_end(tmp_path):
+    """A DsymStore holding a REAL Mach-O binary resolves frames through
+    the same DsymSymbolicator path as the JSON format: magic-sniffed in
+    DsymArchive, golden address 100436 -> main/100372, below-range
+    address fails with the reference's lookup error text."""
+    from opentelemetry_collector_symbolicator_ray.errors import SymbolicationError
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        write_macho_dsym,
+    )
+
+    d = str(tmp_path / "machos")
+    write_macho_dsym(d, MACHO_UUID, BINARY, [(100372, "main"), (4096, "start")])
+    sym = DsymSymbolicator(DsymStore(d))
+    locs = sym.symbolicate_frame(MACHO_UUID, BINARY, 100436)
+    assert [(l.symbol, l.sym_addr, l.instr_addr) for l in locs] == [
+        ("main", 100372, 100436)
+    ]
+    # Mach-O symtabs carry no DWARF line info
+    assert locs[0].path == "" and locs[0].line == 0
+    with pytest.raises(SymbolicationError, match="could not find symbol at location"):
+        sym.symbolicate_frame(MACHO_UUID, BINARY, 100)
+
+
+def test_macho_corruption_is_loud():
+    from opentelemetry_collector_symbolicator_ray.errors import SymbolicationError
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        DsymArchive,
+        parse_macho_symtab,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        build_macho_symtab,
+    )
+
+    blob = build_macho_symtab(MACHO_UUID, [(4096, "start")])
+    with pytest.raises(SymbolicationError, match="truncated Mach-O header"):
+        parse_macho_symtab(blob[:16])
+    with pytest.raises(SymbolicationError, match="overruns file"):
+        parse_macho_symtab(blob[:-8])
+    # non-Mach-O bytes still route to the JSON parser's error
+    with pytest.raises(SymbolicationError, match="invalid dSYM archive"):
+        DsymArchive(b"\x00\x01\x02\x03 not json")
