@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data hygiene: decontamination / PII / repetition ---
         "docs_contamination": lambda sf: text.eval_contamination(sf),
         "events_props_stats": lambda sf: analytics.props_stats_by_type(sf),
+        "events_distinct_users": lambda sf: analytics.distinct_users_by_type(sf),
+        "lineitem_bloom_semijoin": lambda sf: analytics.bloom_semijoin_revenue(sf),
         "docs_pii_redact": lambda sf: text.pii_redact(sf),
         "docs_repetition": lambda sf: text.repetition_scores(sf),
     }
@@ -444,6 +446,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_events,
                    SUM(new_session)::BIGINT AS n_sessions
             FROM o GROUP BY user_id ORDER BY user_id
+        """,
+        "events_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lineitem_bloom_semijoin": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) * 100 AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem
+            WHERE l_orderkey IN
+              (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

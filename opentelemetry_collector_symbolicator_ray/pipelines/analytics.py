@@ -569,3 +569,110 @@ def props_stats_by_type(sf_dir: str) -> pa.Table:
             "k_max": pa.array([int(r["k_max"]) for r in rows], type=pa.int64()),
         }
     )
+
+def distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """Exact COUNT(DISTINCT user_id) per event_type — the two-stage
+    distinct-aggregate pattern: a per-batch ``pa.Table.group_by``
+    pre-dedup shrinks the shuffle to distinct-pairs-per-block, one
+    groupby over (event_type, user_id) dedups globally, and the second
+    groupby runs over the pair-count-sized distinct set.  The raw event
+    stream is never shuffled — only already-deduped pairs move."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    rows = sorted(agg.take_all(), key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+            "n_users": pa.array([int(r["n_users"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def bloom_semijoin_revenue(
+    sf_dir: str, priority: str = "1-URGENT", nbits: int = 1 << 17, nhashes: int = 4
+) -> pa.Table:
+    """Semi-join ``lineitem ⋉ orders(priority)`` with a broadcast Bloom
+    prefilter ahead of the exact distributed hash join — the
+    shuffle-reduction pattern for fact-fact semi-joins at scale: the
+    Bloom bit array (16 KiB here, MBs at 100 TB — always
+    broadcastable) is built in one streaming pass over the small
+    filtered side, ``ray.put`` once, and probed vectorized per batch so
+    only probable matches enter the ``Dataset.join`` shuffle.  False
+    positives are removed by the join itself, so the result is exact
+    regardless of the Bloom error rate."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=pads.field("o_orderpriority") == priority,
+    )
+
+    # one streaming pass over the filtered small side; only the fixed-size
+    # bit array lives on the driver
+    bits = np.zeros(nbits, dtype=bool)
+    mults = [np.uint64(0x9E3779B97F4A7C15 + 2 * h + 1) for h in range(nhashes)]
+    with np.errstate(over="ignore"):
+        for batch in orders.iter_batches(batch_format="pyarrow"):
+            keys = batch.column("o_orderkey").to_numpy().astype(np.uint64)
+            for m in mults:
+                bits[((keys * m) >> np.uint64(44)) % nbits] = True
+    bloom_ref = ray.put(np.packbits(bits))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        packed = ray.get(bloom_ref)
+        bloom = np.unpackbits(packed, count=nbits).astype(bool)
+        keys = batch.column("l_orderkey").to_numpy().astype(np.uint64)
+        keep = np.ones(len(keys), dtype=bool)
+        with np.errstate(over="ignore"):
+            for m in mults:
+                keep &= bloom[((keys * m) >> np.uint64(44)) % nbits]
+        batch = batch.filter(pa.array(keep))
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_returnflag": batch.column("l_returnflag"),
+                "revenue": rev,
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    survivors = lineitem.map_batches(probe, batch_format="pyarrow")
+
+    # exact verification: distributed hash join of the (pre-pruned)
+    # survivors against the real key set — only Bloom survivors shuffle
+    joined = survivors.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_rows"), Sum("revenue", alias_name="revenue")
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["l_returnflag"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows], type=pa.string()),
+            "n_rows": pa.array([int(r["n_rows"]) for r in rows], type=pa.int64()),
+            "revenue_cents": pa.array([_cents(r["revenue"]) for r in rows], type=pa.int64()),
+        }
+    )
