@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": lambda sf: text.pack_sequences(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
+        "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
@@ -247,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_totals": lambda sf: streaming.running_user_totals(sf),
         "events_percentiles": lambda sf: streaming.event_type_percentiles(sf),
         "events_asof_attribution": lambda sf: streaming.purchase_click_attribution(sf),
+        "events_global_quantiles": lambda sf: streaming.global_value_quantiles(sf),
+        "events_funnel": lambda sf: streaming.funnel_stage_counts(sf),
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
@@ -318,6 +321,11 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
             SELECT ngram, count(*)::BIGINT AS cnt FROM bi
             GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_heavy_hitters": """
+            SELECT w AS word, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY cnt DESC, w LIMIT 20
         """,
         "docs_doc_frequency": """
             SELECT w AS word, count(*)::BIGINT AS df
@@ -446,6 +454,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_events,
                    SUM(new_session)::BIGINT AS n_sessions
             FROM o GROUP BY user_id ORDER BY user_id
+        """,
+        "events_global_quantiles": """
+            WITH o AS (
+              SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS rk,
+                     COUNT(*) OVER () AS n
+              FROM events
+            ),
+            t AS (
+              SELECT q, CAST(frac_q AS DOUBLE) * (n - 1) AS r
+              FROM (SELECT unnest(['p50', 'p90', 'p99']) AS q,
+                           unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS frac_q)
+              CROSS JOIN (SELECT DISTINCT n FROM o)
+            ),
+            j AS (
+              SELECT t.q, t.r,
+                     MAX(CASE WHEN o.rk = CAST(FLOOR(t.r) AS BIGINT)
+                              THEN o.value END) AS v0,
+                     MAX(CASE WHEN o.rk = CAST(CEIL(t.r) AS BIGINT)
+                              THEN o.value END) AS v1
+              FROM t JOIN o
+                ON o.rk = CAST(FLOOR(t.r) AS BIGINT)
+                OR o.rk = CAST(CEIL(t.r) AS BIGINT)
+              GROUP BY t.q, t.r
+            )
+            SELECT q, v0 + (v1 - v0) * (r - FLOOR(r)) AS value
+            FROM j ORDER BY q
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM s1
+              UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
+              UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
+            ) ORDER BY stage
         """,
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users

@@ -426,3 +426,175 @@ def purchase_click_window_counts(sf_dir: str) -> "ray.data.Dataset":
         counted.select_columns(["event_id", "user_id", "ts", "n_prior_clicks"]),
         ["event_id"],
     )
+
+def global_value_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+    tail_limit: int = 65536,
+) -> pa.Table:
+    """EXACT global quantiles of ``events.value`` (quantile_cont
+    semantics) without a global sort — distributed selection by
+    iterative histogram refinement.  Each needed order statistic keeps a
+    candidate interval; every round ONE streaming pass histograms the
+    values inside all active intervals (map-side ``np.histogram``
+    partials, bins-sized blobs merged on the driver), narrowing each
+    interval to the bin containing its target rank.  When an interval
+    holds <= ``tail_limit`` values a final filtered pass fetches just
+    those values and the statistic is read exactly.  Rounds are
+    O(log_bins(N / tail_limit)) — 2 passes cover 100 TB at the
+    defaults — and the driver only ever sees bins-sized count arrays
+    plus one tail-sized value list per statistic."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    n = ds.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.string()), "value_cents": pa.array([], type=pa.int64())})
+    mm = ds.aggregate(Min("value"), Max("value"))
+    gmin, gmax = float(mm["min(value)"]), float(mm["max(value)"])
+
+    # the order statistics quantile_cont interpolates between
+    ranks = sorted({k for q in qs for k in (math.floor(q * (n - 1)), math.ceil(q * (n - 1)))})
+    # bracket per rank: [lo, hi] known to contain it, plus #values < lo
+    brackets = {k: {"lo": gmin, "hi": gmax, "below": 0, "val": None} for k in ranks}
+
+    for _ in range(10):
+        active = {k: b for k, b in brackets.items() if b["val"] is None and b["lo"] < b["hi"]}
+        for k, b in brackets.items():
+            if b["val"] is None and b["lo"] >= b["hi"]:
+                b["val"] = b["lo"]
+        if not active:
+            break
+        specs = [(k, b["lo"], b["hi"]) for k, b in sorted(active.items())]
+
+        def hist_partial(batch: pa.Table, specs=specs) -> pa.Table:
+            vals = batch.column("value").to_numpy(zero_copy_only=False)
+            out_k, out_h = [], []
+            for k, lo, hi in specs:
+                h, _ = np.histogram(vals, bins=bins, range=(lo, hi))
+                out_k.append(k)
+                out_h.append(h.astype(np.int64).tobytes())
+            return pa.table(
+                {"k": pa.array(out_k, type=pa.int64()), "h": pa.array(out_h, type=pa.binary())}
+            )
+
+        merged = {k: np.zeros(bins, dtype=np.int64) for k, _, _ in specs}
+        for row in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+            merged[row["k"]] += np.frombuffer(row["h"], dtype=np.int64)
+        for k, lo, hi in specs:
+            b = brackets[k]
+            edges = np.linspace(lo, hi, bins + 1)
+            cum = np.cumsum(merged[k])
+            j = int(np.searchsorted(cum, k - b["below"] + 1))
+            below_j = int(cum[j - 1]) if j > 0 else 0
+            b["below"] += below_j
+            b["lo"], b["hi"] = float(edges[j]), float(edges[j + 1])
+            b["_last_bin"] = j == bins - 1
+            b["_bin_count"] = int(merged[k][j])
+
+    # final pass: collect the tail values of every unresolved bracket
+    pending = [
+        (k, b["lo"], b["hi"], bool(b.get("_last_bin")))
+        for k, b in sorted(brackets.items())
+        if b["val"] is None
+    ]
+    if pending:
+        for k, b in brackets.items():
+            if b["val"] is None and b.get("_bin_count", 0) > tail_limit:
+                raise RuntimeError(
+                    f"quantile bracket for rank {k} still holds {b['_bin_count']} values; "
+                    "raise bins/tail_limit or add refinement rounds"
+                )
+
+        def collect(batch: pa.Table, pending=pending) -> pa.Table:
+            vals = batch.column("value").to_numpy(zero_copy_only=False)
+            out_k, out_v = [], []
+            for k, lo, hi, last in pending:
+                m = (vals >= lo) & ((vals <= hi) if last else (vals < hi))
+                got = vals[m]
+                out_k.extend([k] * len(got))
+                out_v.extend(got.tolist())
+            return pa.table(
+                {"k": pa.array(out_k, type=pa.int64()), "v": pa.array(out_v, type=pa.float64())}
+            )
+
+        tails: dict[int, list] = {k: [] for k, *_ in pending}
+        for row in ds.map_batches(collect, batch_format="pyarrow").take_all():
+            tails[row["k"]].append(row["v"])
+        for k, *_ in pending:
+            vs = sorted(tails[k])
+            brackets[k]["val"] = vs[k - brackets[k]["below"]]
+
+    # interpolate with the exact expression the SQL oracle uses
+    # (v0 + (v1 - v0) * (r - floor(r)), all IEEE double) so the raw
+    # float64 is bit-identical on both sides — no rounding idiom can
+    # save a value that lands exactly on a half-cent boundary, as the
+    # p50 of an even-count column routinely does
+    out_q, out_v = [], []
+    for q in qs:
+        r = q * (n - 1)
+        k0, k1 = math.floor(r), math.ceil(r)
+        v0, v1 = brackets[k0]["val"], brackets[k1]["val"]
+        out_q.append(f"p{int(round(q * 100))}")
+        out_v.append(v0 + (v1 - v0) * (r - math.floor(r)))
+    return pa.table(
+        {"q": pa.array(out_q, type=pa.string()), "value": pa.array(out_v, type=pa.float64())}
+    )
+
+
+def funnel_stage_counts(
+    sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> pa.Table:
+    """Ordered-funnel conversion over the event log: how many users
+    performed stage 1, then stage 2 STRICTLY after their first stage 1,
+    then stage 3 strictly after that — the sequence-pattern aggregate
+    sessionization can't express.  Shape: predicate pushdown to the
+    funnel's event types, ONE user shuffle, and a vectorized per-user
+    scan (each group sorts its few events once); the per-user depth
+    table is user-count-sized and the final cumulative count is
+    stage-count-sized on the driver."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(list(stages)),
+    )
+
+    def depth(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist())
+        prev = None
+        d = 0
+        for s in stages:
+            cand = ts[(et == s)] if prev is None else ts[(et == s) & (ts > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            d += 1
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], type=pa.int64()),
+                "depth": pa.array([d], type=pa.int64()),
+            }
+        )
+
+    depths = ds.groupby("user_id").map_groups(depth, batch_format="pyarrow")
+    counts = depths.groupby("depth").aggregate(Count(alias_name="n"))
+    by_depth = {int(r["depth"]): int(r["n"]) for r in counts.take_all()}
+    max_d = len(stages)
+    reached = []
+    total = 0
+    for d in range(max_d, 0, -1):
+        total += by_depth.get(d, 0)
+        reached.append((d, total))
+    reached.reverse()
+    return pa.table(
+        {
+            "stage": pa.array([f"{d}_{stages[d-1]}" for d, _ in reached], type=pa.string()),
+            "n_users": pa.array([c for _, c in reached], type=pa.int64()),
+        }
+    )

@@ -777,3 +777,138 @@ def pack_sequences(
         .map_groups(pack_group, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+def _exact_top_words(sf_dir: str, k: int) -> pa.Table:
+    """Exact top-k words via the full-vocabulary groupby — the fallback
+    (and correctness anchor) for the heavy-hitters sketch path."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split(" "))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    top = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in top], type=pa.string()),
+            "cnt": pa.array([int(r["cnt"]) for r in top], type=pa.int64()),
+        }
+    )
+
+
+def heavy_hitter_words(
+    sf_dir: str, k: int = 20, capacity: int = 4096, max_candidates: int = 1 << 20
+) -> pa.Table:
+    """Exact corpus top-k words via two-pass heavy hitters — the
+    shuffle-free alternative to a full-vocabulary groupby when the
+    vocabulary is web-scale.  Pass 1 compresses each block to at most
+    ``capacity`` (word, count) partials plus the block's undercount
+    bound (a dropped word's in-block count is at most the capacity-th
+    kept count, Misra-Gries style), so the shuffle moves sketch-sized
+    rows, never the vocabulary.  Pass 2 exactly recounts the
+    provably-sufficient candidate set {approx >= kth_approx - B}
+    against a broadcast set.  Exactness is CHECKED, not assumed: if the
+    k-th exact count does not strictly beat the global undercount bound
+    B (a never-kept word could then reach the top-k), the operator
+    falls back to the exact full-vocabulary groupby."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split(" "))
+        bound = 0
+        if len(c) > capacity:
+            kept = c.most_common(capacity)
+            bound = kept[-1][1]
+            words = [w for w, _ in kept]
+            cnts = [n for _, n in kept]
+        else:
+            words, cnts = list(c.keys()), list(c.values())
+        return pa.table(
+            {
+                "word": pa.array(words + [None], type=pa.string()),
+                "cnt": pa.array(cnts + [0], type=pa.int64()),
+                "bound": pa.array([0] * len(words) + [bound], type=pa.int64()),
+            }
+        )
+
+    # sketch-sized (<= capacity+1 rows per block): safe to materialize so
+    # the bound sum and the approx groupby don't re-read the corpus
+    partials = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+    B = int(partials.sum("bound") or 0)
+    approx = (
+        partials.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("word"))), batch_format="pyarrow"
+        )
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).materialize()
+    head = approx.sort(["cnt", "word"], descending=[True, False]).limit(k).take_all()
+    if not head:
+        return pa.table({"word": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())})
+    kth_approx = int(head[-1]["cnt"])
+    if kth_approx <= B:
+        # a word dropped from every block (true count <= B) could reach
+        # the top-k: the sketch can't prove exactness at this capacity
+        return _exact_top_words(sf_dir, k)
+    cand_rows = approx.filter(expr=f"cnt >= {kth_approx - B}").take_all()
+    if len(cand_rows) > max_candidates:
+        return _exact_top_words(sf_dir, k)
+    cand_ref = ray.put(frozenset(r["word"] for r in cand_rows))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in t.split(" "):
+                if w in cand:
+                    c[w] += 1
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    top = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    if top and int(top[-1]["cnt"]) <= B:
+        return _exact_top_words(sf_dir, k)
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in top], type=pa.string()),
+            "cnt": pa.array([int(r["cnt"]) for r in top], type=pa.int64()),
+        }
+    )

@@ -115,3 +115,35 @@ def test_weighted_lang_sample_rates(ray_session):
     # "ff" keeps every md5 whose first byte < 0xff (255/256 of docs)
     assert len(all_en) == pytest.approx(n_en, abs=3)
     assert all(r["lang"] == "en" for r in all_en)
+
+
+def test_heavy_hitters_truncating_sketch_equals_exact(ray_session, tmp_path):
+    """Force per-block MG truncation (capacity far below per-block
+    vocabulary) and assert the checked two-pass sketch still returns the
+    exact top-k; also pin the proven-exact path against the fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines import text
+
+    # skewed synthetic corpus: 'hot0..hot4' dominate, long uniform tail
+    rows = []
+    for i in range(200):
+        words = [f"hot{j}" for j in range(5) for _ in range(10 - j)]
+        words += [f"tail{i}_{t}" for t in range(30)]
+        rows.append(" ".join(words))
+    d = tmp_path / "hh"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                  "text": pa.array(rows, type=pa.string()),
+                  "lang": pa.array(["en"] * 200), "source": pa.array(["s"] * 200),
+                  "n_chars": pa.array([len(r) for r in rows], type=pa.int64())}),
+        d / "documents.parquet",
+    )
+    exact = text._exact_top_words(str(d), 8)
+    sketched = text.heavy_hitter_words(str(d), k=8, capacity=16)
+    assert sketched.equals(exact)
+    # capacity so small the bound swamps the k-th count -> fallback path
+    fb = text.heavy_hitter_words(str(d), k=8, capacity=2)
+    assert fb.equals(exact)
