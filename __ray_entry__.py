@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
         "docs_distinct_words": lambda sf: text.distinct_word_counts(sf),
         "emb_norms": lambda sf: similarity.embedding_norms(sf),
+        "emb_label_centroids": lambda sf: similarity.label_centroids(sf),
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
         "revenue_forecast": lambda sf: analytics.revenue_forecast(sf),
         # --- sketches / iterative / cross-modal (rows-only: approximate
@@ -612,6 +613,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 6) AS norm_r6
             FROM embeddings ORDER BY vec_id
+        """,
+        "emb_label_centroids": """
+            SELECT label::BIGINT AS label, i::BIGINT AS pos,
+                   CAST(SUM(CAST(CASE WHEN x >= 0 THEN FLOOR(x * 1000000 + 0.5)
+                                      ELSE CEIL(x * 1000000 - 0.5) END AS BIGINT))
+                        AS BIGINT) AS sum_micro,
+                   count(*)::BIGINT AS n
+            FROM (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+                  FROM embeddings CROSS JOIN range(1, 65) t(i))
+            GROUP BY label, i ORDER BY label, pos
         """,
         "shipping_priority": """
             SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority,

@@ -544,3 +544,65 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
             ),
         }
     )
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label centroid sums of the embedding column — the grouped
+    vector-mean every prototype / class-balance stage needs.  Ray shape:
+    per-batch numpy scatter-add partials (one row per label per block,
+    carrying a d-length int64 vector), then a label groupby merges the
+    block partials — the raw vectors never shuffle, only label-count x d
+    integers.  Values accumulate in EXACT integer micro-units
+    (round-half-away-from-zero of value*1e6, the same expression as the
+    SQL oracle) so the sum is order-independent and hash-comparable
+    despite float non-associativity; consumers divide sum_micro/n/1e6
+    for the mean.  Emitted long-form (label, pos, sum_micro, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding").combine_chunks()
+        if not len(col):
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "sums": pa.array([], type=pa.list_(pa.int64())),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(col), -1) * 1e6
+        micro = np.where(mat >= 0, np.floor(mat + 0.5), np.ceil(mat - 0.5)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), micro.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(uniq, type=pa.int64()),
+                "sums": pa.array([s.tolist() for s in sums], type=pa.list_(pa.int64())),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        label = int(group.column("label")[0].as_py())
+        stacked = np.array(group.column("sums").to_pylist(), dtype=np.int64)
+        total = stacked.sum(axis=0)
+        n = int(group.column("n").to_numpy(zero_copy_only=False).sum())
+        d = len(total)
+        return pa.table(
+            {
+                "label": pa.array([label] * d, type=pa.int64()),
+                "pos": pa.array(np.arange(1, d + 1), type=pa.int64()),
+                "sum_micro": pa.array(total, type=pa.int64()),
+                "n": pa.array([n] * d, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort(["label", "pos"])
+    )
+    return out
