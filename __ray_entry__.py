@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
         "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
+        "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
@@ -322,6 +323,22 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
             SELECT ngram, count(*)::BIGINT AS cnt FROM bi
             GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, w AS word
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            ),
+            top AS (
+              SELECT word, count(*)::BIGINT AS df FROM pairs
+              GROUP BY word ORDER BY df DESC, word LIMIT 5
+            )
+            SELECT t.word, t.df,
+                   md5(string_agg(p.doc_id::VARCHAR, ',' ORDER BY p.doc_id)) AS postings_md5,
+                   MIN(p.doc_id)::BIGINT AS min_doc,
+                   MAX(p.doc_id)::BIGINT AS max_doc
+            FROM top t JOIN pairs p ON p.word = t.word
+            GROUP BY t.word, t.df ORDER BY t.word
         """,
         "docs_heavy_hitters": """
             SELECT w AS word, count(*)::BIGINT AS cnt

@@ -912,3 +912,115 @@ def heavy_hitter_words(
             "cnt": pa.array([int(r["cnt"]) for r in top], type=pa.int64()),
         }
     )
+
+def build_inverted_index(sf_dir: str, index_dir: str, num_buckets: int = 16) -> dict:
+    """Build a persistent inverted index (word -> sorted doc_id
+    postings), hash-partitioned by word: per-batch distinct (word,
+    doc_id) pairs -> ONE word shuffle -> per-word postings rows written
+    ``partition_cols=["bucket"]`` (bucket = crc32(word) % num_buckets).
+    This is the partition-once-probe-many layout for retrieval at
+    100 TB: a term lookup reads only the probed buckets via partition
+    pruning — no full scan.  At corpus scale num_buckets rises with the
+    vocabulary; postings for one word must fit one task (the same
+    per-key assumption every groupby here makes)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words, ids, buckets = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in set(t.split(" ")):
+                words.append(w)
+                ids.append(doc_id)
+                buckets.append(zlib.crc32(w.encode()) % num_buckets)
+        return pa.table(
+            {
+                "word": pa.array(words, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+    def postings(group: pa.Table) -> pa.Table:
+        word = group.column("word")[0].as_py()
+        ids = sorted(group.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array([int(group.column("bucket")[0].as_py())], type=pa.int64()),
+                "word": pa.array([word], type=pa.string()),
+                "df": pa.array([len(ids)], type=pa.int64()),
+                "postings": pa.array([ids], type=pa.list_(pa.int64())),
+            }
+        )
+
+    (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(postings, batch_format="pyarrow")
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    )
+    return {"index_dir": index_dir, "num_buckets": num_buckets}
+
+
+def postings_lookup(index_dir: str, words: list[str], num_buckets: int = 16) -> pa.Table:
+    """Term lookup against a built inverted index: read ONLY the
+    buckets the probe words hash to (hive partition pruning), filter to
+    the probes, and emit (word, df, postings digest, min/max doc) —
+    the probed fraction of the index is all that leaves storage."""
+    import glob as globmod
+
+    buckets = sorted({zlib.crc32(w.encode()) % num_buckets for w in words})
+    # partition pruning: only the probed buckets' files are read
+    files = [
+        f
+        for b in buckets
+        for f in sorted(globmod.glob(f"{index_dir}/bucket={b}/*.parquet"))
+    ]
+    ds = ray.data.read_parquet(files)
+    wset = set(words)
+
+    def hit(batch: pa.Table) -> pa.Table:
+        mask = pa.array([w in wset for w in batch.column("word").to_pylist()])
+        batch = batch.filter(mask)
+        digests, lo, hi = [], [], []
+        for ids in batch.column("postings").to_pylist():
+            digests.append(hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest())
+            lo.append(ids[0])
+            hi.append(ids[-1])
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "df": pc.cast(batch.column("df"), pa.int64()),
+                "postings_md5": pa.array(digests, type=pa.string()),
+                "min_doc": pa.array(lo, type=pa.int64()),
+                "max_doc": pa.array(hi, type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        ds.map_batches(hit, batch_format="pyarrow").take_all(), key=lambda r: r["word"]
+    )
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {
+            "word": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "postings_md5": pa.array([], type=pa.string()),
+            "min_doc": pa.array([], type=pa.int64()),
+            "max_doc": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def inverted_index_probe(sf_dir: str, k: int = 5) -> pa.Table:
+    """Build (cached per sf_dir) the inverted index, then probe it with
+    the corpus's top-k DF words — exercises build + partition-pruned
+    lookup end-to-end with an exact SQL oracle."""
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ocsr_invidx/{tag}"
+    if not os.path.exists(index_dir):
+        build_inverted_index(sf_dir, index_dir)
+    probes = doc_frequency(sf_dir, k=k).column("word").to_pylist()
+    return postings_lookup(index_dir, probes)
