@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_attribution": lambda sf: streaming.purchase_click_attribution(sf),
         "events_global_quantiles": lambda sf: streaming.global_value_quantiles(sf),
         "events_funnel": lambda sf: streaming.funnel_stage_counts(sf),
+        "events_log_compaction": lambda sf: streaming.latest_event_compaction(sf),
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
@@ -262,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketches / iterative / cross-modal (rows-only: approximate
         # or iterative semantics are not SQL-expressible) ---
         "docs_approx_distinct": lambda sf: text.approx_distinct_words(sf),
+        "events_hll_users": lambda sf: analytics.approx_distinct_users_by_type(sf),
+        "docs_above_p90_len": lambda sf: text.docs_above_p90_length(sf),
         "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
         # --- training-data hygiene: decontamination / PII / repetition ---
@@ -499,6 +502,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, v0 + (v1 - v0) * (r - FLOOR(r)) AS value
             FROM j ORDER BY q
         """,
+        "events_log_compaction": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, ts, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rk
+              FROM events
+            )
+            SELECT user_id, event_type, event_id, ts,
+                   CAST(ROUND(value, 2) * 100 AS BIGINT) AS value_cents
+            FROM r WHERE rk = 1 ORDER BY user_id, event_type
+        """,
         "events_funnel": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                         WHERE event_type = 'view' GROUP BY user_id),
@@ -517,6 +531,31 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_above_p90_len": """
+            WITH o AS (
+              SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS rk,
+                     COUNT(*) OVER () AS n
+              FROM documents
+            ),
+            t AS (
+              SELECT CAST(0.9 AS DOUBLE) * (n - 1) AS r
+              FROM (SELECT DISTINCT n FROM o)
+            ),
+            j AS (
+              SELECT t.r,
+                     MAX(CASE WHEN o.rk = CAST(FLOOR(t.r) AS BIGINT)
+                              THEN o.n_chars END) AS v0,
+                     MAX(CASE WHEN o.rk = CAST(CEIL(t.r) AS BIGINT)
+                              THEN o.n_chars END) AS v1
+              FROM t JOIN o
+                ON o.rk = CAST(FLOOR(t.r) AS BIGINT)
+                OR o.rk = CAST(CEIL(t.r) AS BIGINT)
+              GROUP BY t.r
+            ),
+            thr AS (SELECT v0 + (v1 - v0) * (r - FLOOR(r)) AS v FROM j)
+            SELECT doc_id, n_chars FROM documents, thr
+            WHERE n_chars > thr.v ORDER BY doc_id
         """,
         "lineitem_bloom_semijoin": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

@@ -676,3 +676,85 @@ def bloom_semijoin_revenue(
             "revenue_cents": pa.array([_cents(r["revenue"]) for r in rows], type=pa.int64()),
         }
     )
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 — a public-domain integer mixer with full
+    avalanche, used to hash int64 keys for sketches without a per-row
+    Python digest call."""
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
+    """Grouped HyperLogLog: approximate COUNT(DISTINCT user_id) per
+    event_type as a MERGEABLE per-group sketch.  The exact variant
+    (``distinct_users_by_type``) shuffles every distinct (type, user)
+    pair — itself huge at 100 TB; here each block emits one 2^p-byte
+    register blob per group present, the group merge is an elementwise
+    max, and shuffle volume is groups x blocks x 4 KiB regardless of
+    user cardinality.  Same estimator + linear-counting correction as
+    ``text.approx_distinct_words``; user_ids hash via vectorized
+    splitmix64 (no per-row digest).  Rows-only driver check; the pytest
+    gate asserts every estimate lands within the small-range bound of
+    the exact count."""
+    import numpy as np
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        types = np.asarray(batch.column("event_type").to_pylist())
+        users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_r = [], []
+        for t in np.unique(types):
+            h = _splitmix64(users[types == t])
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = h << np.uint64(p)
+            ranks = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+            nz = rest != 0
+            bl = np.zeros(len(h), dtype=np.int64)
+            bl[nz] = np.frompyfunc(int.bit_length, 1, 1)(rest[nz]).astype(np.int64)
+            ranks[nz] = (64 - bl[nz] + 1).astype(np.uint8)
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx, ranks)
+            out_t.append(str(t))
+            out_r.append(regs.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "regs": pa.array(out_r, type=pa.binary()),
+            }
+        )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in group.column("regs").to_pylist():
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "approx_users": pa.array([int(round(est))], type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(estimate, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r["event_type"],
+    )
+    return pa.Table.from_pylist(rows)

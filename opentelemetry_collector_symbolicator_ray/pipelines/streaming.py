@@ -432,6 +432,8 @@ def global_value_quantiles(
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     bins: int = 1024,
     tail_limit: int = 65536,
+    table: str = "events",
+    column: str = "value",
 ) -> pa.Table:
     """EXACT global quantiles of ``events.value`` (quantile_cont
     semantics) without a global sort — distributed selection by
@@ -449,12 +451,12 @@ def global_value_quantiles(
 
     from ray.data.aggregate import Max, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
     n = ds.count()
     if n == 0:
-        return pa.table({"q": pa.array([], type=pa.string()), "value_cents": pa.array([], type=pa.int64())})
-    mm = ds.aggregate(Min("value"), Max("value"))
-    gmin, gmax = float(mm["min(value)"]), float(mm["max(value)"])
+        return pa.table({"q": pa.array([], type=pa.string()), "value": pa.array([], type=pa.float64())})
+    mm = ds.aggregate(Min(column), Max(column))
+    gmin, gmax = float(mm[f"min({column})"]), float(mm[f"max({column})"])
 
     # the order statistics quantile_cont interpolates between
     ranks = sorted({k for q in qs for k in (math.floor(q * (n - 1)), math.ceil(q * (n - 1)))})
@@ -471,7 +473,7 @@ def global_value_quantiles(
         specs = [(k, b["lo"], b["hi"]) for k, b in sorted(active.items())]
 
         def hist_partial(batch: pa.Table, specs=specs) -> pa.Table:
-            vals = batch.column("value").to_numpy(zero_copy_only=False)
+            vals = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
             out_k, out_h = [], []
             for k, lo, hi in specs:
                 h, _ = np.histogram(vals, bins=bins, range=(lo, hi))
@@ -510,7 +512,7 @@ def global_value_quantiles(
                 )
 
         def collect(batch: pa.Table, pending=pending) -> pa.Table:
-            vals = batch.column("value").to_numpy(zero_copy_only=False)
+            vals = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
             out_k, out_v = [], []
             for k, lo, hi, last in pending:
                 m = (vals >= lo) & ((vals <= hi) if last else (vals < hi))
@@ -597,4 +599,38 @@ def funnel_stage_counts(
             "stage": pa.array([f"{d}_{stages[d-1]}" for d, _ in reached], type=pa.string()),
             "n_users": pa.array([c for _, c in reached], type=pa.int64()),
         }
+    )
+
+def latest_event_compaction(sf_dir: str) -> "ray.data.Dataset":
+    """Log compaction (keep-latest upsert semantics): one surviving row
+    per (user_id, event_type) — the newest by (ts, event_id) — the
+    CDC/changelog compaction step every log pipeline runs before
+    serving state.  ONE key shuffle; each group reduces to a single row
+    with a vectorized argmax, so output is key-cardinality-sized."""
+
+    def newest(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[-1])
+        val = group.column("value")[i].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[i].as_py()], type=pa.int64()),
+                "event_type": pa.array([group.column("event_type")[i].as_py()], type=pa.string()),
+                "event_id": pa.array([int(eid[i])], type=pa.int64()),
+                "ts": pa.array([group.column("ts")[i].as_py()], type=pa.timestamp("us")),
+                "value_cents": pa.array(
+                    [int(round(round(float(val), 2) * 100))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "event_id", "ts", "value"],
+        )
+        .groupby(["user_id", "event_type"])
+        .map_groups(newest, batch_format="pyarrow")
+        .sort(["user_id", "event_type"])
     )

@@ -1024,3 +1024,22 @@ def inverted_index_probe(sf_dir: str, k: int = 5) -> pa.Table:
         build_inverted_index(sf_dir, index_dir)
     probes = doc_frequency(sf_dir, k=k).column("word").to_pylist()
     return postings_lookup(index_dir, probes)
+
+def docs_above_p90_length(sf_dir: str) -> "ray.data.Dataset":
+    """Quantile-threshold filter — the data-driven gating pattern
+    (keep the longest decile): the EXACT p90 of ``n_chars`` comes from
+    the histogram-refinement selection operator (no global sort, two
+    counting passes), then the corpus re-scans with the threshold
+    predicate PUSHED TO THE PARQUET READ so row groups below it never
+    leave storage."""
+    import pyarrow.dataset as pads
+
+    from .streaming import global_value_quantiles
+
+    t = global_value_quantiles(sf_dir, qs=(0.9,), table="documents", column="n_chars")
+    thr = float(t.column("value")[0].as_py())
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        filter=pads.field("n_chars") > pa.scalar(thr, type=pa.float64()),
+    ).sort("doc_id")

@@ -193,3 +193,23 @@ def test_range_join_counts_edges(ray_session):
         left, right, key="user_id", ts_col="ts", lookback_us=200, out_col="n"
     ).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert dict(zip(out.event_id, out.n)) == {1: 2, 2: 0}
+
+
+def test_grouped_hll_within_bound_of_exact(ray_session):
+    """The grouped HyperLogLog user-count sketch must land within the
+    small-range (linear-counting) error bound of the exact distinct
+    count for every event type."""
+    from opentelemetry_collector_symbolicator_ray.pipelines import analytics
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in analytics.approx_distinct_users_by_type(sf).to_pylist()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in analytics.distinct_users_by_type(sf).to_pylist()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, int(0.05 * n)), (t, approx[t], n)
