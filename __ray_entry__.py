@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
         "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
         "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
+        "docs_vocab": lambda sf: text.build_vocab(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
@@ -254,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_log_compaction": lambda sf: streaming.latest_event_compaction(sf),
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
+        "orders_rollup": lambda sf: analytics.orders_rollup(sf),
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
         "docs_distinct_words": lambda sf: text.distinct_word_counts(sf),
         "emb_norms": lambda sf: similarity.embedding_norms(sf),
@@ -326,6 +328,16 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
             SELECT ngram, count(*)::BIGINT AS cnt FROM bi
             GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_vocab": """
+            WITH c AS (
+              SELECT w AS word, count(*)::BIGINT AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w HAVING count(*) >= 2
+            )
+            SELECT word, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, word)::BIGINT AS token_id
+            FROM c ORDER BY token_id
         """,
         "docs_inverted_index": """
             WITH pairs AS (
@@ -651,6 +663,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS region,
+                   COALESCE(n_name, 'ALL') AS nation,
+                   count(*)::BIGINT AS n_orders,
+                   CAST(ROUND(SUM(o_totalprice), 2) * 100 AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY region, nation
         """,
         "supplier_nation_stats": """
             SELECT n_name, count(*)::BIGINT AS n_suppliers,

@@ -758,3 +758,98 @@ def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
         key=lambda r: r["event_type"],
     )
     return pa.Table.from_pylist(rows)
+
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(region, nation) over the orders fact table — the
+    OLAP hierarchy aggregate.  Ray shape: aggregate ONCE at the finest
+    (region, nation) grain with the broadcast-dimension join (the fact
+    table never shuffles — same pattern as orders_by_region), then
+    derive the region subtotals and the grand total FROM the
+    nation-level aggregate, which is dimension-cardinality-sized; the
+    upper rollup levels cost no extra pass over the data.  Rolled-up
+    columns emit 'ALL' (the oracle COALESCEs its ROLLUP NULLs the same
+    way)."""
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).take_all()
+    regions = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).take_all()
+    region_by_key = {r["r_regionkey"]: r["r_name"] for r in regions}
+    nation_info = {
+        n["n_nationkey"]: (region_by_key[n["n_regionkey"]], n["n_name"]) for n in nations
+    }
+    lookup = pa.table(
+        {
+            "o_custkey": pa.array([c["c_custkey"] for c in customers], type=pa.int64()),
+            "region": pa.array(
+                [nation_info[c["c_nationkey"]][0] for c in customers], type=pa.string()
+            ),
+            "nation": pa.array(
+                [nation_info[c["c_nationkey"]][1] for c in customers], type=pa.string()
+            ),
+        }
+    )
+    lookup_ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        joined = batch.join(ray.get(lookup_ref), keys="o_custkey", join_type="inner")
+        return pa.table(
+            {
+                "region": joined.column("region"),
+                "nation": joined.column("nation"),
+                "o_totalprice": joined.column("o_totalprice"),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pyarrow")
+        .groupby(["region", "nation"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    )
+    fine = sorted(agg.take_all(), key=lambda r: (r["region"], r["nation"]))
+
+    # roll up from the dimension-cardinality-sized fine grain
+    out: list[dict] = []
+    by_region: dict[str, list] = {}
+    for r in fine:
+        by_region.setdefault(r["region"], []).append(r)
+    for region in sorted(by_region):
+        rows = by_region[region]
+        for r in rows:
+            out.append(
+                {
+                    "region": region,
+                    "nation": r["nation"],
+                    "n_orders": int(r["n_orders"]),
+                    "total_cents": _cents(r["total"]),
+                }
+            )
+        out.append(
+            {
+                "region": region,
+                "nation": "ALL",
+                "n_orders": sum(int(r["n_orders"]) for r in rows),
+                "total_cents": _cents(sum(float(r["total"]) for r in rows)),
+            }
+        )
+    out.append(
+        {
+            "region": "ALL",
+            "nation": "ALL",
+            "n_orders": sum(int(r["n_orders"]) for r in fine),
+            "total_cents": _cents(sum(float(r["total"]) for r in fine)),
+        }
+    )
+    return pa.table(
+        {
+            "region": pa.array([r["region"] for r in out], type=pa.string()),
+            "nation": pa.array([r["nation"] for r in out], type=pa.string()),
+            "n_orders": pa.array([r["n_orders"] for r in out], type=pa.int64()),
+            "total_cents": pa.array([r["total_cents"] for r in out], type=pa.int64()),
+        }
+    )

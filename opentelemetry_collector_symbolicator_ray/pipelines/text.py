@@ -1043,3 +1043,51 @@ def docs_above_p90_length(sf_dir: str) -> "ray.data.Dataset":
         columns=["doc_id", "n_chars"],
         filter=pads.field("n_chars") > pa.scalar(thr, type=pa.float64()),
     ).sort("doc_id")
+
+def build_vocab(sf_dir: str, min_count: int = 2, max_size: int = 1 << 22) -> pa.Table:
+    """Tokenizer-vocabulary builder: corpus word counts -> frequency
+    floor -> deterministic token-id assignment by (count desc, word
+    asc).  Ray shape: the map-side-combine word aggregate (per-batch
+    Counter partials, ONE word shuffle), an Arrow-kernel frequency
+    filter, then a distributed sort; the surviving vocabulary — the one
+    table a tokenizer build legitimately materializes — is rank-stamped
+    on the driver.  ``max_size`` is an explicit guard against a
+    pathological vocabulary, not a silent cap."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split(" "))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    kept = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("cnt"), pa.scalar(min_count))),
+            batch_format="pyarrow",
+        )
+        .sort(["cnt", "word"], descending=[True, False])
+    )
+    rows = kept.take(max_size + 1)
+    if len(rows) > max_size:
+        raise RuntimeError(
+            f"vocabulary exceeds max_size={max_size}; raise the guard or min_count"
+        )
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in rows], type=pa.string()),
+            "cnt": pa.array([int(r["cnt"]) for r in rows], type=pa.int64()),
+            "token_id": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+        }
+    )
