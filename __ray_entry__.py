@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_quantiles": lambda sf: streaming.global_value_quantiles(sf),
         "events_funnel": lambda sf: streaming.funnel_stage_counts(sf),
         "events_log_compaction": lambda sf: streaming.latest_event_compaction(sf),
+        "events_windowed_uniques": lambda sf: streaming.windowed_distinct_users(sf),
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "orders_rollup": lambda sf: analytics.orders_rollup(sf),
@@ -273,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": lambda sf: text.eval_contamination(sf),
         "events_props_stats": lambda sf: analytics.props_stats_by_type(sf),
         "events_distinct_users": lambda sf: analytics.distinct_users_by_type(sf),
+        "events_zscore": lambda sf: analytics.zscore_by_type(sf),
         "lineitem_bloom_semijoin": lambda sf: analytics.bloom_semijoin_revenue(sf),
         "docs_pii_redact": lambda sf: text.pii_redact(sf),
         "docs_repetition": lambda sf: text.repetition_scores(sf),
@@ -513,6 +515,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q, v0 + (v1 - v0) * (r - FLOOR(r)) AS value
             FROM j ORDER BY q
+        """,
+        "events_zscore": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(ROUND(value, 2) * 100 AS BIGINT) AS cents
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s1,
+                     CAST(SUM(cents * cents) AS BIGINT) AS s2
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_id, c.event_type,
+                   (CAST(c.cents AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+                     / sqrt((CAST(s.s2 AS DOUBLE)
+                             - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                            / s.n) AS z
+            FROM c JOIN s USING (event_type) ORDER BY c.event_id
+        """,
+        "events_windowed_uniques": """
+            SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY window_id, event_type
+            ORDER BY window_id, event_type
         """,
         "events_log_compaction": """
             WITH r AS (

@@ -853,3 +853,71 @@ def orders_rollup(sf_dir: str) -> pa.Table:
             "total_cents": pa.array([r["total_cents"] for r in out], type=pa.int64()),
         }
     )
+
+def zscore_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type z-score normalization of ``value`` — the grouped
+    feature-standardization stage of an ML pipeline, made hash-exact:
+    moments accumulate as EXACT int64 sums of integer cents (order
+    independent), and the per-row z uses the same staged IEEE-double
+    expression as the SQL oracle, so the float64 output is
+    bit-identical.  Ray shape: one pass of per-batch (n, sum, sumsq)
+    partials (type-count-sized), a driver merge + broadcast, then a
+    second streaming pass computes z vectorized."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def cents_of(batch: pa.Table) -> "np.ndarray":
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        return np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        cents = cents_of(batch)
+        types = np.asarray(batch.column("event_type").to_pylist())
+        out = []
+        for t in np.unique(types):
+            c = cents[types == t]
+            out.append((str(t), len(c), int(c.sum()), int((c * c).sum())))
+        return pa.table(
+            {
+                "event_type": pa.array([o[0] for o in out], type=pa.string()),
+                "n": pa.array([o[1] for o in out], type=pa.int64()),
+                "s1": pa.array([o[2] for o in out], type=pa.int64()),
+                "s2": pa.array([o[3] for o in out], type=pa.int64()),
+            }
+        )
+
+    stats: dict[str, list[int]] = {}
+    for row in ds.map_batches(moments, batch_format="pyarrow").take_all():
+        s = stats.setdefault(row["event_type"], [0, 0, 0])
+        s[0] += int(row["n"])
+        s[1] += int(row["s1"])
+        s[2] += int(row["s2"])
+    import math
+
+    params = {}
+    for t, (n, s1, s2) in stats.items():
+        mean = float(s1) / n
+        var = (float(s2) - float(s1) * float(s1) / n) / n
+        params[t] = (mean, math.sqrt(var))
+    params_ref = ray.put(params)
+
+    def z(batch: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        cents = cents_of(batch).astype(np.float64)
+        types = batch.column("event_type").to_pylist()
+        means = np.array([p[t][0] for t in types])
+        stds = np.array([p[t][1] for t in types])
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "z": pa.array((cents - means) / stds, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow").sort("event_id")

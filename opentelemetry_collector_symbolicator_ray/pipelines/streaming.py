@@ -634,3 +634,50 @@ def latest_event_compaction(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(newest, batch_format="pyarrow")
         .sort(["user_id", "event_type"])
     )
+
+def windowed_distinct_users(
+    sf_dir: str, window_us: int = US_PER_HOUR
+) -> "ray.data.Dataset":
+    """Distinct users per (tumbling window, event type) — the windowed
+    COUNT DISTINCT that powers live-dashboard uniques.  Composition of
+    the derived-window-key pattern with the two-stage distinct
+    aggregate: per-batch pre-dedup of (window, type, user) triples, one
+    triple groupby to dedup globally, then a triple-count-sized count —
+    the raw event stream never shuffles."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch.column("ts"), pa.int64())
+        window_id = pc.divide(epoch_us, pa.scalar(window_us, type=pa.int64()))
+        t = pa.table(
+            {
+                "window_id": window_id,
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        return t.group_by(["window_id", "event_type", "user_id"]).aggregate([])
+
+    triples = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+        )
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["window_id", "event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    agg = triples.groupby(["window_id", "event_type"]).aggregate(
+        Count(alias_name="n_users")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": pc.cast(batch.column("window_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+            }
+        )
+
+    return _compact_sort(
+        agg.map_batches(project, batch_format="pyarrow"), ["window_id", "event_type"]
+    )
