@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
         "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
         "docs_vocab": lambda sf: text.build_vocab(sf),
+        "docs_token_ids": lambda sf: text.encode_with_vocab(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
@@ -340,6 +341,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, cnt,
                    ROW_NUMBER() OVER (ORDER BY cnt DESC, word)::BIGINT AS token_id
             FROM c ORDER BY token_id
+        """,
+        "docs_token_ids": """
+            WITH c AS (
+              SELECT word,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, word)::BIGINT AS token_id
+              FROM (
+                SELECT w AS word, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w HAVING count(*) >= 2
+              )
+            ),
+            w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            SELECT w.doc_id,
+                   count(c.token_id)::BIGINT AS n_in_vocab,
+                   (count(*) - count(c.token_id))::BIGINT AS n_oov,
+                   COALESCE(CAST(SUM(c.token_id) AS BIGINT), 0) AS token_id_sum
+            FROM w LEFT JOIN c USING (word)
+            GROUP BY w.doc_id ORDER BY w.doc_id
         """,
         "docs_inverted_index": """
             WITH pairs AS (

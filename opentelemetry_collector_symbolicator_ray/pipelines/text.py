@@ -1091,3 +1091,43 @@ def build_vocab(sf_dir: str, min_count: int = 2, max_size: int = 1 << 22) -> pa.
             "token_id": pa.array(range(1, len(rows) + 1), type=pa.int64()),
         }
     )
+
+def encode_with_vocab(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
+    """Tokenizer encode pass: map every document's words through the
+    built vocabulary (broadcast once via ``ray.put`` — the id table a
+    tokenizer ships to every worker) and emit per-document coverage
+    stats (in-vocab count, OOV count, token-id checksum).  Closes the
+    loop from ``build_vocab``; the checksum pins the exact word->id
+    assignment against the SQL oracle without emitting the id arrays
+    themselves."""
+    import ray
+
+    vocab = build_vocab(sf_dir, min_count=min_count)
+    mapping = dict(
+        zip(vocab.column("word").to_pylist(), vocab.column("token_id").to_pylist())
+    )
+    vocab_ref = ray.put(mapping)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = ray.get(vocab_ref)
+        n_in, n_oov, sums = [], [], []
+        for t in batch.column("text").to_pylist():
+            ids = [m.get(w) for w in t.split(" ")]
+            hits = [i for i in ids if i is not None]
+            n_in.append(len(hits))
+            n_oov.append(len(ids) - len(hits))
+            sums.append(sum(hits))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_in_vocab": pa.array(n_in, type=pa.int64()),
+                "n_oov": pa.array(n_oov, type=pa.int64()),
+                "token_id_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
