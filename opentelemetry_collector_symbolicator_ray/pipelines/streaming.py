@@ -463,43 +463,73 @@ def global_value_quantiles(
     # bracket per rank: [lo, hi] known to contain it, plus #values < lo
     brackets = {k: {"lo": gmin, "hi": gmax, "below": 0, "val": None} for k in ranks}
 
-    for _ in range(10):
+    # each round also tracks the ACTUAL data min/max inside every
+    # bracket: a bracket whose values are all equal resolves immediately
+    # (duplicate-heavy columns would otherwise never shrink below
+    # tail_limit), and snapping the interval to the observed range makes
+    # convergence data-driven rather than bin-width-driven (a tight
+    # value cluster inside a wide bin collapses in one extra round)
+    for _ in range(64):
         active = {k: b for k, b in brackets.items() if b["val"] is None and b["lo"] < b["hi"]}
         for k, b in brackets.items():
             if b["val"] is None and b["lo"] >= b["hi"]:
                 b["val"] = b["lo"]
         if not active:
             break
-        specs = [(k, b["lo"], b["hi"]) for k, b in sorted(active.items())]
+        specs = [(k, b["lo"], b["hi"], bool(b.get("_inclusive_hi", True))) for k, b in sorted(active.items())]
 
         def hist_partial(batch: pa.Table, specs=specs) -> pa.Table:
             vals = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
-            out_k, out_h = [], []
-            for k, lo, hi in specs:
-                h, _ = np.histogram(vals, bins=bins, range=(lo, hi))
+            out_k, out_h, out_mn, out_mx = [], [], [], []
+            for k, lo, hi, inc in specs:
+                inside = vals[(vals >= lo) & ((vals <= hi) if inc else (vals < hi))]
+                h, _ = np.histogram(inside, bins=bins, range=(lo, hi))
                 out_k.append(k)
                 out_h.append(h.astype(np.int64).tobytes())
+                out_mn.append(float(inside.min()) if len(inside) else np.inf)
+                out_mx.append(float(inside.max()) if len(inside) else -np.inf)
             return pa.table(
-                {"k": pa.array(out_k, type=pa.int64()), "h": pa.array(out_h, type=pa.binary())}
+                {
+                    "k": pa.array(out_k, type=pa.int64()),
+                    "h": pa.array(out_h, type=pa.binary()),
+                    "mn": pa.array(out_mn, type=pa.float64()),
+                    "mx": pa.array(out_mx, type=pa.float64()),
+                }
             )
 
-        merged = {k: np.zeros(bins, dtype=np.int64) for k, _, _ in specs}
+        merged = {k: np.zeros(bins, dtype=np.int64) for k, _, _, _ in specs}
+        vmin = {k: np.inf for k, _, _, _ in specs}
+        vmax = {k: -np.inf for k, _, _, _ in specs}
         for row in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
             merged[row["k"]] += np.frombuffer(row["h"], dtype=np.int64)
-        for k, lo, hi in specs:
+            vmin[row["k"]] = min(vmin[row["k"]], row["mn"])
+            vmax[row["k"]] = max(vmax[row["k"]], row["mx"])
+        for k, lo, hi, inc in specs:
             b = brackets[k]
+            if vmin[k] == vmax[k]:
+                # every value in the bracket is identical — resolved
+                b["val"] = float(vmin[k])
+                continue
             edges = np.linspace(lo, hi, bins + 1)
             cum = np.cumsum(merged[k])
             j = int(np.searchsorted(cum, k - b["below"] + 1))
             below_j = int(cum[j - 1]) if j > 0 else 0
             b["below"] += below_j
-            b["lo"], b["hi"] = float(edges[j]), float(edges[j + 1])
-            b["_last_bin"] = j == bins - 1
+            new_lo, new_hi = float(edges[j]), float(edges[j + 1])
+            # snap to the observed data range (values < vmin inside the
+            # bracket do not exist, so `below` stays exact)
+            new_lo = max(new_lo, vmin[k])
+            inclusive = j == bins - 1
+            if vmax[k] < new_hi:
+                new_hi = vmax[k]
+                inclusive = True  # hi is now an actual value in the bin
+            b["lo"], b["hi"] = new_lo, new_hi
+            b["_inclusive_hi"] = inclusive
             b["_bin_count"] = int(merged[k][j])
 
     # final pass: collect the tail values of every unresolved bracket
     pending = [
-        (k, b["lo"], b["hi"], bool(b.get("_last_bin")))
+        (k, b["lo"], b["hi"], bool(b.get("_inclusive_hi", True)))
         for k, b in sorted(brackets.items())
         if b["val"] is None
     ]

@@ -213,3 +213,53 @@ def test_grouped_hll_within_bound_of_exact(ray_session):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, int(0.05 * n)), (t, approx[t], n)
+
+
+def test_quantile_selection_forced_refinement_matches_numpy(ray_session, tmp_path):
+    """Drive the histogram-refinement selector through MULTIPLE rounds
+    (tiny bins/tail_limit) on an adversarial distribution (heavy
+    duplicates + clustered values) and pin it to numpy's linear
+    interpolation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines import streaming
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            np.full(5000, 42.0),                      # heavy duplicate mass
+            rng.normal(100.0, 0.001, 3000),           # tight cluster
+            rng.uniform(-1e6, 1e6, 2000),             # wide tail
+        ]
+    )
+    rng.shuffle(vals)
+    d = tmp_path / "q"
+    d.mkdir()
+    pq.write_table(pa.table({"value": pa.array(vals, type=pa.float64())}),
+                   d / "events.parquet")
+    qs = (0.1, 0.5, 0.9, 0.99)
+    t = streaming.global_value_quantiles(str(d), qs=qs, bins=8, tail_limit=16)
+    got = dict(zip(t.column("q").to_pylist(), t.column("value").to_pylist()))
+    for q in qs:
+        expect = float(np.quantile(vals, q))
+        key = f"p{int(round(q * 100))}"
+        assert got[key] == expect, (q, got[key], expect)
+
+
+def test_quantile_selection_all_duplicates(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines import streaming
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"value": pa.array(np.full(1000, 3.14), type=pa.float64())}),
+        d / "events.parquet",
+    )
+    t = streaming.global_value_quantiles(str(d), qs=(0.5,), bins=4, tail_limit=8)
+    assert t.column("value").to_pylist() == [3.14]

@@ -147,3 +147,15 @@ def test_heavy_hitters_truncating_sketch_equals_exact(ray_session, tmp_path):
     # capacity so small the bound swamps the k-th count -> fallback path
     fb = text.heavy_hitter_words(str(d), k=8, capacity=2)
     assert fb.equals(exact)
+
+
+def test_bloom_semijoin_exact_under_heavy_false_positives(ray_session):
+    """A 64-bit Bloom filter (near-total false-positive saturation) must
+    not change the semi-join result — the exact hash join removes every
+    false survivor."""
+    from opentelemetry_collector_symbolicator_ray.pipelines import analytics
+
+    sf = "/root/testdata/sf0.001"
+    tight = analytics.bloom_semijoin_revenue(sf, nbits=64, nhashes=1)
+    normal = analytics.bloom_semijoin_revenue(sf)
+    assert tight.equals(normal)
