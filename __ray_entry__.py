@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- dedup suite ---
         "docs_exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        "docs_snapshot_diff": lambda sf: dedup.snapshot_diff(sf),
         "docs_dedup_stats": lambda sf: dedup.exact_dedup_stats(sf),
         "docs_ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, NGRAM_THRESHOLD),
         "docs_minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_dedup(sf, threshold=NGRAM_THRESHOLD),
@@ -331,6 +332,25 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
             SELECT ngram, count(*)::BIGINT AS cnt FROM bi
             GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_snapshot_diff": """
+            WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+            b AS (
+              SELECT doc_id AS b_doc_id,
+                     md5(CASE WHEN doc_id % 17 = 3 THEN reverse(text)
+                              ELSE text END) AS fp_b
+              FROM documents WHERE doc_id % 13 <> 5
+              UNION ALL
+              SELECT doc_id + 1000000, md5('new ' || doc_id::VARCHAR)
+              FROM documents WHERE doc_id % 13 <> 5 AND doc_id % 19 = 7
+            )
+            SELECT CASE WHEN fp_a IS NULL THEN b_doc_id ELSE doc_id END AS doc_id,
+                   CASE WHEN fp_a IS NULL THEN 'added'
+                        WHEN fp_b IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM a FULL JOIN b ON a.doc_id = b.b_doc_id
+            WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+            ORDER BY doc_id, change
         """,
         "docs_vocab": """
             WITH c AS (

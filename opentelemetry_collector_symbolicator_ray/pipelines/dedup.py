@@ -707,3 +707,91 @@ def simhash_dupes(sf_dir: str, max_dist: int = 6) -> pa.Table:
             "dist": pairs.column("dist"),
         }
     )
+
+def snapshot_diff(sf_dir: str) -> pa.Table:
+    """Incremental-ingestion diff between two corpus snapshots — the
+    change-detection pass that lets a 100 TB pipeline reprocess only
+    what moved.  Snapshot B is a deterministic, oracle-shared mutation
+    of the base corpus (docs dropped when doc_id%13==5, text reversed
+    when doc_id%17==3, new doc_ids appended at +1_000_000 when
+    doc_id%19==7).  Ray shape: both sides reduce to (doc_id,
+    fingerprint) projections — the texts themselves never shuffle —
+    then ONE distributed ``full_outer`` hash join classifies every doc
+    as added / removed / changed; unchanged rows are filtered out
+    in-stream so the result is change-set-sized."""
+    import pyarrow.compute as pc
+
+    def fp_base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "fp_a": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    def fp_b(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id % 13 == 5:
+                continue  # removed in snapshot B
+            text = t[::-1] if doc_id % 17 == 3 else t
+            ids.append(doc_id)
+            fps.append(hashlib.md5(text.encode()).hexdigest())
+            if doc_id % 19 == 7:  # added in snapshot B
+                ids.append(doc_id + 1_000_000)
+                fps.append(hashlib.md5(f"new {doc_id}".encode()).hexdigest())
+        return pa.table(
+            {
+                "b_doc_id": pa.array(ids, type=pa.int64()),
+                "fp_b": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    base = _read_docs(sf_dir).map_batches(fp_base, batch_format="pyarrow")
+    snap = _read_docs(sf_dir).map_batches(fp_b, batch_format="pyarrow")
+    joined = base.join(
+        snap,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("b_doc_id",),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        # the hash join coalesces the two key columns into one doc_id
+        a = batch.column("fp_a").to_pylist()
+        b = batch.column("fp_b").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_c = [], []
+        for i in range(len(a)):
+            if a[i] is None:
+                out_id.append(ids[i])
+                out_c.append("added")
+            elif b[i] is None:
+                out_id.append(ids[i])
+                out_c.append("removed")
+            elif a[i] != b[i]:
+                out_id.append(ids[i])
+                out_c.append("changed")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "change": pa.array(out_c, type=pa.string()),
+            }
+        )
+
+    rows = sorted(
+        joined.map_batches(classify, batch_format="pyarrow").take_all(),
+        key=lambda r: (r["doc_id"], r["change"]),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "change": pa.array([r["change"] for r in rows], type=pa.string()),
+        }
+    )
