@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
         "docs_vocab": lambda sf: text.build_vocab(sf),
         "docs_token_ids": lambda sf: text.encode_with_vocab(sf),
+        "docs_chunks": lambda sf: text.chunk_documents(sf),
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
@@ -256,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: streaming.funnel_stage_counts(sf),
         "events_log_compaction": lambda sf: streaming.latest_event_compaction(sf),
         "events_windowed_uniques": lambda sf: streaming.windowed_distinct_users(sf),
+        "events_dense_windows": lambda sf: streaming.densified_window_counts(sf),
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "orders_rollup": lambda sf: analytics.orders_rollup(sf),
@@ -332,6 +334,20 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
             SELECT ngram, count(*)::BIGINT AS cnt FROM bi
             GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_chunks": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            c AS (
+              SELECT doc_id, i AS chunk_id,
+                     array_to_string(list_slice(ws, i * 25 + 1, i * 25 + 50), ' ')
+                       AS chunk
+              FROM w CROSS JOIN range(0, 64) t(i)
+              WHERE i * 25 < len(ws)
+            )
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   len(string_split(chunk, ' '))::BIGINT AS n_words,
+                   md5(chunk) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_id
         """,
         "docs_snapshot_diff": """
             WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
@@ -575,6 +591,28 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
                             / s.n) AS z
             FROM c JOIN s USING (event_type) ORDER BY c.event_id
+        """,
+        "events_dense_windows": """
+            WITH b AS (
+              SELECT MIN(epoch_us(ts) // 3600000000) AS w0,
+                     MAX(epoch_us(ts) // 3600000000) AS w1
+              FROM events
+            ),
+            g AS (
+              SELECT w0 + i AS window_id FROM b CROSS JOIN range(0, 1000000) t(i)
+              WHERE w0 + i <= w1
+            ),
+            ty AS (SELECT DISTINCT event_type FROM events),
+            a AS (
+              SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT g.window_id, ty.event_type,
+                   COALESCE(a.n, 0)::BIGINT AS n_events
+            FROM g CROSS JOIN ty
+            LEFT JOIN a ON a.window_id = g.window_id AND a.event_type = ty.event_type
+            ORDER BY g.window_id, ty.event_type
         """,
         "events_windowed_uniques": """
             SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,

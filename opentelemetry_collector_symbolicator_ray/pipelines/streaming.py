@@ -711,3 +711,71 @@ def windowed_distinct_users(
     return _compact_sort(
         agg.map_batches(project, batch_format="pyarrow"), ["window_id", "event_type"]
     )
+
+def densified_window_counts(
+    sf_dir: str, window_us: int = US_PER_HOUR
+) -> "ray.data.Dataset":
+    """Gap-filled time-series resample: tumbling per-type counts with
+    EMPTY windows emitted as zeros across the corpus's full [min, max]
+    window range — the densification step every dashboard / forecasting
+    consumer needs (missing hours must read 0, not be absent).  Ray
+    shape: the dense (window x type) grid is GENERATED distributed
+    (``ray.data.range`` fan-out, never a driver loop) and left-joined
+    against the windowed aggregate; both sides are window-count-sized,
+    the raw events shuffle once."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def to_window(batch: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(window_us, type=pa.int64()))
+        return pa.table({"window_id": w, "event_type": batch.column("event_type")})
+
+    windows = ds.map_batches(to_window, batch_format="pyarrow")
+    agg = windows.groupby(["window_id", "event_type"]).aggregate(Count(alias_name="n"))
+    mm = windows.aggregate(Min("window_id"), Max("window_id"))
+    w0, w1 = int(mm["min(window_id)"]), int(mm["max(window_id)"])
+    types = sorted(
+        r["event_type"]
+        for r in ds.groupby("event_type").aggregate(Count(alias_name="_n")).take_all()
+    )
+    k = len(types)
+
+    def grid(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_id": pa.array(w0 + idx // k, type=pa.int64()),
+                "event_type": pa.array([types[i] for i in idx % k], type=pa.string()),
+            }
+        )
+
+    dense = ray.data.range((w1 - w0 + 1) * k).map_batches(grid, batch_format="pyarrow")
+    joined = dense.join(
+        agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "window_id": pc.cast(b.column("window_id"), pa.int64()),
+                    "event_type": b.column("event_type"),
+                    "n": pc.cast(b.column("n"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("window_id", "event_type"),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": batch.column("window_id"),
+                "event_type": batch.column("event_type"),
+                "n_events": pc.fill_null(pc.cast(batch.column("n"), pa.int64()), 0),
+            }
+        )
+
+    return _compact_sort(
+        joined.map_batches(fill, batch_format="pyarrow"), ["window_id", "event_type"]
+    )

@@ -1131,3 +1131,43 @@ def encode_with_vocab(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
         .map_batches(fn, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+def chunk_documents(
+    sf_dir: str, window: int = 50, stride: int = 25
+) -> "ray.data.Dataset":
+    """RAG-style document chunking: split each document into overlapping
+    word windows (``window`` words every ``stride``) with stable
+    per-document chunk ids — the flat_map fan-out every
+    retrieval/embedding pipeline runs before encoding.  Emits the chunk
+    digest rather than the text so the oracle comparison stays
+    row-sized; chunk ids are deterministic under any block layout
+    because they derive only from (doc_id, position)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_doc, out_chunk, out_n, out_md5 = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = t.split(" ")
+            i = 0
+            while i * stride < len(ws):
+                chunk = ws[i * stride: i * stride + window]
+                out_doc.append(doc_id)
+                out_chunk.append(i)
+                out_n.append(len(chunk))
+                out_md5.append(hashlib.md5(" ".join(chunk).encode()).hexdigest())
+                i += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "chunk_id": pa.array(out_chunk, type=pa.int64()),
+                "n_words": pa.array(out_n, type=pa.int64()),
+                "chunk_md5": pa.array(out_md5, type=pa.string()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_id"])
+    )
