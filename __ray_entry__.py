@@ -24,11 +24,19 @@ from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
 from opentelemetry_collector_symbolicator_ray.pipelines import (
     analytics,
     dedup,
+    export,
     multimodal,
     similarity,
     streaming,
     text,
 )
+
+
+def _training_export(sf_dir: str):
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return export.export_training_shards(sf_dir, f"/tmp/ocsr_export/{tag}")
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
     input_files,
     per_processor_telemetry,
@@ -209,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab": lambda sf: text.build_vocab(sf),
         "docs_token_ids": lambda sf: text.encode_with_vocab(sf),
         "docs_chunks": lambda sf: text.chunk_documents(sf),
+        "docs_training_export": _training_export,
         "docs_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_tfidf_top_term": lambda sf: text.tfidf_top_term(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
@@ -334,6 +343,25 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram FROM idx)
             SELECT ngram, count(*)::BIGINT AS cnt FROM bi
             GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "docs_training_export": """
+            WITH kept AS (
+              SELECT doc_id, lang, md5(text) AS digest,
+                     len(string_split(text, ' '))::BIGINT AS n_words,
+                     ('0x' || substr(md5(text), 1, 2))::INTEGER % 8 AS shard
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 20
+                AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                      / len(string_split(text, ' ')) BETWEEN 4.3 AND 5.0
+                AND substr(md5(text), 1, 2) < CASE lang
+                    WHEN 'en' THEN '80' WHEN 'de' THEN '33' WHEN 'fr' THEN '33'
+                    WHEN 'es' THEN '33' WHEN 'zh' THEN '1a' ELSE '00' END
+            ),
+            d AS (SELECT digest, MIN(doc_id) AS doc_id FROM kept GROUP BY digest)
+            SELECT k.shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+                   CAST(SUM(k.n_words) AS BIGINT) AS n_tokens
+            FROM kept k JOIN d ON k.doc_id = d.doc_id AND k.digest = d.digest
+            GROUP BY k.shard ORDER BY shard
         """,
         "docs_chunks": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -159,3 +159,21 @@ def test_bloom_semijoin_exact_under_heavy_false_positives(ray_session):
     tight = analytics.bloom_semijoin_revenue(sf, nbits=64, nhashes=1)
     normal = analytics.bloom_semijoin_revenue(sf)
     assert tight.equals(normal)
+
+
+def test_training_export_deterministic_and_partitioned(ray_session, tmp_path):
+    """Two runs of the export land identical manifests, and the output
+    is hive-partitioned per shard so a loader can read shards
+    independently."""
+    import os
+
+    from opentelemetry_collector_symbolicator_ray.pipelines import export
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "exp")
+    m1 = export.export_training_shards(sf, out)
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == m1.num_rows
+    m2 = export.export_training_shards(sf, out)
+    assert m1.equals(m2)
+    assert int(m1.column("n_docs").to_pylist()[0]) > 0
