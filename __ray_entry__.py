@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
         "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
         "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
+        "docs_search_and": lambda sf: text.search_and(sf),
         "docs_vocab": lambda sf: text.build_vocab(sf),
         "docs_token_ids": lambda sf: text.encode_with_vocab(sf),
         "docs_chunks": lambda sf: text.chunk_documents(sf),
@@ -395,6 +396,22 @@ def oracle_sql() -> dict[str, str]:
             FROM a FULL JOIN b ON a.doc_id = b.b_doc_id
             WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
             ORDER BY doc_id, change
+        """,
+        "docs_search_and": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, w AS word
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            ),
+            top AS (
+              SELECT word FROM (
+                SELECT word, count(*)::BIGINT AS df FROM pairs
+                GROUP BY word ORDER BY df DESC, word LIMIT 2
+              )
+            )
+            SELECT doc_id FROM pairs
+            WHERE word IN (SELECT word FROM top)
+            GROUP BY doc_id HAVING count(*) = 2
+            ORDER BY doc_id
         """,
         "docs_vocab": """
             WITH c AS (

@@ -1171,3 +1171,46 @@ def chunk_documents(
         .map_batches(fn, batch_format="pyarrow")
         .sort(["doc_id", "chunk_id"])
     )
+
+def search_and(sf_dir: str, k_probe: int = 2) -> pa.Table:
+    """Conjunctive (AND) term search THROUGH the inverted index: probe
+    the corpus's top-``k_probe`` DF words, read only their buckets
+    (partition pruning), and intersect the postings — the
+    retrieval-side consumer that proves the index answers queries
+    without touching the corpus.  Returns the matching doc_ids."""
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ocsr_invidx/{tag}"
+    if not os.path.exists(index_dir):
+        build_inverted_index(sf_dir, index_dir)
+    probes = doc_frequency(sf_dir, k=k_probe).column("word").to_pylist()
+
+    import glob as globmod
+
+    buckets = sorted({zlib.crc32(w.encode()) % 16 for w in probes})
+    files = [
+        f
+        for b in buckets
+        for f in sorted(globmod.glob(f"{index_dir}/bucket={b}/*.parquet"))
+    ]
+    wset = set(probes)
+
+    def postings_of(batch: pa.Table) -> pa.Table:
+        mask = pa.array([w in wset for w in batch.column("word").to_pylist()])
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "postings": batch.column("postings"),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(files)
+        .map_batches(postings_of, batch_format="pyarrow")
+        .take_all()
+    )
+    sets = [set(r["postings"]) for r in rows]
+    hits = sorted(set.intersection(*sets)) if len(sets) == len(probes) else []
+    return pa.table({"doc_id": pa.array(hits, type=pa.int64())})
