@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--output", required=True, help="output dir (sinks + manifest)")
     p_run.add_argument("--artifacts", default=None, help="artifact dir (default <input>/artifacts)")
     p_run.add_argument("--shard-size", type=int, default=4)
+    p_run.add_argument(
+        "--collector-config",
+        default=None,
+        help="reference collector config.yaml: processor sections map onto "
+        "the engine config (attribute-key remaps, store selection, caches); "
+        "CLI flags still control pool sizing",
+    )
     p_run.add_argument("--concurrency", type=int, default=None)
     p_run.add_argument("--batch-size", type=int, default=2048)
     p_run.add_argument("--salted", action="store_true", help="salted debug-id repartition")
@@ -176,13 +183,26 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.symbolicate import run_checkpointed
 
         artifacts = args.artifacts or os.path.join(args.input, "artifacts")
-        cfg = PipelineConfig.with_default_routing(
-            artifacts,
-            concurrency=args.concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
-            batch_size=args.batch_size,
-            shared_artifact_cache=args.shared_cache,
-            artifact_cache_shards=args.cache_shards,
-        )
+        if args.collector_config:
+            from .collector_config import load_collector_config
+
+            loaded = load_collector_config(args.collector_config, artifacts_dir=artifacts)
+            cfg = loaded["config"]
+            cfg.concurrency = args.concurrency or (
+                1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+            )
+            if "send_batch_size" not in loaded["batch"]:
+                cfg.batch_size = args.batch_size
+            cfg.shared_artifact_cache = args.shared_cache
+            cfg.artifact_cache_shards = args.cache_shards
+        else:
+            cfg = PipelineConfig.with_default_routing(
+                artifacts,
+                concurrency=args.concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
+                batch_size=args.batch_size,
+                shared_artifact_cache=args.shared_cache,
+                artifact_cache_shards=args.cache_shards,
+            )
         totals = run_checkpointed(
             args.input,
             args.output,

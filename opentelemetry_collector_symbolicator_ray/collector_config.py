@@ -1,0 +1,148 @@
+"""Loader for the reference collector's own ``config.yaml`` shape
+(/root/reference/config.yaml, builder-config.yaml): a user switching
+from the collector keeps their YAML — receivers.otlp protocols,
+the three symbolicator processor sections (every mapstructure key from
+sourcemapprocessor/config.go, dsymprocessor/config.go,
+proguardprocessor/config.go), the batch processor, and
+service.pipelines — and this module maps it onto the engine's
+:class:`~opentelemetry_collector_symbolicator_ray.config.PipelineConfig`.
+
+Key-for-key: flat processor keys share names with the engine dataclass
+fields (both mirror the Go mapstructure tags); nested store blocks
+(``local_source_maps.path``, ``s3_dsyms.bucket``, ``gcs_store.prefix``,
+...) flatten onto the engine's store fields; Go duration strings
+("5s", "250ms", "1m") parse to seconds.  Unknown keys raise, matching
+the collector's strict config validation."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any
+
+from .config import DsymConfig, PipelineConfig, ProguardConfig, SourceMapConfig
+
+# collector processor id -> (engine dataclass, store-kind key, nested store blocks)
+_PROCESSORS = {
+    "source_map_symbolicator": (
+        SourceMapConfig,
+        "source_map_store",
+        {
+            "local_source_maps": "file_store",
+            "s3_source_maps": "s3_store",
+            "gcs_source_maps": "gcs_store",
+        },
+    ),
+    "dsym_symbolicator": (
+        DsymConfig,
+        "dsym_store",
+        {"local_dsyms": "file_store", "s3_dsyms": "s3_store", "gcs_dsyms": "gcs_store"},
+    ),
+    "proguard_symbolicator": (
+        ProguardConfig,
+        "proguard_store",
+        {"local_store": "file_store", "s3_store": "s3_store", "gcs_store": "gcs_store"},
+    ),
+}
+
+_DURATION_RE = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h)$")
+_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def _parse_duration(v: Any) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = _DURATION_RE.match(str(v).strip())
+    if not m:
+        raise ValueError(f"unparseable duration: {v!r}")
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+
+
+def _load_processor(cls, store_key: str, store_blocks: dict, section: dict | None):
+    cfg = cls()
+    if not section:
+        return cfg
+    fields = {f.name for f in dataclasses.fields(cls)}
+    for key, val in section.items():
+        if key in store_blocks:
+            # nested store block -> flat engine fields + store kind
+            setattr(cfg, store_key, store_blocks[key])
+            block = val or {}
+            for bk, bv in block.items():
+                if bk == "path":
+                    cfg.local_path = str(bv)
+                elif bk == "bucket":
+                    cfg.bucket = str(bv)
+                elif bk == "region":
+                    cfg.region = str(bv)
+                elif bk == "prefix":
+                    cfg.store_prefix = str(bv)
+                else:
+                    raise ValueError(f"unknown store key {key}.{bk}")
+        elif key == "timeout":
+            cfg.timeout = _parse_duration(val)
+        elif key in fields:
+            cur = getattr(cfg, key)
+            if isinstance(cur, bool):
+                setattr(cfg, key, bool(val))
+            elif isinstance(cur, int) and not isinstance(cur, bool):
+                setattr(cfg, key, int(val))
+            elif isinstance(cur, float):
+                setattr(cfg, key, float(val))
+            elif isinstance(cur, list):
+                setattr(cfg, key, list(val))
+            else:
+                setattr(cfg, key, str(val))
+        else:
+            raise ValueError(f"unknown config key for {cls.__name__}: {key}")
+    return cfg
+
+
+def load_collector_config(path: str, artifacts_dir: str | None = None) -> dict:
+    """Parse a collector config.yaml into engine objects.
+
+    Returns ``{"config": PipelineConfig, "pipelines": {name: [processor
+    ids]}, "otlp": {"grpc": endpoint|None, "http": endpoint|None},
+    "batch": {...}}``."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+
+    procs = doc.get("processors") or {}
+    parsed = {}
+    batch: dict = {}
+    for name, section in procs.items():
+        if name in _PROCESSORS:
+            cls, store_key, blocks = _PROCESSORS[name]
+            parsed[name] = _load_processor(cls, store_key, blocks, section)
+        elif name == "batch" or name.startswith("batch/"):
+            batch = dict(section or {})
+        else:
+            raise ValueError(f"unknown processor: {name}")
+
+    kw: dict[str, Any] = {}
+    if "source_map_symbolicator" in parsed:
+        kw["sourcemap"] = parsed["source_map_symbolicator"]
+    if "dsym_symbolicator" in parsed:
+        kw["dsym"] = parsed["dsym_symbolicator"]
+    if "proguard_symbolicator" in parsed:
+        kw["proguard"] = parsed["proguard_symbolicator"]
+    if artifacts_dir:
+        kw["artifacts_dir"] = artifacts_dir
+    if "send_batch_size" in batch:
+        kw["batch_size"] = int(batch["send_batch_size"])
+    cfg = PipelineConfig(**kw)
+
+    pipelines = {}
+    for pname, psec in ((doc.get("service") or {}).get("pipelines") or {}).items():
+        pipelines[pname] = list((psec or {}).get("processors") or [])
+
+    otlp = {"grpc": None, "http": None}
+    recv = ((doc.get("receivers") or {}).get("otlp") or {}).get("protocols") or {}
+    for proto in ("grpc", "http"):
+        if proto in recv:
+            otlp[proto] = (recv[proto] or {}).get("endpoint") or (
+                "0.0.0.0:4317" if proto == "grpc" else "0.0.0.0:4318"
+            )
+    return {"config": cfg, "pipelines": pipelines, "otlp": otlp, "batch": batch}

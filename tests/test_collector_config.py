@@ -1,0 +1,141 @@
+"""Loader for the reference collector's config.yaml shape
+(/root/reference/config.yaml, processor mapstructure keys from
+{sourcemap,dsym,proguard}processor/config.go)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from opentelemetry_collector_symbolicator_ray.collector_config import (
+    load_collector_config,
+)
+
+REFERENCE_SHAPE = """
+receivers:
+  otlp:
+    protocols:
+      grpc:
+        endpoint: 0.0.0.0:4317
+      http:
+        endpoint: 0.0.0.0:4318
+
+processors:
+  source_map_symbolicator:
+    symbolicator_failure_attribute_key: exception.symbolicator.failed
+    source_map_store: s3_store
+    s3_source_maps:
+      region: us-east-1
+      bucket: my-maps
+      prefix: maps/v1
+    timeout: 250ms
+    source_map_cache_size: 64
+    allowed_languages: [webjs, javascript]
+  dsym_symbolicator:
+    local_dsyms:
+      path: ./test_assets
+    preserve_stack_trace: false
+  proguard_symbolicator:
+    proguard_uuid_attribute_key: app.custom.uuid
+  batch:
+    send_batch_size: 1024
+
+service:
+  pipelines:
+    traces:
+      receivers: [otlp]
+      processors: [source_map_symbolicator]
+      exporters: [debug]
+    logs:
+      receivers: [otlp]
+      processors: [dsym_symbolicator, proguard_symbolicator, batch]
+      exporters: [debug]
+"""
+
+
+def test_loader_maps_reference_config_shape(tmp_path):
+    f = tmp_path / "config.yaml"
+    f.write_text(REFERENCE_SHAPE)
+    loaded = load_collector_config(str(f))
+    cfg = loaded["config"]
+    sm = cfg.sourcemap
+    assert sm.source_map_store == "s3_store"
+    assert sm.region == "us-east-1"
+    assert sm.bucket == "my-maps"
+    assert sm.store_prefix == "maps/v1"
+    assert sm.timeout == pytest.approx(0.25)
+    assert sm.source_map_cache_size == 64
+    assert sm.allowed_languages == ["webjs", "javascript"]
+    ds = cfg.dsym
+    assert ds.dsym_store == "file_store"
+    assert ds.local_path == "./test_assets"
+    assert ds.preserve_stack_trace is False
+    assert cfg.proguard.proguard_uuid_attribute_key == "app.custom.uuid"
+    assert cfg.batch_size == 1024
+    assert loaded["pipelines"] == {
+        "traces": ["source_map_symbolicator"],
+        "logs": ["dsym_symbolicator", "proguard_symbolicator", "batch"],
+    }
+    assert loaded["otlp"] == {"grpc": "0.0.0.0:4317", "http": "0.0.0.0:4318"}
+
+
+def test_loader_rejects_unknown_keys(tmp_path):
+    f = tmp_path / "bad.yaml"
+    f.write_text("processors:\n  source_map_symbolicator:\n    not_a_key: 1\n")
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_collector_config(str(f))
+    f.write_text("processors:\n  mystery_processor: {}\n")
+    with pytest.raises(ValueError, match="unknown processor"):
+        load_collector_config(str(f))
+
+
+def test_cli_run_with_collector_config_matches_default(tmp_path):
+    """A YAML that spells out the default routing must produce the exact
+    aggregates of the flag-configured run (same corpus, fresh outputs)."""
+    corpus = tmp_path / "corpus"
+    subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_symbolicator_ray", "synth",
+         "--out", str(corpus), "--rows", "300", "--files", "2"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    yaml_cfg = tmp_path / "config.yaml"
+    yaml_cfg.write_text(f"""
+processors:
+  source_map_symbolicator:
+    local_source_maps:
+      path: {corpus}/artifacts/sourcemaps
+    allowed_languages: [webjs, javascript]
+  dsym_symbolicator:
+    local_dsyms:
+      path: {corpus}/artifacts/dsyms
+    allowed_languages: [swift]
+  proguard_symbolicator:
+    local_store:
+      path: {corpus}/artifacts/proguard
+    allowed_languages: [java, kotlin]
+""")
+
+    def run(out, extra):
+        p = subprocess.run(
+            [sys.executable, "-m", "opentelemetry_collector_symbolicator_ray", "run",
+             "--input", str(corpus), "--output", out, *extra],
+            check=True, cwd="/root/repo", capture_output=True, text=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    a = run(str(tmp_path / "out_default"), [])
+    b = run(str(tmp_path / "out_yaml"), ["--collector-config", str(yaml_cfg)])
+    # durations are wall-clock; compare everything else
+    def strip(d):
+        return {
+            sink: {
+                k: v
+                for k, v in agg.items()
+                if "duration" not in k and not k.startswith("dur_")
+            }
+            for sink, agg in d.items()
+        }
+    assert strip(a) == strip(b)
