@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_serve.add_argument("--concurrency", type=int, default=None)
     p_serve.add_argument("--batch-size", type=int, default=2048)
+    p_serve.add_argument(
+        "--collector-config",
+        default=None,
+        help="reference collector config.yaml; also supplies the listener "
+        "endpoint from receivers.otlp.protocols.http unless --port is given",
+    )
 
     p_compact = sub.add_parser(
         "compact-spool",
@@ -138,14 +144,33 @@ def main(argv: list[str] | None = None) -> int:
             from .config import PipelineConfig
             from .sources.otlp_http import OTLPHttpReceiver, drain_spool_checkpointed
 
-            cfg = PipelineConfig.with_default_routing(
-                args.artifacts,
-                concurrency=args.concurrency
-                or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
-                batch_size=args.batch_size,
-            )
+            host, port = args.host, args.port
+            if args.collector_config:
+                from .collector_config import load_collector_config
+
+                loaded = load_collector_config(
+                    args.collector_config, artifacts_dir=args.artifacts
+                )
+                cfg = loaded["config"]
+                cfg.concurrency = args.concurrency or (
+                    1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+                )
+                if "send_batch_size" not in loaded["batch"]:
+                    cfg.batch_size = args.batch_size
+                if loaded["otlp"]["http"] and args.port == 4318:
+                    ep = loaded["otlp"]["http"]
+                    host, _, p_str = ep.rpartition(":")
+                    host = host or args.host
+                    port = int(p_str)
+            else:
+                cfg = PipelineConfig.with_default_routing(
+                    args.artifacts,
+                    concurrency=args.concurrency
+                    or (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
+                    batch_size=args.batch_size,
+                )
             receiver = OTLPHttpReceiver(
-                args.spool, host=args.host, port=args.port,
+                args.spool, host=host, port=port,
                 rotate_records=args.rotate_records,
             )
             print(

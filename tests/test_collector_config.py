@@ -139,3 +139,70 @@ processors:
             for sink, agg in d.items()
         }
     assert strip(a) == strip(b)
+
+
+def test_serve_cli_with_collector_config(tmp_path):
+    """`serve --collector-config`: stores AND the listener endpoint come
+    from the collector YAML (endpoint 127.0.0.1:0 binds ephemeral)."""
+    import glob
+    import os
+    import subprocess
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.codec import decode_batch_tokens
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+    from tests.test_otlp_http import post, record_to_otlp
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, 30, num_files=1, seed=31)
+    yaml_cfg = tmp_path / "config.yaml"
+    yaml_cfg.write_text(f"""
+receivers:
+  otlp:
+    protocols:
+      http:
+        endpoint: 127.0.0.1:0
+processors:
+  source_map_symbolicator:
+    local_source_maps:
+      path: {corpus}/artifacts/sourcemaps
+    allowed_languages: [webjs, javascript]
+  dsym_symbolicator:
+    local_dsyms:
+      path: {corpus}/artifacts/dsyms
+    allowed_languages: [swift]
+  proguard_symbolicator:
+    local_store:
+      path: {corpus}/artifacts/proguard
+    allowed_languages: [java, kotlin]
+""")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "opentelemetry_collector_symbolicator_ray", "serve",
+            "--spool", str(tmp_path / "spool"), "--output", str(tmp_path / "out"),
+            "--artifacts", os.path.join(corpus, "artifacts"),
+            "--drain-interval", "1.0", "--max-drains", "2",
+            "--concurrency", "2", "--batch-size", "32",
+            "--collector-config", str(yaml_cfg),
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd="/root/repo", env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    try:
+        info = json.loads(proc.stdout.readline())
+        base = info["listening"]
+        assert base.startswith("http://127.0.0.1:")
+        n = 0
+        for path in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
+            for record in decode_batch_tokens(pq.read_table(path)):
+                status, _ = post(f"{base}/v1/logs", json.dumps(record_to_otlp(record)).encode())
+                assert status == 200
+                n += 1
+        out_lines = [json.loads(l) for l in proc.stdout]
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    totals = out_lines[-1]["totals"]
+    assert sum(v["rows"] for v in totals.values()) == n
