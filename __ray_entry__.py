@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": lambda sf: analytics.props_stats_by_type(sf),
         "events_distinct_users": lambda sf: analytics.distinct_users_by_type(sf),
         "events_zscore": lambda sf: analytics.zscore_by_type(sf),
+        "events_validation": lambda sf: analytics.validate_events(sf),
         "lineitem_bloom_semijoin": lambda sf: analytics.bloom_semijoin_revenue(sf),
         "docs_pii_redact": lambda sf: text.pii_redact(sf),
         "docs_repetition": lambda sf: text.repetition_scores(sf),
@@ -617,6 +618,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q, v0 + (v1 - v0) * (r - FLOOR(r)) AS value
             FROM j ORDER BY q
+        """,
+        "events_validation": """
+            SELECT * FROM (
+              SELECT 'event_type_known' AS rule,
+                     SUM(CASE WHEN event_type NOT IN
+                         ('view','click','purchase','signup','error')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM events
+              UNION ALL
+              SELECT 'props_has_int_k',
+                     SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                              IS NULL THEN 1 ELSE 0 END)::BIGINT FROM events
+              UNION ALL
+              SELECT 'user_id_not_null',
+                     SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT FROM events
+              UNION ALL
+              SELECT 'value_le_100',
+                     SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT FROM events
+              UNION ALL
+              SELECT 'value_nonnegative',
+                     SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT FROM events
+            ) ORDER BY rule
         """,
         "events_zscore": """
             WITH c AS (

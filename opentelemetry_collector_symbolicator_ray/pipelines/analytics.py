@@ -921,3 +921,60 @@ def zscore_by_type(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(z, batch_format="pyarrow").sort("event_id")
+
+def validate_events(sf_dir: str) -> pa.Table:
+    """Data-quality validation pass (the expectations gate a lake runs
+    before accepting a drop): one streaming scan evaluates every rule
+    vectorized per batch and emits per-rule violation counts — rule
+    results are rule-count-sized partials, merged on the driver; no
+    shuffle, no second pass.  Rules are plain Arrow predicates so adding
+    one is adding a kernel, not a pipeline."""
+    import orjson
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value", "props"],
+    )
+    known_types = pa.array(["view", "click", "purchase", "signup", "error"])
+
+    def check(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        value = batch.column("value")
+        viol = {
+            "value_nonnegative": n - pc.sum(
+                pc.cast(pc.greater_equal(value, pa.scalar(0.0)), pa.int64())
+            ).as_py(),
+            "value_le_100": n - pc.sum(
+                pc.cast(pc.less_equal(value, pa.scalar(100.0)), pa.int64())
+            ).as_py(),
+            "event_type_known": n - pc.sum(
+                pc.cast(pc.is_in(batch.column("event_type"), value_set=known_types), pa.int64())
+            ).as_py(),
+            "user_id_not_null": pc.sum(
+                pc.cast(pc.is_null(batch.column("user_id")), pa.int64())
+            ).as_py() or 0,
+            "props_has_int_k": 0,
+        }
+        for p in batch.column("props").to_pylist():
+            try:
+                if not isinstance(orjson.loads(p).get("k"), int):
+                    viol["props_has_int_k"] += 1
+            except Exception:
+                viol["props_has_int_k"] += 1
+        return pa.table(
+            {
+                "rule": pa.array(list(viol.keys()), type=pa.string()),
+                "n_violations": pa.array([int(v) for v in viol.values()], type=pa.int64()),
+            }
+        )
+
+    totals: dict[str, int] = {}
+    for row in ds.map_batches(check, batch_format="pyarrow").take_all():
+        totals[row["rule"]] = totals.get(row["rule"], 0) + int(row["n_violations"])
+    rules = sorted(totals)
+    return pa.table(
+        {
+            "rule": pa.array(rules, type=pa.string()),
+            "n_violations": pa.array([totals[r] for r in rules], type=pa.int64()),
+        }
+    )

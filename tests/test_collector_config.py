@@ -206,3 +206,40 @@ processors:
             proc.kill()
     totals = out_lines[-1]["totals"]
     assert sum(v["rows"] for v in totals.values()) == n
+
+
+def test_read_harmonized_mixed_schemas(ray_session, tmp_path):
+    """Three producer generations — full schema, missing+extra column,
+    narrower int type — read as ONE dataset with the target schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.sources.tabular import read_harmonized
+
+    target = pa.schema(
+        [("id", pa.int64()), ("val", pa.float64()), ("tag", pa.string())]
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                  "val": pa.array([1.5, 2.5]), "tag": pa.array(["a", "b"])}),
+        tmp_path / "v1.parquet",
+    )
+    pq.write_table(  # v2: dropped `tag`, added `extra`
+        pa.table({"id": pa.array([3], type=pa.int64()),
+                  "val": pa.array([3.5]), "extra": pa.array([9])}),
+        tmp_path / "v2.parquet",
+    )
+    pq.write_table(  # v0: int32 ids, no val
+        pa.table({"id": pa.array([4, 5], type=pa.int32()),
+                  "tag": pa.array(["d", "e"])}),
+        tmp_path / "v0.parquet",
+    )
+    ds = read_harmonized(
+        [str(tmp_path / f) for f in ("v1.parquet", "v2.parquet", "v0.parquet")],
+        target,
+    )
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "val", "tag"]
+    assert df["id"].tolist() == [1, 2, 3, 4, 5]
+    assert df["tag"].isna().tolist() == [False, False, True, False, False]
+    assert df["val"].isna().tolist() == [False, False, False, True, True]
