@@ -138,6 +138,24 @@ def load_collector_config(path: str, artifacts_dir: str | None = None) -> dict:
     for pname, psec in ((doc.get("service") or {}).get("pipelines") or {}).items():
         pipelines[pname] = list((psec or {}).get("processors") or [])
 
+    # service.pipelines parity: a processor configured but wired into no
+    # pipeline is inert; with no service section, every configured
+    # processor is active (the engine's single chain stands in for the
+    # collector's per-signal pipelines)
+    short = {
+        "source_map_symbolicator": "sourcemap",
+        "dsym_symbolicator": "dsym",
+        "proguard_symbolicator": "proguard",
+    }
+    configured = {short[n] for n in parsed}
+    referenced = {
+        short[pid]
+        for plist in pipelines.values()
+        for pid in plist
+        if pid in short
+    }
+    cfg.enabled_processors = sorted(configured & referenced if pipelines else configured)
+
     otlp = {"grpc": None, "http": None}
     recv = ((doc.get("receivers") or {}).get("otlp") or {}).get("protocols") or {}
     for proto in ("grpc", "http"):

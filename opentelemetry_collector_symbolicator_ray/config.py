@@ -150,6 +150,11 @@ class PipelineConfig:
     # crc32(key) % shards).  1 is right for a single node; large
     # clusters shard so cold-miss coordination scales horizontally.
     artifact_cache_shards: int = 1
+    # Which processors are active (collector service.pipelines parity:
+    # a processor absent from every pipeline must not touch records).
+    enabled_processors: list[str] = field(
+        default_factory=lambda: ["dsym", "proguard", "sourcemap"]
+    )
 
     @staticmethod
     def with_default_routing(artifacts_dir: str, **kw) -> "PipelineConfig":

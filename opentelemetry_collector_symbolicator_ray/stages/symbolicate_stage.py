@@ -185,6 +185,10 @@ class SymbolicatorChain:
             stats=self.js_stats,
         )
 
+        # collector service.pipelines parity: a processor absent from
+        # every configured pipeline never touches a record
+        self.enabled = set(getattr(cfg, "enabled_processors", None) or ["dsym", "proguard", "sourcemap"])
+
         if cfg.shared_artifact_cache:
             # Cross-actor single-flight (reference: singleflight.Group in
             # sourcemapprocessor/symbolicator.go:70-88 and twins): wrap
@@ -218,10 +222,11 @@ class SymbolicatorChain:
             # the sourcemap processor, over the span's own attributes AND
             # each span event's attributes independently
             # (sourcemapprocessor/processor.go:70-85, config.yaml:23-27).
-            processed = self.js.process_attributes(attrs, resource)
+            js_on = "sourcemap" in self.enabled
+            processed = js_on and self.js.process_attributes(attrs, resource)
             for event in record["events"]:
                 ev_attrs = event.setdefault("attributes", {})
-                if self.js.process_attributes(ev_attrs, resource):
+                if js_on and self.js.process_attributes(ev_attrs, resource):
                     processed = True
                 failed = failed or bool(ev_attrs.get("exception.symbolicator.failed", False))
             if processed:
@@ -232,11 +237,11 @@ class SymbolicatorChain:
             # logs pipeline (config.yaml:28-31) with the traces-pipeline
             # sourcemap processor appended; disjoint language allowlists
             # make the routes exclusive.
-            if self.dsym.process_record(event_name, attrs, resource):
+            if "dsym" in self.enabled and self.dsym.process_record(event_name, attrs, resource):
                 sink = SINK_APPLE
-            if self.proguard.process_attributes(attrs, resource):
+            if "proguard" in self.enabled and self.proguard.process_attributes(attrs, resource):
                 sink = SINK_ANDROID
-            if self.js.process_attributes(attrs, resource):
+            if "sourcemap" in self.enabled and self.js.process_attributes(attrs, resource):
                 sink = SINK_JS
 
             if sink != SINK_UNSYMBOLICATED:

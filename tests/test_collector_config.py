@@ -243,3 +243,50 @@ def test_read_harmonized_mixed_schemas(ray_session, tmp_path):
     assert df["id"].tolist() == [1, 2, 3, 4, 5]
     assert df["tag"].isna().tolist() == [False, False, True, False, False]
     assert df["val"].isna().tolist() == [False, False, False, True, True]
+
+
+def test_pipelines_section_disables_unwired_processors(tmp_path):
+    """A processor configured but wired into no service pipeline is
+    inert (collector parity); records it would have claimed route to
+    unsymbolicated."""
+    import os
+
+    from opentelemetry_collector_symbolicator_ray.config import PipelineConfig
+    from opentelemetry_collector_symbolicator_ray.stages.symbolicate_stage import (
+        SymbolicatorChain,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth import generate_corpus, make_record
+
+    f = tmp_path / "config.yaml"
+    f.write_text("""
+processors:
+  source_map_symbolicator: {}
+  dsym_symbolicator: {}
+  proguard_symbolicator: {}
+service:
+  pipelines:
+    logs:
+      processors: [dsym_symbolicator]
+""")
+    loaded = load_collector_config(str(f))
+    assert loaded["config"].enabled_processors == ["dsym"]
+
+    # chain honors the enabled set: an android (proguard) record no
+    # longer routes when only dsym is wired
+    d = str(tmp_path / "corpus")
+    generate_corpus(d, 50, num_files=1, seed=3)
+    full_cfg = PipelineConfig.with_default_routing(os.path.join(d, "artifacts"))
+    dsym_only = PipelineConfig.with_default_routing(os.path.join(d, "artifacts"))
+    dsym_only.enabled_processors = ["dsym"]
+    full = SymbolicatorChain(full_cfg)
+    gated = SymbolicatorChain(dsym_only)
+    sinks_full, sinks_gated = set(), set()
+    for i in range(300):
+        _, record, _ = make_record(i, seed=3)
+        import copy
+
+        sinks_full.add(full.process_record(copy.deepcopy(record))[0])
+        sinks_gated.add(gated.process_record(copy.deepcopy(record))[0])
+    assert {"js", "android", "apple"} <= sinks_full
+    assert "android" not in sinks_gated and "js" not in sinks_gated
+    assert "apple" in sinks_gated
