@@ -371,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, i AS chunk_id,
                      array_to_string(list_slice(ws, i * 25 + 1, i * 25 + 50), ' ')
                        AS chunk
-              FROM w CROSS JOIN range(0, 64) t(i)
+              FROM w CROSS JOIN range(0, 4096) t(i)
               WHERE i * 25 < len(ws)
             )
             SELECT doc_id, chunk_id::BIGINT AS chunk_id,
@@ -627,7 +627,8 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM events
               UNION ALL
               SELECT 'props_has_int_k',
-                     SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     SUM(CASE WHEN TRY_CAST(CAST(json_extract(props, '$.k') AS VARCHAR)
+                                            AS BIGINT)
                               IS NULL THEN 1 ELSE 0 END)::BIGINT FROM events
               UNION ALL
               SELECT 'user_id_not_null',

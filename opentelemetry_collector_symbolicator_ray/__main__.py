@@ -74,7 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--output", required=True, help="sink/manifest output dir")
     p_serve.add_argument("--artifacts", required=True)
     p_serve.add_argument("--host", default="127.0.0.1")
-    p_serve.add_argument("--port", type=int, default=4318)
+    p_serve.add_argument(
+        "--port", type=int, default=None,
+        help="listener port (default 4318; an explicit value always wins "
+        "over a --collector-config endpoint)",
+    )
     p_serve.add_argument("--drain-interval", type=float, default=10.0)
     p_serve.add_argument(
         "--max-drains", type=int, default=None,
@@ -157,10 +161,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if "send_batch_size" not in loaded["batch"]:
                     cfg.batch_size = args.batch_size
-                if loaded["otlp"]["http"] and args.port == 4318:
+                if loaded["otlp"]["http"] and port is None:
                     ep = loaded["otlp"]["http"]
-                    host, _, p_str = ep.rpartition(":")
-                    host = host or args.host
+                    ep_host, sep, p_str = ep.rpartition(":")
+                    if not sep or not p_str.isdigit():
+                        raise SystemExit(
+                            f"collector config otlp http endpoint {ep!r} "
+                            "must be host:port"
+                        )
+                    host = ep_host or args.host
                     port = int(p_str)
             else:
                 cfg = PipelineConfig.with_default_routing(
@@ -170,7 +179,7 @@ def main(argv: list[str] | None = None) -> int:
                     batch_size=args.batch_size,
                 )
             receiver = OTLPHttpReceiver(
-                args.spool, host=host, port=port,
+                args.spool, host=host, port=4318 if port is None else port,
                 rotate_records=args.rotate_records,
             )
             print(

@@ -112,14 +112,41 @@ def load_collector_config(path: str, artifacts_dir: str | None = None) -> dict:
     procs = doc.get("processors") or {}
     parsed = {}
     batch: dict = {}
+    batch_names: list[str] = []
     for name, section in procs.items():
         if name in _PROCESSORS:
             cls, store_key, blocks = _PROCESSORS[name]
             parsed[name] = _load_processor(cls, store_key, blocks, section)
         elif name == "batch" or name.startswith("batch/"):
             batch = dict(section or {})
+            batch_names.append(name)
         else:
             raise ValueError(f"unknown processor: {name}")
+
+    # a section that selects file_store but gives no path falls back to
+    # the CLI artifacts layout (with_default_routing's subdirs) so
+    # --artifacts keeps working under --collector-config
+    _subdirs = {
+        "source_map_symbolicator": "sourcemaps",
+        "dsym_symbolicator": "dsyms",
+        "proguard_symbolicator": "proguard",
+    }
+    if artifacts_dir:
+        for name, pc_ in parsed.items():
+            _, store_key, _ = _PROCESSORS[name]
+            if getattr(pc_, store_key) == "file_store" and pc_.local_path == ".":
+                pc_.local_path = f"{artifacts_dir}/{_subdirs[name]}"
+
+    pipelines = {}
+    for pname, psec in ((doc.get("service") or {}).get("pipelines") or {}).items():
+        pipelines[pname] = list((psec or {}).get("processors") or [])
+
+    # the inertness rule covers batch too: configured but wired into no
+    # pipeline means its send_batch_size must not apply
+    if pipelines and batch_names:
+        wired = {pid for plist in pipelines.values() for pid in plist}
+        if not (wired & set(batch_names)):
+            batch = {}
 
     kw: dict[str, Any] = {}
     if "source_map_symbolicator" in parsed:
@@ -133,10 +160,6 @@ def load_collector_config(path: str, artifacts_dir: str | None = None) -> dict:
     if "send_batch_size" in batch:
         kw["batch_size"] = int(batch["send_batch_size"])
     cfg = PipelineConfig(**kw)
-
-    pipelines = {}
-    for pname, psec in ((doc.get("service") or {}).get("pipelines") or {}).items():
-        pipelines[pname] = list((psec or {}).get("processors") or [])
 
     # service.pipelines parity: a processor configured but wired into no
     # pipeline is inert; with no service section, every configured

@@ -937,27 +937,29 @@ def validate_events(sf_dir: str) -> pa.Table:
     )
     known_types = pa.array(["view", "click", "purchase", "signup", "error"])
 
+    def _count_true(mask) -> int:
+        # pc.sum skips nulls, so a null comparison is "not a violation" —
+        # exactly the oracle's CASE WHEN pred THEN 1 ELSE 0 semantics
+        v = pc.sum(pc.cast(mask, pa.int64())).as_py()
+        return int(v) if v is not None else 0
+
     def check(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         value = batch.column("value")
         viol = {
-            "value_nonnegative": n - pc.sum(
-                pc.cast(pc.greater_equal(value, pa.scalar(0.0)), pa.int64())
-            ).as_py(),
-            "value_le_100": n - pc.sum(
-                pc.cast(pc.less_equal(value, pa.scalar(100.0)), pa.int64())
-            ).as_py(),
-            "event_type_known": n - pc.sum(
-                pc.cast(pc.is_in(batch.column("event_type"), value_set=known_types), pa.int64())
-            ).as_py(),
-            "user_id_not_null": pc.sum(
-                pc.cast(pc.is_null(batch.column("user_id")), pa.int64())
-            ).as_py() or 0,
+            "value_nonnegative": _count_true(pc.less(value, pa.scalar(0.0))),
+            "value_le_100": _count_true(pc.greater(value, pa.scalar(100.0))),
+            "event_type_known": _count_true(
+                pc.invert(pc.is_in(batch.column("event_type"), value_set=known_types))
+            ),
+            "user_id_not_null": _count_true(pc.is_null(batch.column("user_id"))),
             "props_has_int_k": 0,
         }
         for p in batch.column("props").to_pylist():
             try:
-                if not isinstance(orjson.loads(p).get("k"), int):
+                k = orjson.loads(p).get("k")
+                # bool is an int subclass in Python but not castable to
+                # BIGINT in the oracle's TRY_CAST — exclude it explicitly
+                if not isinstance(k, int) or isinstance(k, bool):
                     viol["props_has_int_k"] += 1
             except Exception:
                 viol["props_has_int_k"] += 1

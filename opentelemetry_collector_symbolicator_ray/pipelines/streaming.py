@@ -470,10 +470,18 @@ def global_value_quantiles(
     # convergence data-driven rather than bin-width-driven (a tight
     # value cluster inside a wide bin collapses in one extra round)
     for _ in range(64):
-        active = {k: b for k, b in brackets.items() if b["val"] is None and b["lo"] < b["hi"]}
         for k, b in brackets.items():
             if b["val"] is None and b["lo"] >= b["hi"]:
                 b["val"] = b["lo"]
+        # a bracket stops refining once its bin holds <= tail_limit
+        # values (_pending: the final filtered pass reads it exactly) —
+        # THIS is the documented small-tail early exit; without it every
+        # bracket would refine all the way to a singleton
+        active = {
+            k: b
+            for k, b in brackets.items()
+            if b["val"] is None and not b.get("_pending") and b["lo"] < b["hi"]
+        }
         if not active:
             break
         specs = [(k, b["lo"], b["hi"], bool(b.get("_inclusive_hi", True))) for k, b in sorted(active.items())]
@@ -523,9 +531,18 @@ def global_value_quantiles(
             if vmax[k] < new_hi:
                 new_hi = vmax[k]
                 inclusive = True  # hi is now an actual value in the bin
+            if (new_lo, new_hi) == (lo, hi):
+                # no shrink this round (ULP-adjacent values): histogram
+                # refinement can make no further progress — hand the
+                # bracket to the tail pass rather than spinning
+                b["_pending"] = True
+                b["_bin_count"] = int(merged[k][j])
+                continue
             b["lo"], b["hi"] = new_lo, new_hi
             b["_inclusive_hi"] = inclusive
             b["_bin_count"] = int(merged[k][j])
+            if int(merged[k][j]) <= tail_limit:
+                b["_pending"] = True
 
     # final pass: collect the tail values of every unresolved bracket
     pending = [
@@ -534,8 +551,11 @@ def global_value_quantiles(
         if b["val"] is None
     ]
     if pending:
+        # brackets forced pending by a no-shrink round may exceed
+        # tail_limit; a generous hard cap still bounds driver memory
+        hard_cap = max(tail_limit, 1 << 22)
         for k, b in brackets.items():
-            if b["val"] is None and b.get("_bin_count", 0) > tail_limit:
+            if b["val"] is None and b.get("_bin_count", 0) > hard_cap:
                 raise RuntimeError(
                     f"quantile bracket for rank {k} still holds {b['_bin_count']} values; "
                     "raise bins/tail_limit or add refinement rounds"

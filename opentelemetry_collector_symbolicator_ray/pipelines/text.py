@@ -913,7 +913,29 @@ def heavy_hitter_words(
         }
     )
 
-def build_inverted_index(sf_dir: str, index_dir: str, num_buckets: int = 16) -> dict:
+# one bucket-count constant shared by build / lookup / search — a
+# mismatch would hash probes into the wrong partition directories
+INDEX_BUCKETS = 16
+
+
+def _read_index_buckets(
+    index_dir: str, words: list[str], num_buckets: int
+) -> "ray.data.Dataset":
+    """Partition-pruned read: only the buckets the probe words hash to."""
+    import glob as globmod
+
+    buckets = sorted({zlib.crc32(w.encode()) % num_buckets for w in words})
+    files = [
+        f
+        for b in buckets
+        for f in sorted(globmod.glob(f"{index_dir}/bucket={b}/*.parquet"))
+    ]
+    return ray.data.read_parquet(files)
+
+
+def build_inverted_index(
+    sf_dir: str, index_dir: str, num_buckets: int = INDEX_BUCKETS
+) -> dict:
     """Build a persistent inverted index (word -> sorted doc_id
     postings), hash-partitioned by word: per-batch distinct (word,
     doc_id) pairs -> ONE word shuffle -> per-word postings rows written
@@ -963,21 +985,14 @@ def build_inverted_index(sf_dir: str, index_dir: str, num_buckets: int = 16) -> 
     return {"index_dir": index_dir, "num_buckets": num_buckets}
 
 
-def postings_lookup(index_dir: str, words: list[str], num_buckets: int = 16) -> pa.Table:
+def postings_lookup(
+    index_dir: str, words: list[str], num_buckets: int = INDEX_BUCKETS
+) -> pa.Table:
     """Term lookup against a built inverted index: read ONLY the
     buckets the probe words hash to (hive partition pruning), filter to
     the probes, and emit (word, df, postings digest, min/max doc) —
     the probed fraction of the index is all that leaves storage."""
-    import glob as globmod
-
-    buckets = sorted({zlib.crc32(w.encode()) % num_buckets for w in words})
-    # partition pruning: only the probed buckets' files are read
-    files = [
-        f
-        for b in buckets
-        for f in sorted(globmod.glob(f"{index_dir}/bucket={b}/*.parquet"))
-    ]
-    ds = ray.data.read_parquet(files)
+    ds = _read_index_buckets(index_dir, words, num_buckets)
     wset = set(words)
 
     def hit(batch: pa.Table) -> pa.Table:
@@ -1012,18 +1027,36 @@ def postings_lookup(index_dir: str, words: list[str], num_buckets: int = 16) -> 
     )
 
 
-def inverted_index_probe(sf_dir: str, k: int = 5) -> pa.Table:
-    """Build (cached per sf_dir) the inverted index, then probe it with
-    the corpus's top-k DF words — exercises build + partition-pruned
-    lookup end-to-end with an exact SQL oracle."""
+def _cached_index_dir(sf_dir: str) -> str:
+    """Cache tag keyed on the source file's identity AND content stamp
+    (size + mtime), so a regenerated corpus at the same path gets a
+    fresh index; the build lands in a temp dir and renames into place so
+    a crashed build can never be mistaken for a finished one."""
     import os
+    import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     index_dir = f"/tmp/ocsr_invidx/{tag}"
     if not os.path.exists(index_dir):
-        build_inverted_index(sf_dir, index_dir)
+        tmp = f"{index_dir}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_inverted_index(sf_dir, tmp)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return index_dir
+
+
+def inverted_index_probe(sf_dir: str, k: int = 5) -> pa.Table:
+    """Build (cached per corpus content) the inverted index, then probe
+    it with the corpus's top-k DF words — exercises build +
+    partition-pruned lookup end-to-end with an exact SQL oracle."""
     probes = doc_frequency(sf_dir, k=k).column("word").to_pylist()
-    return postings_lookup(index_dir, probes)
+    return postings_lookup(_cached_index_dir(sf_dir), probes)
 
 def docs_above_p90_length(sf_dir: str) -> "ray.data.Dataset":
     """Quantile-threshold filter — the data-driven gating pattern
@@ -1149,6 +1182,14 @@ def chunk_documents(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             ws = t.split(" ")
+            if len(ws) > 4096 * stride:
+                # the SQL oracle enumerates chunk ids from a fixed
+                # range(0, 4096); a longer document would silently
+                # desync the parity gate, so fail loudly instead
+                raise ValueError(
+                    f"doc {doc_id}: {len(ws)} words exceeds the 4096-chunk "
+                    "oracle bound — raise both bounds together"
+                )
             i = 0
             while i * stride < len(ws):
                 chunk = ws[i * stride: i * stride + window]
@@ -1178,22 +1219,8 @@ def search_and(sf_dir: str, k_probe: int = 2) -> pa.Table:
     (partition pruning), and intersect the postings — the
     retrieval-side consumer that proves the index answers queries
     without touching the corpus.  Returns the matching doc_ids."""
-    import os
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ocsr_invidx/{tag}"
-    if not os.path.exists(index_dir):
-        build_inverted_index(sf_dir, index_dir)
+    index_dir = _cached_index_dir(sf_dir)
     probes = doc_frequency(sf_dir, k=k_probe).column("word").to_pylist()
-
-    import glob as globmod
-
-    buckets = sorted({zlib.crc32(w.encode()) % 16 for w in probes})
-    files = [
-        f
-        for b in buckets
-        for f in sorted(globmod.glob(f"{index_dir}/bucket={b}/*.parquet"))
-    ]
     wset = set(probes)
 
     def postings_of(batch: pa.Table) -> pa.Table:
@@ -1207,10 +1234,14 @@ def search_and(sf_dir: str, k_probe: int = 2) -> pa.Table:
         )
 
     rows = (
-        ray.data.read_parquet(files)
+        _read_index_buckets(index_dir, probes, INDEX_BUCKETS)
         .map_batches(postings_of, batch_format="pyarrow")
         .take_all()
     )
-    sets = [set(r["postings"]) for r in rows]
-    hits = sorted(set.intersection(*sets)) if len(sets) == len(probes) else []
+    if len(rows) != len(probes):
+        raise RuntimeError(
+            f"index at {index_dir} is missing postings for "
+            f"{sorted(wset - {r['word'] for r in rows})} — stale or partial build"
+        )
+    hits = sorted(set.intersection(*(set(r["postings"]) for r in rows)))
     return pa.table({"doc_id": pa.array(hits, type=pa.int64())})

@@ -20,9 +20,12 @@ import ray.data
 
 
 def read_harmonized(paths: list[str], target: pa.Schema) -> "ray.data.Dataset":
+    if not paths:
+        raise ValueError("read_harmonized: empty path list")
     groups: dict[tuple, list[str]] = {}
     for p in sorted(paths):
-        key = tuple(sorted((n, str(pq.read_schema(p).field(n).type)) for n in pq.read_schema(p).names))
+        schema = pq.read_schema(p)  # one footer read per file
+        key = tuple(sorted((n, str(schema.field(n).type)) for n in schema.names))
         groups.setdefault(key, []).append(p)
 
     def normalize(batch: pa.Table) -> pa.Table:

@@ -187,7 +187,8 @@ class SymbolicatorChain:
 
         # collector service.pipelines parity: a processor absent from
         # every configured pipeline never touches a record
-        self.enabled = set(getattr(cfg, "enabled_processors", None) or ["dsym", "proguard", "sourcemap"])
+        _en = getattr(cfg, "enabled_processors", None)
+        self.enabled = set(_en if _en is not None else ["dsym", "proguard", "sourcemap"])
 
         if cfg.shared_artifact_cache:
             # Cross-actor single-flight (reference: singleflight.Group in

@@ -263,3 +263,26 @@ def test_quantile_selection_all_duplicates(ray_session, tmp_path):
     )
     t = streaming.global_value_quantiles(str(d), qs=(0.5,), bins=4, tail_limit=8)
     assert t.column("value").to_pylist() == [3.14]
+
+
+def test_quantile_selection_ulp_adjacent_values(ray_session, tmp_path):
+    """Two ULP-adjacent values straddling the rank: histogram bins can't
+    separate them, so the no-shrink guard must hand the bracket to the
+    tail pass instead of spinning."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines import streaming
+
+    a = 1.0
+    b = float(np.nextafter(a, 2.0))
+    vals = np.array([a] * 500 + [b] * 500)
+    d = tmp_path / "ulp"
+    d.mkdir()
+    pq.write_table(pa.table({"value": pa.array(vals, type=pa.float64())}),
+                   d / "events.parquet")
+    t = streaming.global_value_quantiles(str(d), qs=(0.25, 0.5, 0.75), bins=4, tail_limit=8)
+    got = dict(zip(t.column("q").to_pylist(), t.column("value").to_pylist()))
+    for q in (0.25, 0.5, 0.75):
+        assert got[f"p{int(round(q*100))}"] == float(np.quantile(vals, q)), q
