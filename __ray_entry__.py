@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_log_compaction": lambda sf: streaming.latest_event_compaction(sf),
         "events_windowed_uniques": lambda sf: streaming.windowed_distinct_users(sf),
         "events_dense_windows": lambda sf: streaming.densified_window_counts(sf),
+        "events_daily_partitions": lambda sf: streaming.daily_partition_export(sf),
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "orders_rollup": lambda sf: analytics.orders_rollup(sf),
@@ -659,6 +660,12 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
                             / s.n) AS z
             FROM c JOIN s USING (event_type) ORDER BY c.event_id
+        """,
+        "events_daily_partitions": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events,
+                   MIN(event_id)::BIGINT AS min_event,
+                   MAX(event_id)::BIGINT AS max_event
+            FROM events GROUP BY day ORDER BY day
         """,
         "events_dense_windows": """
             WITH b AS (
