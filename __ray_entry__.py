@@ -32,11 +32,6 @@ from opentelemetry_collector_symbolicator_ray.pipelines import (
 )
 
 
-def _training_export(sf_dir: str):
-    import hashlib as _hashlib
-
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return export.export_training_shards(sf_dir, f"/tmp/ocsr_export/{tag}")
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
     input_files,
     per_processor_telemetry,
@@ -44,6 +39,13 @@ from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
     symbolicate,
 )
 from opentelemetry_collector_symbolicator_ray.synth import generate_corpus
+
+
+def _training_export(sf_dir: str):
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return export.export_training_shards(sf_dir, f"/tmp/ocsr_export/{tag}")
 
 SEED = 42
 # PII patterns shared verbatim with pipelines/text.py (the oracle SQL
