@@ -274,6 +274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_counts": lambda sf: streaming.purchase_click_window_counts(sf),
         "orders_by_region": lambda sf: analytics.orders_by_region(sf),
         "orders_rollup": lambda sf: analytics.orders_rollup(sf),
+        "promo_revenue_share": lambda sf: analytics.promo_revenue_share(sf),
+        "supplier_balance_quantiles": lambda sf: streaming.global_value_quantiles(
+            sf, table="supplier", column="s_acctbal"
+        ),
         "supplier_nation_stats": lambda sf: analytics.supplier_nation_stats(sf),
         "docs_distinct_words": lambda sf: text.distinct_word_counts(sf),
         "emb_norms": lambda sf: similarity.embedding_norms(sf),
@@ -846,6 +850,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "promo_revenue_share": """
+            WITH u AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_units
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT month,
+                   CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN rev_units ELSE 0 END) AS BIGINT) AS promo_units,
+                   CAST(SUM(rev_units) AS BIGINT) AS total_units
+            FROM u GROUP BY month ORDER BY month
+        """,
+        "supplier_balance_quantiles": """
+            WITH o AS (
+              SELECT s_acctbal AS value, ROW_NUMBER() OVER (ORDER BY s_acctbal) - 1 AS rk,
+                     COUNT(*) OVER () AS n
+              FROM supplier
+            ),
+            t AS (
+              SELECT q, CAST(frac_q AS DOUBLE) * (n - 1) AS r
+              FROM (SELECT unnest(['p50', 'p90', 'p99']) AS q,
+                           unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS frac_q)
+              CROSS JOIN (SELECT DISTINCT n FROM o)
+            ),
+            j AS (
+              SELECT t.q, t.r,
+                     MAX(CASE WHEN o.rk = CAST(FLOOR(t.r) AS BIGINT)
+                              THEN o.value END) AS v0,
+                     MAX(CASE WHEN o.rk = CAST(CEIL(t.r) AS BIGINT)
+                              THEN o.value END) AS v1
+              FROM t JOIN o
+                ON o.rk = CAST(FLOOR(t.r) AS BIGINT)
+                OR o.rk = CAST(CEIL(t.r) AS BIGINT)
+              GROUP BY t.q, t.r
+            )
+            SELECT q, v0 + (v1 - v0) * (r - FLOOR(r)) AS value
+            FROM j ORDER BY q
         """,
         "orders_rollup": """
             SELECT COALESCE(r_name, 'ALL') AS region,

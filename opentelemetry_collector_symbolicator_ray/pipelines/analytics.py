@@ -980,3 +980,66 @@ def validate_events(sf_dir: str) -> pa.Table:
             "n_violations": pa.array([totals[r] for r in rules], type=pa.int64()),
         }
     )
+
+def promo_revenue_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14-shaped conditional aggregate: per ship-month, revenue
+    from PROMO parts vs total — the broadcast fact-dimension join (part
+    is ray.put once; lineitem streams and never shuffles) with a
+    CASE-style split aggregated map-side.  Revenue accumulates in EXACT
+    integer units (price-cents x remaining-discount-percent, both exact
+    integers for 2-decimal inputs), so the sums are order-independent
+    and boundary-free — a double sum here measurably lands within one
+    ULP of a half-cent at sf0.001; consumers divide for the share so no
+    float ratio enters the hash comparison."""
+    import numpy as np
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]).take_all()
+    lookup = pa.table(
+        {
+            "l_partkey": pa.array([p["p_partkey"] for p in parts], type=pa.int64()),
+            "is_promo": pa.array(
+                [p["p_type"].startswith("PROMO") for p in parts], type=pa.bool_()
+            ),
+        }
+    )
+    lookup_ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        joined = batch.join(ray.get(lookup_ref), keys="l_partkey", join_type="inner")
+        price_c = np.rint(
+            joined.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_pct = np.rint(
+            joined.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev_units = price_c * (100 - disc_pct)  # cent-hundredths, exact
+        promo_mask = joined.column("is_promo").to_numpy(zero_copy_only=False)
+        month = pc.strftime(joined.column("l_shipdate"), format="%Y-%m")
+        return pa.table(
+            {
+                "month": month,
+                "revenue": pa.array(rev_units, type=pa.int64()),
+                "promo_revenue": pa.array(
+                    np.where(promo_mask, rev_units, 0), type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("promo_revenue", alias_name="promo"), Sum("revenue", alias_name="total")
+        )
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["month"])
+    return pa.table(
+        {
+            "month": pa.array([r["month"] for r in rows], type=pa.string()),
+            "promo_units": pa.array([int(r["promo"]) for r in rows], type=pa.int64()),
+            "total_units": pa.array([int(r["total"]) for r in rows], type=pa.int64()),
+        }
+    )
