@@ -290,3 +290,28 @@ service:
     assert {"js", "android", "apple"} <= sinks_full
     assert "android" not in sinks_gated and "js" not in sinks_gated
     assert "apple" in sinks_gated
+
+
+def test_loader_durations_and_gcs_block(tmp_path):
+    f = tmp_path / "c.yaml"
+    f.write_text("""
+processors:
+  source_map_symbolicator:
+    timeout: 1m
+  dsym_symbolicator:
+    gcs_dsyms:
+      bucket: my-dsyms
+      prefix: ios/
+  proguard_symbolicator:
+    timeout: 250ms
+""")
+    loaded = load_collector_config(str(f))
+    assert loaded["config"].sourcemap.timeout == 60.0
+    assert loaded["config"].proguard.timeout == pytest.approx(0.25)
+    ds = loaded["config"].dsym
+    assert ds.dsym_store == "gcs_store"
+    assert ds.bucket == "my-dsyms" and ds.store_prefix == "ios/"
+
+    f.write_text("processors:\n  dsym_symbolicator:\n    timeout: fortnight\n")
+    with pytest.raises(ValueError, match="unparseable duration"):
+        load_collector_config(str(f))
