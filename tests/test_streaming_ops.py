@@ -286,3 +286,46 @@ def test_quantile_selection_ulp_adjacent_values(ray_session, tmp_path):
     got = dict(zip(t.column("q").to_pylist(), t.column("value").to_pylist()))
     for q in (0.25, 0.5, 0.75):
         assert got[f"p{int(round(q*100))}"] == float(np.quantile(vals, q)), q
+
+
+def test_asof_join_hot_key_skew(ray_session):
+    """One user holds 95% of both sides (the hot-debug-id shape): the
+    per-key group must still compute the correct greatest-not-exceeding
+    match for every left row, verified against a numpy brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import asof_join
+
+    rng = np.random.RandomState(13)
+    n_hot, n_cold = 20000, 50
+    l_users = np.concatenate([np.full(n_hot, 7), rng.randint(100, 110, n_cold)])
+    l_ts = rng.randint(0, 1_000_000, len(l_users)).astype("int64")
+    r_users = np.concatenate([np.full(n_hot // 2, 7), rng.randint(100, 110, n_cold)])
+    r_ts = rng.randint(0, 1_000_000, len(r_users)).astype("int64")
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(len(l_users)), type=pa.int64()),
+        "user_id": pa.array(l_users, type=pa.int64()),
+        "ts": pa.array(l_ts, type=pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "r_id": pa.array(np.arange(len(r_users)), type=pa.int64()),
+        "user_id": pa.array(r_users, type=pa.int64()),
+        "ts": pa.array(r_ts, type=pa.timestamp("us")),
+    }))
+    out = (
+        asof_join(left, right, key="user_id", ts_col="ts", take={"r_id": "matched_r"})
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(out) == len(l_users)
+    # brute force: the matched right row's ts must be the max right ts
+    # <= the left ts for that key (ids may tie on ts; ts must not)
+    got = out["matched_r"].to_numpy()
+    for i in rng.choice(len(l_users), 300, replace=False):
+        m = r_ts[(r_users == l_users[i]) & (r_ts <= l_ts[i])]
+        if not len(m):
+            assert got[i] != got[i], i  # NaN
+        else:
+            assert r_ts[int(got[i])] == m.max(), i
