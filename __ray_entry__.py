@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": lambda sf: similarity.knn_bruteforce(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_knn": lambda sf: similarity.ivf_knn(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_knn_indexed": lambda sf: similarity.ivf_knn_indexed(sf, KNN_QUERIES, KNN_K),
+        "emb_ivf_recall": lambda sf: similarity.ivf_recall(sf, KNN_QUERIES, KNN_K),
         # --- multimodal binary columns (actor-pool decode stages over a
         # deterministic synthetic media table; codec stubs documented in
         # pipelines/multimodal.py; rows-only) ---

@@ -606,3 +606,33 @@ def label_centroids(sf_dir: str) -> pa.Table:
         .sort(["label", "pos"])
     )
     return out
+
+def ivf_recall(
+    sf_dir: str, num_queries: int = 5, k: int = 10, n_probe: int = 4
+) -> pa.Table:
+    """ANN quality evaluation: recall@k of the IVF path against the
+    exact brute-force neighbors — the measurement every ANN deployment
+    runs before trusting an index.  Both paths already stream; the
+    comparison is query-count-sized.  Invariant pinned by the test
+    suite: probing ALL cells makes IVF exhaustive, so recall must be
+    exactly 1.0 there."""
+    exact = knn_bruteforce(sf_dir, num_queries, k)
+    approx = ivf_knn(sf_dir, num_queries, k, n_probe=n_probe)
+
+    def to_sets(t: pa.Table) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for q, n in zip(t.column("query_id").to_pylist(), t.column("neighbor_id").to_pylist()):
+            out.setdefault(int(q), set()).add(int(n))
+        return out
+
+    e, a = to_sets(exact), to_sets(approx)
+    qs = sorted(e)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "recall": pa.array(
+                [len(e[q] & a.get(q, set())) / len(e[q]) for q in qs], type=pa.float64()
+            ),
+            "n_probe": pa.array([n_probe] * len(qs), type=pa.int64()),
+        }
+    )

@@ -409,3 +409,16 @@ def test_near_dedup_keep_distributed_equals_driver(ray_session):
 
     with pytest.raises(ValueError, match="unknown cc engine"):
         near_dedup_keep(sf, cc="bogus")
+
+
+def test_ivf_recall_full_probe_is_exact(ray_session):
+    """Probing every cell makes IVF exhaustive: recall@k must be exactly
+    1.0 per query; partial probes stay usefully above the random floor."""
+    from opentelemetry_collector_symbolicator_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    full = similarity.ivf_recall(sf, 5, 10, n_probe=16)
+    assert full.column("recall").to_pylist() == [1.0] * 5
+    partial = similarity.ivf_recall(sf, 5, 10, n_probe=4)
+    rs = partial.column("recall").to_pylist()
+    assert sum(rs) / len(rs) >= 0.2
