@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": lambda sf: text.document_profile(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
+        "docs_split": lambda sf: text.train_val_test_split(sf),
         "docs_pack_sequences": lambda sf: text.pack_sequences(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
@@ -342,6 +343,13 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'en' THEN '80' WHEN 'de' THEN '33' WHEN 'fr' THEN '33'
                 WHEN 'es' THEN '33' WHEN 'zh' THEN '1a' ELSE '00' END
             ORDER BY doc_id
+        """,
+        "docs_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                        WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "docs_hash_sample": """
             SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '33'

@@ -1245,3 +1245,29 @@ def search_and(sf_dir: str, k_probe: int = 2) -> pa.Table:
         )
     hits = sorted(set.intersection(*(set(r["postings"]) for r in rows)))
     return pa.table({"doc_id": pa.array(hits, type=pa.int64())})
+
+def train_val_test_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 80/10/10 train/val/test assignment by content-hash
+    ranges on md5(text)[:2] — the split every training run needs to be
+    reproducible across re-partitioning, re-ordering, resumption and
+    incremental ingestion (a document's split never changes when other
+    documents come or go).  Thresholds shared verbatim with the SQL
+    oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        splits = []
+        for t in batch.column("text").to_pylist():
+            h = hashlib.md5(t.encode()).hexdigest()[:2]
+            splits.append("train" if h < "cc" else ("val" if h < "e6" else "test"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(splits, type=pa.string()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
