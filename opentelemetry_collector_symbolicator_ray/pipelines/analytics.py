@@ -658,7 +658,10 @@ def bloom_semijoin_revenue(
 
     # exact verification: distributed hash join of the (pre-pruned)
     # survivors against the real key set — only Bloom survivors shuffle
-    joined = survivors.join(
+    from ._join import safe_join
+
+    joined = safe_join(
+        survivors,
         orders,
         join_type="inner",
         num_partitions=8,

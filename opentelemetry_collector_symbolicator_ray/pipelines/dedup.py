@@ -374,20 +374,6 @@ def minhash_lsh_dedup(
     )
 
 
-def _join_partitions() -> int:
-    """Hash-join partition count sized to the live cluster.  Ray Data's
-    join operator schedules one aggregator actor per partition and the
-    CC loop chains TWO joins per round, so asking a 4-CPU pytest
-    cluster for 16-partition joins over-subscribes the actor pool and
-    stalls; at 32 CPUs 16 partitions is plenty for pairs-sized label
-    tables (a 256-node run passes num_partitions explicitly)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(16, cpus // 2))
-
-
 def connected_components(
     edges: "ray.data.Dataset",
     col_a: str = "doc_a",
@@ -396,115 +382,119 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed connected components over an edge-list Dataset via
-    min-label propagation: every node starts labeled with itself; each
-    round every edge endpoint adopts the minimum of its own and its
-    neighbors' labels (two distributed hash joins to attach endpoint
-    labels + one groupby-min), until the global label sum stops
-    changing.  The label sum is monotone non-increasing and strictly
-    decreases until the fixpoint, so it doubles as the convergence
-    test — one cheap aggregate per round, no driver-side edge state.
+    JOIN-FREE min-label propagation (message passing, the
+    ``streaming.asof_join`` union+groupby shape).
 
-    Rounds needed = graph diameter.  LSH dedup graphs are unions of
+    Why no ``Dataset.join``: Ray 2.49's hash-shuffle join crashes when
+    a partition receives only schema-less empty blocks — exactly what a
+    small LSH edge/label table produces at 16 partitions (the round-4
+    ``docs_near_dedup_keep_dcc`` red row; see ``_join.safe_join``).
+    Message passing sidesteps the join operator entirely AND does ONE
+    groupby shuffle per round where the join formulation needed three
+    (two hash joins + a groupby-min).
+
+    Shape: one relation ``(node, peer, label, kind)`` unions the static
+    adjacency (kind=0: ``peer`` set, ``label`` null — built once, both
+    directions) with the current round's messages (kind=1 peer-message /
+    kind=2 self-label: ``peer`` null, ``label`` set).  A single
+    ``groupby(node)`` then both *applies* incoming labels (min over the
+    group's label column) and *emits* next round's messages: the
+    resolved label to every distinct peer plus one kind=2 self row.
+    Per-round message volume is 2·|edges| + |nodes| — bounded, no
+    growth.  Convergence: the sum of kind=2 self labels is monotone
+    non-increasing and strictly decreases until the fixpoint, so one
+    cheap filter+sum per round (no shuffle) is the stop test.
+
+    Rounds needed = graph diameter; LSH dedup graphs are unions of
     near-cliques and star-capped buckets (tiny diameter), so 2-4 rounds
-    are typical; ``max_iters`` guards pathological chains.  Labels are
-    (re)materialized each round — the label table is node-count-sized
-    (nodes that appear in ANY edge, not the corpus), which is the same
-    scale the edge shuffle already handles.
+    are typical; ``max_iters`` guards pathological chains.  All state is
+    edge-list-sized datasets — nothing reaches the driver but the
+    per-round label sum.
+
+    ``num_partitions`` is accepted for API compatibility and ignored
+    (there is no join to partition; the groupby uses Ray's own shuffle
+    sizing).
 
     Returns a Dataset of ``(node, component)`` where component is the
     min node id of the node's component.  Nodes with no edges don't
     appear (their component is trivially themselves)."""
-    if num_partitions is None:
-        num_partitions = _join_partitions()
+    import pyarrow.compute as pc
 
-    def to_nodes(batch: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [
-                batch.column(col_a).combine_chunks().cast(pa.int64()),
-                batch.column(col_b).combine_chunks().cast(pa.int64()),
-            ]
-        )
-        return pa.table({"node": both, "label": both})
+    del num_partitions  # kept for signature compatibility; unused
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    labels = (
-        edges.map_batches(to_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(first_row, batch_format="pyarrow")
-        .materialize()
-    )
-    prev_sum = labels.sum("label")
-
-    def rename(node_col: str, label_col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    node_col: batch.column("node"),
-                    label_col: batch.column("label"),
-                }
-            )
-
-        return fn
-
-    def min_label(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def to_adj(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).combine_chunks().cast(pa.int64())
+        b = batch.column(col_b).combine_chunks().cast(pa.int64())
+        n = len(a) + len(b)
         return pa.table(
             {
-                "node": group.column("node").slice(0, 1),
-                "label": pa.array(
-                    [pc.min(group.column("label")).as_py()], type=pa.int64()
-                ),
+                "node": pa.concat_arrays([a, b]),
+                "peer": pa.concat_arrays([b, a]),
+                "label": pa.nulls(n, pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int8()),
             }
         )
 
-    for _ in range(max_iters):
-        la = labels.map_batches(rename("_na", "_la"), batch_format="pyarrow")
-        lb = labels.map_batches(rename("_nb", "_lb"), batch_format="pyarrow")
-        annotated = edges.join(
-            la, join_type="inner", num_partitions=num_partitions,
-            on=(col_a,), right_on=("_na",),
-        ).join(
-            lb, join_type="inner", num_partitions=num_partitions,
-            on=(col_b,), right_on=("_nb",),
+    adj = edges.map_batches(to_adj, batch_format="pyarrow").materialize()
+
+    def self_propose(batch: pa.Table) -> pa.Table:
+        # round-0 messages: every adjacency endpoint proposes itself
+        # (duplicates per degree are fine — min() absorbs them)
+        node = batch.column("node").combine_chunks()
+        n = len(node)
+        return pa.table(
+            {
+                "node": node,
+                "peer": pa.nulls(n, pa.int64()),
+                "label": node,
+                "kind": pa.array([2] * n, type=pa.int8()),
+            }
         )
 
-        def messages(batch: pa.Table) -> pa.Table:
-            a = batch.column(col_a).combine_chunks().cast(pa.int64())
-            b = batch.column(col_b).combine_chunks().cast(pa.int64())
-            la_ = batch.column("_la").combine_chunks().cast(pa.int64())
-            lb_ = batch.column("_lb").combine_chunks().cast(pa.int64())
-            # each endpoint hears the other's label
-            return pa.table(
-                {
-                    "node": pa.concat_arrays([a, b]),
-                    "label": pa.concat_arrays([lb_, la_]),
-                }
-            )
+    msgs = adj.map_batches(self_propose, batch_format="pyarrow")
 
-        msgs = annotated.map_batches(messages, batch_format="pyarrow")
-        labels = (
-            msgs.union(labels)
+    def resolve(group: pa.Table) -> pa.Table:
+        # min over message labels = the node's new label; adjacency rows
+        # contribute null labels, which min() ignores
+        label = pc.min(group.column("label")).as_py()
+        node = group.column("node")[0].as_py()
+        peers = pc.unique(pc.drop_null(group.column("peer")))
+        n_out = len(peers) + 1
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [peers.cast(pa.int64()), pa.array([node], type=pa.int64())]
+                ),
+                "peer": pa.nulls(n_out, pa.int64()),
+                "label": pa.array([label] * n_out, type=pa.int64()),
+                "kind": pa.array([1] * len(peers) + [2], type=pa.int8()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (
+            adj.union(msgs)
             .groupby("node")
-            .map_groups(min_label, batch_format="pyarrow")
+            .map_groups(resolve, batch_format="pyarrow")
             .materialize()
         )
-        new_sum = labels.sum("label")
+        new_sum = msgs.filter(expr="kind == 2").sum("label")
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
 
     def to_components(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("kind"), pa.scalar(2, type=pa.int8()))
+        picked = batch.filter(keep)
         return pa.table(
             {
-                "node": batch.column("node"),
-                "component": batch.column("label"),
+                "node": picked.column("node"),
+                "component": picked.column("label"),
             }
         )
 
-    return labels.map_batches(to_components, batch_format="pyarrow")
+    return msgs.map_batches(to_components, batch_format="pyarrow")
 
 
 def simhash64(sf_dir: str, cache_cap: int = 1 << 20) -> "ray.data.Dataset":
@@ -627,12 +617,14 @@ def near_dedup_keep(
         pairs_ds = minhash_lsh_pairs_ds(
             sf_dir, num_perm=num_perm, bands=bands, threshold=threshold, k=k
         )
+        from ._join import safe_join
+
         comps = connected_components(pairs_ds)
         # survivors of the pair graph are nodes labeling themselves;
         # everything else in a component drops
         drops = comps.filter(expr="node != component")
-        return docs.join(
-            drops, join_type="left_anti", num_partitions=_join_partitions(),
+        return safe_join(
+            docs, drops, join_type="left_anti", num_partitions=8,
             on=("doc_id",), right_on=("node",),
         ).sort("doc_id")
     if cc != "driver":
@@ -754,7 +746,10 @@ def snapshot_diff(sf_dir: str) -> pa.Table:
 
     base = _read_docs(sf_dir).map_batches(fp_base, batch_format="pyarrow")
     snap = _read_docs(sf_dir).map_batches(fp_b, batch_format="pyarrow")
-    joined = base.join(
+    from ._join import safe_join
+
+    joined = safe_join(
+        base,
         snap,
         join_type="full_outer",
         num_partitions=8,

@@ -770,8 +770,11 @@ def densified_window_counts(
             }
         )
 
+    from ._join import safe_join
+
     dense = ray.data.range((w1 - w0 + 1) * k).map_batches(grid, batch_format="pyarrow")
-    joined = dense.join(
+    joined = safe_join(
+        dense,
         agg.map_batches(
             lambda b: pa.table(
                 {

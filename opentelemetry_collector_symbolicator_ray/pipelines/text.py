@@ -398,9 +398,12 @@ def tfidf_top_term(
             }
         )
 
+    from ._join import safe_join
+
     tf_rows = docs.map_batches(explode, batch_format="pyarrow")
-    joined = tf_rows.join(
-        df_ds, join_type="inner", num_partitions=join_partitions, on=("word",)
+    joined = safe_join(
+        tf_rows, df_ds, join_type="inner",
+        num_partitions=join_partitions, on=("word",),
     )
 
     def pick_top(group: pa.Table) -> pa.Table:
