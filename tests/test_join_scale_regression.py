@@ -66,7 +66,17 @@ assert out.count() == 3, out.count()
 got = {r["node"]: r["component"] for r in connected_components(edges).take_all()}
 assert got == {1: 1, 2: 1, 3: 1, 4: 1}, got
 
-# 3) document whether the raw join still crashes (informational: a Ray
+# 3) the full registered query that crashed at driver scale in round 4:
+# LSH pairs -> distributed CC -> anti-join filter, at 32 CPUs
+from opentelemetry_collector_symbolicator_ray.pipelines.dedup import (
+    near_dedup_keep,
+)
+
+kept = near_dedup_keep("/root/testdata/sf0.001", cc="distributed").count()
+assert kept > 0, kept
+print("DCC_QUERY_ROWS", kept)
+
+# 4) document whether the raw join still crashes (informational: a Ray
 # upgrade may fix it; the guard must stay correct either way)
 try:
     edges.join(la, join_type="inner", num_partitions=16,
