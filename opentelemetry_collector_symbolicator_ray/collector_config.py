@@ -63,10 +63,18 @@ def _load_processor(cls, store_key: str, store_blocks: dict, section: dict | Non
     if not section:
         return cfg
     fields = {f.name for f in dataclasses.fields(cls)}
+    # The collector selects the store backend SOLELY from the *_store key
+    # (dsymprocessor/factory.go:54 switch symCfg.DSYMStoreKey); nested
+    # blocks (s3_dsyms, gcs_store, ...) are parameters only.  So an
+    # explicit *_store key always wins, and a nested block implies the
+    # kind only when the key is absent — never YAML-key-order-dependent.
+    explicit_kind = store_key in section
     for key, val in section.items():
         if key in store_blocks:
-            # nested store block -> flat engine fields + store kind
-            setattr(cfg, store_key, store_blocks[key])
+            # nested store block -> flat engine fields (+ store kind
+            # only if not explicitly pinned)
+            if not explicit_kind:
+                setattr(cfg, store_key, store_blocks[key])
             block = val or {}
             for bk, bv in block.items():
                 if bk == "path":
@@ -139,7 +147,16 @@ def load_collector_config(path: str, artifacts_dir: str | None = None) -> dict:
 
     pipelines = {}
     for pname, psec in ((doc.get("service") or {}).get("pipelines") or {}).items():
-        pipelines[pname] = list((psec or {}).get("processors") or [])
+        plist = list((psec or {}).get("processors") or [])
+        # collector startup validation: a pipeline referencing a
+        # processor id with no matching processors: section refuses to
+        # start — it does NOT silently run with fewer processors
+        for pid in plist:
+            if pid not in parsed and pid not in batch_names:
+                raise ValueError(
+                    f"pipeline {pname!r} references unconfigured processor {pid!r}"
+                )
+        pipelines[pname] = plist
 
     # the inertness rule covers batch too: configured but wired into no
     # pipeline means its send_batch_size must not apply

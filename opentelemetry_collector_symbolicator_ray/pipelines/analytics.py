@@ -848,6 +848,11 @@ def orders_rollup(sf_dir: str) -> pa.Table:
             "total_cents": _cents(sum(float(r["total"]) for r in fine)),
         }
     )
+    # plain-string (region, nation) sort = the oracle's ORDER BY over the
+    # COALESCEd ROLLUP labels: 'ALL' interleaves alphabetically (e.g.
+    # AFRICA < ALL < AMERICA), so append order alone would diverge from
+    # an order-sensitive hash even with identical values
+    out.sort(key=lambda r: (r["region"], r["nation"]))
     return pa.table(
         {
             "region": pa.array([r["region"] for r in out], type=pa.string()),

@@ -315,3 +315,71 @@ processors:
     f.write_text("processors:\n  dsym_symbolicator:\n    timeout: fortnight\n")
     with pytest.raises(ValueError, match="unparseable duration"):
         load_collector_config(str(f))
+
+
+def test_explicit_store_key_beats_nested_block(tmp_path):
+    """The collector picks the backend solely from the *_store key
+    (dsymprocessor/factory.go switch); a leftover s3_dsyms block must
+    supply parameters only, never flip the kind — regardless of YAML
+    key order."""
+    f = tmp_path / "c.yaml"
+    # block BEFORE the explicit key (the order that used to lose)
+    f.write_text("""
+processors:
+  dsym_symbolicator:
+    s3_dsyms:
+      bucket: leftover
+      region: us-east-1
+    dsym_store: file_store
+""")
+    ds = load_collector_config(str(f))["config"].dsym
+    assert ds.dsym_store == "file_store"
+    assert ds.bucket == "leftover"  # params still applied
+
+    # block AFTER the explicit key: same answer
+    f.write_text("""
+processors:
+  dsym_symbolicator:
+    dsym_store: file_store
+    s3_dsyms:
+      bucket: leftover
+""")
+    ds = load_collector_config(str(f))["config"].dsym
+    assert ds.dsym_store == "file_store"
+
+    # no explicit key: the block implies the kind (engine convenience)
+    f.write_text("""
+processors:
+  dsym_symbolicator:
+    s3_dsyms:
+      bucket: b
+""")
+    assert load_collector_config(str(f))["config"].dsym.dsym_store == "s3_store"
+
+
+def test_pipeline_referencing_unconfigured_processor_raises(tmp_path):
+    """Collector startup validation: service.pipelines naming a
+    processor id with no processors: section refuses to load instead of
+    silently running with fewer processors."""
+    f = tmp_path / "c.yaml"
+    f.write_text("""
+processors:
+  dsym_symbolicator: {}
+service:
+  pipelines:
+    logs:
+      processors: [dsym_symbolicator, source_map_symbolicator]
+""")
+    with pytest.raises(ValueError, match="unconfigured processor"):
+        load_collector_config(str(f))
+
+    f.write_text("""
+processors:
+  dsym_symbolicator: {}
+service:
+  pipelines:
+    logs:
+      processors: [batch]
+""")
+    with pytest.raises(ValueError, match="unconfigured processor"):
+        load_collector_config(str(f))

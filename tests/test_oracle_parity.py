@@ -89,6 +89,35 @@ def test_query_matches_oracle(ray_session, con, name):
     ray_df = to_pandas(q(SF_DIR))
     oracle_df = con.execute(sql).fetchdf()
     assert_frames_match(ray_df, oracle_df, name)
+    # The driver's value-hash is ROW-ORDER-sensitive; when the oracle
+    # pins an order (ORDER BY), the engine must emit the same row order,
+    # not just the same multiset (round-4 advice: orders_rollup appended
+    # subtotal rows in engine order and only the sorted compare hid it).
+    if "order by" in sql.lower():
+        a = ray_df[sorted(ray_df.columns)].reset_index(drop=True)
+        b = oracle_df[sorted(oracle_df.columns)].reset_index(drop=True)
+        for col in a.columns:
+            av, bv = a[col].tolist(), b[col].tolist()
+            mismatch = next(
+                (
+                    i
+                    for i, (x, y) in enumerate(zip(av, bv))
+                    if not (
+                        (x is None or (not isinstance(x, (list, tuple)) and pd.isna(x)))
+                        and (y is None or (not isinstance(y, (list, tuple)) and pd.isna(y)))
+                    )
+                    and not (
+                        math.isclose(float(x), float(y), rel_tol=0, abs_tol=1e-9)
+                        if isinstance(x, float) or isinstance(y, float)
+                        else x == y
+                    )
+                ),
+                None,
+            )
+            assert mismatch is None, (
+                f"{name}.{col}: row ORDER diverges from the oracle's ORDER BY "
+                f"at row {mismatch}: engine={av[mismatch]!r} oracle={bv[mismatch]!r}"
+            )
 
 
 def test_rows_only_queries_run(ray_session):
