@@ -251,13 +251,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
         "docs_split": lambda sf: text.train_val_test_split(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
-        "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
-        "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
+        "docs_simhash": lambda sf: dedup.simhash64(sf),
+        "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
         "docs_near_dedup_keep_dcc": lambda sf: dedup.near_dedup_keep(
             sf, threshold=NGRAM_THRESHOLD, cc="distributed"
         ),
         # --- tail: oracle-backed spillover (driver window is 50; these
         # stay green via the in-repo parity gate) + rows-only queries ---
+        "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
+        "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
         "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
         "docs_search_and": lambda sf: text.search_and(sf),
         "docs_vocab": lambda sf: text.build_vocab(sf),
@@ -280,11 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_sink_counts_sharedcache": sym_sink_counts_sharedcache,
         "sym_processor_telemetry": sym_processor_telemetry,
         "docs_lang_id": lambda sf: text.language_id(sf),
-        "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
         "docs_pack_sequences": lambda sf: text.pack_sequences(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
         "docs_minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_dedup(sf, threshold=NGRAM_THRESHOLD),
-        "docs_simhash": lambda sf: dedup.simhash64(sf),
         "emb_ivf_knn": lambda sf: similarity.ivf_knn(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_knn_indexed": lambda sf: similarity.ivf_knn_indexed(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_recall": lambda sf: similarity.ivf_recall(sf, KNN_QUERIES, KNN_K),
@@ -996,5 +996,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, total::BIGINT AS n_ngrams, m::BIGINT AS top_ngram_count,
                    ((m * 1000000) // total)::BIGINT AS top_ngram_ppm
             FROM agg ORDER BY doc_id
+        """,
+        # SimHash: the engine's word hash IS DuckDB's md5_number_lower
+        # (md5 digest bytes [8:16] little-endian), so the full bit-vote
+        # math replays in SQL: occurrence-weighted +/-1 votes per bit,
+        # bit set iff the vote sum is positive, then the unsigned 64-bit
+        # value reinterpreted as a signed BIGINT exactly like the engine
+        "docs_simhash": """
+            WITH words AS (
+                SELECT doc_id, md5_number_lower(w) AS h
+                FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+            ), votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM words CROSS JOIN generate_series(0, 63) AS t(b)
+                GROUP BY doc_id, b
+            ), sims AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                                ELSE CAST(0 AS HUGEINT) END) AS u
+                FROM votes GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN u - CAST(18446744073709551616 AS HUGEINT)
+                             ELSE u END AS BIGINT) AS simhash
+            FROM sims ORDER BY doc_id
+        """,
+        # Winnowing fingerprint: lexicographic-min md5 hex over stride-4
+        # 16-byte windows (documents are ASCII so substr == byte window)
+        "docs_rolling_fp": """
+            SELECT doc_id,
+                   CASE WHEN length(text) <= 16 THEN md5(text)
+                        ELSE list_aggregate(
+                               list_transform(
+                                 generate_series(1, length(text) - 15, 4),
+                                 i -> md5(substr(text, CAST(i AS INTEGER), 16))),
+                               'min')
+                   END AS rolling_fp
+            FROM documents ORDER BY doc_id
         """,
     }

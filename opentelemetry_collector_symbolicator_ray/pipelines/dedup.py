@@ -498,16 +498,20 @@ def connected_components(
 
 
 def simhash64(sf_dir: str, cache_cap: int = 1 << 20) -> "ray.data.Dataset":
-    """64-bit SimHash over blake2b word hashes (deterministic across
-    processes; rows-only check).  The per-worker word-hash memo is
-    capacity-bounded."""
+    """64-bit SimHash over md5-lower-64 word hashes.  The word hash is
+    ``int.from_bytes(md5(w).digest()[8:], "little")`` — bit-for-bit
+    DuckDB's ``md5_number_lower``, which makes the whole operator
+    SQL-checkable (the ``docs_simhash`` oracle reproduces the bit-vote
+    math with UNNEST + bit ops).  Votes are word-OCCURRENCE weighted
+    (``text.split(" ")`` keeps duplicates), ties (vote sum 0) vote 0.
+    The per-worker word-hash memo is capacity-bounded."""
 
     word_hash_cache: dict[str, int] = {}
 
     def word_hash(w: str) -> int:
         h = word_hash_cache.get(w)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
             if len(word_hash_cache) < cache_cap:
                 word_hash_cache[w] = h
         return h

@@ -152,25 +152,29 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
 
 
 def rolling_hash_fingerprints(sf_dir: str, window: int = 16) -> "ray.data.Dataset":
-    """Winnowing-style rolling-hash fingerprint: min crc32 over byte
-    windows — numpy-vectorized per document (rows-only check)."""
-    import zlib
+    """Winnowing-style rolling fingerprint: the lexicographic-min md5
+    hex digest over stride-4 byte windows (documents are ASCII, so byte
+    windows == character windows and the whole operator is
+    SQL-checkable: ``min(md5(substr(text, i, 16)))`` over
+    ``generate_series``).  Hex min == numeric min of the 128-bit digest
+    (fixed-width lowercase hex), so the winnowing semantics are
+    unchanged from the crc32 version — just on a checkable hash."""
 
     def fn(batch: pa.Table) -> pa.Table:
         out = []
         for t in batch.column("text").to_pylist():
             data = t.encode()
             if len(data) <= window:
-                out.append(zlib.crc32(data))
+                out.append(hashlib.md5(data).hexdigest())
                 continue
             out.append(
                 min(
-                    zlib.crc32(data[i: i + window])
+                    hashlib.md5(data[i: i + window]).hexdigest()
                     for i in range(0, len(data) - window + 1, 4)
                 )
             )
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "rolling_fp": pa.array(out, type=pa.int64())}
+            {"doc_id": batch.column("doc_id"), "rolling_fp": pa.array(out, type=pa.string())}
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").sort("doc_id")
