@@ -464,3 +464,29 @@ def test_macho_corruption_is_loud():
     # non-Mach-O bytes still route to the JSON parser's error
     with pytest.raises(SymbolicationError, match="invalid dSYM archive"):
         DsymArchive(b"\x00\x01\x02\x03 not json")
+
+
+def test_macho_symtab_lookup_query(ray_session):
+    """The driver-registered sym_macho_symtab query: addresses derived
+    from event_ids resolve through a REAL parsed Mach-O symtab binary.
+    Pin the arithmetic: addr = 0x800 + (event_id % 512)*0x10; symbols
+    func_i at 0x1000 + i*0x40, so addr < 0x1000 misses (null) and
+    otherwise symbol index = (addr - 0x1000) >> 6."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
+        macho_symtab_lookup,
+    )
+
+    df = macho_symtab_lookup("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert df["debug_id"].nunique() == 1
+    for _, row in df.head(600).iterrows():
+        addr = 0x800 + (int(row["event_id"]) % 512) * 0x10
+        assert int(row["instr_addr"]) == addr
+        if addr < 0x1000:
+            assert row["symbol"] is None or row["symbol"] != row["symbol"] or not isinstance(row["symbol"], str)
+        else:
+            # the LAST symtab symbol is unbounded (standard symbolicator
+            # convention), so addresses past the table clamp to it
+            i = min((addr - 0x1000) >> 6, 63)
+            assert row["symbol"] == f"func_{i:03d}"
+            assert int(row["sym_addr"]) == 0x1000 + i * 0x40
