@@ -250,8 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": lambda sf: text.document_profile(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
-        "docs_split": lambda sf: text.train_val_test_split(sf),
-        "docs_quality_filter": lambda sf: text.quality_filter(sf),
+        "docs_word_commonness": lambda sf: text.word_commonness(sf),
+        "docs_token_budget_mix": lambda sf: text.token_budget_mix(sf),
         "docs_simhash": lambda sf: dedup.simhash64(sf),
         "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
         "docs_near_dedup_keep_dcc": lambda sf: dedup.near_dedup_keep(
@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- tail: oracle-backed spillover (driver window is 50; these
         # stay green via the in-repo parity gate) + rows-only queries ---
+        "docs_split": lambda sf: text.train_val_test_split(sf),
+        "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
         "docs_heavy_hitters": lambda sf: text.heavy_hitter_words(sf),
         "docs_inverted_index": lambda sf: text.inverted_index_probe(sf),
@@ -1024,6 +1026,39 @@ def oracle_sql() -> dict[str, str]:
                              THEN u - CAST(18446744073709551616 AS HUGEINT)
                              ELSE u END AS BIGINT) AS simhash
             FROM sims ORDER BY doc_id
+        """,
+        # Unigram-frequency scoring: corpus_hits is an exact BIGINT sum
+        # (occurrence-weighted unigram counts), commonness is the single
+        # IEEE division corpus_hits/n_words — no float accumulation
+        # order to diverge between engine and oracle
+        "docs_word_commonness": """
+            WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+            counts AS (SELECT w, COUNT(*)::BIGINT AS c FROM w GROUP BY w),
+            scored AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_words, SUM(c)::BIGINT AS corpus_hits
+                FROM w JOIN counts USING (w) GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, corpus_hits,
+                   CAST(corpus_hits AS DOUBLE) / n_words AS commonness
+            FROM scored ORDER BY doc_id
+        """,
+        # Per-language token-budget curriculum cut: running token total
+        # in doc_id order within each language, kept while <= budget —
+        # the engine computes it as a distributed prefix sum (bucketed
+        # partials + broadcast offsets), the oracle as a window SUM
+        "docs_token_budget_mix": """
+            WITH t AS (
+                SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                       ) AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
         """,
         # Winnowing fingerprint: lexicographic-min md5 hex over stride-4
         # 16-byte windows (documents are ASCII so substr == byte window)

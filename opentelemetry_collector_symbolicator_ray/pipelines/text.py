@@ -1278,3 +1278,152 @@ def train_val_test_split(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(fn, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def word_commonness(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-frequency document scoring (the unigram-LM quality signal
+    of a training-data pipeline, kept hash-exact): per doc, the number
+    of corpus-wide occurrences of each of its word OCCURRENCES summed
+    as exact int64, plus the single float64 division corpus_hits /
+    n_words — one IEEE op, so the engine and the SQL oracle are
+    bit-identical (no float accumulation order to diverge).
+
+    Ray shape (two passes, both streaming): (1) per-batch unigram
+    Counter partials -> groupby(word).sum -> the vocab-sized count
+    table broadcasts once via ray.put; (2) a vectorized scoring pass
+    maps each doc's words through the broadcast dict.  At 100 TB the
+    vocab table is the only shuffled data (words, not documents), and
+    the broadcast is once per actor, not per batch."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split(" "))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts_ds = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts = {r["word"]: int(r["n"]) for r in counts_ds.take_all()}
+    counts_ref = ray.put(counts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(counts_ref)
+        n_words, hits = [], []
+        for t in batch.column("text").to_pylist():
+            ws = t.split(" ")
+            n_words.append(len(ws))
+            hits.append(sum(c[w] for w in ws))
+        n_arr = np.array(n_words, dtype=np.int64)
+        h_arr = np.array(hits, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_arr, type=pa.int64()),
+                "corpus_hits": pa.array(h_arr, type=pa.int64()),
+                "commonness": pa.array(
+                    h_arr.astype(np.float64) / n_arr.astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def token_budget_mix(
+    sf_dir: str, budget: int = 20000, bucket_size: int = 1024
+) -> "ray.data.Dataset":
+    """Per-language token-budget curriculum cut: keep documents, in
+    doc_id order within each language, while the language's running
+    token total stays <= budget — the domain-mixture balancing step
+    before training-set assembly.
+
+    Ray shape — a DISTRIBUTED PREFIX SUM, so no language-sized group
+    ever materializes anywhere: (1) project (doc_id, lang, n_tokens)
+    and bucket by doc_id // bucket_size; (2) per-(lang, bucket) token
+    sums (one row per bucket) reach the driver, which prefix-scans them
+    per language — driver state is bucket-count-sized, never
+    corpus-sized; (3) the per-bucket starting offsets broadcast via
+    ray.put and a groupby((lang, bucket)) pass computes exact in-bucket
+    cumulative sums (groups are <= bucket_size rows by construction)
+    and applies the budget filter in-stream.  At 100 TB the shuffled
+    payload is (doc_id, lang, n_tokens) triples twice — texts never
+    move."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().cast(pa.int64())
+        n_tok = pa.array(
+            [len(t.split(" ")) for t in batch.column("text").to_pylist()],
+            type=pa.int64(),
+        )
+        bucket = pc.divide(ids, pa.scalar(bucket_size, type=pa.int64()))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "lang": batch.column("lang"),
+                "n_tokens": n_tok,
+                "bucket": bucket,
+            }
+        )
+
+    triples = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()
+    )
+
+    bucket_sums = (
+        triples.groupby(["lang", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="tok"))
+        .take_all()
+    )
+    offsets: dict[tuple[str, int], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(bucket_sums, key=lambda r: (r["lang"], r["bucket"])):
+        key = (r["lang"], int(r["bucket"]))
+        offsets[key] = running.get(r["lang"], 0)
+        running[r["lang"]] = offsets[key] + int(r["tok"])
+    offsets_ref = ray.put(offsets)
+
+    def cut(group: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        lang = group.column("lang")[0].as_py()
+        bucket = int(group.column("bucket")[0].as_py())
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        cum = offs[(lang, bucket)] + np.cumsum(toks[order])
+        keep = cum <= budget
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order][keep], type=pa.int64()),
+                "lang": pa.array([lang] * int(keep.sum()), type=pa.string()),
+                "n_tokens": pa.array(toks[order][keep], type=pa.int64()),
+                "cum_tokens": pa.array(cum[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        triples.groupby(["lang", "bucket"])
+        .map_groups(cut, batch_format="pyarrow")
+        .sort("doc_id")
+    )

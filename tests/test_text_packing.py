@@ -177,3 +177,22 @@ def test_training_export_deterministic_and_partitioned(ray_session, tmp_path):
     m2 = export.export_training_shards(sf, out)
     assert m1.equals(m2)
     assert int(m1.column("n_docs").to_pylist()[0]) > 0
+
+
+def test_token_budget_mix_bucket_invariance(ray_session):
+    """The distributed prefix sum must be exact regardless of bucket
+    granularity: a 4-doc bucket layout (many buckets, offsets dominate)
+    must equal the default 1024-doc layout, and every language's kept
+    set must be the doc_id-ordered prefix within budget."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        token_budget_mix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = token_budget_mix(sf, budget=5000, bucket_size=4).to_pandas()
+    b = token_budget_mix(sf, budget=5000, bucket_size=1024).to_pandas()
+    assert a.equals(b), "bucket size changed the kept set"
+    for lang, grp in a.groupby("lang"):
+        grp = grp.sort_values("doc_id")
+        assert (grp["cum_tokens"] == grp["n_tokens"].cumsum()).all()
+        assert grp["cum_tokens"].iloc[-1] <= 5000
