@@ -248,8 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": lambda sf: text.quality_scores(sf),
         "docs_fingerprint": lambda sf: text.fingerprints(sf),
         "docs_profile": lambda sf: text.document_profile(sf),
-        "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
+        "docs_source_mix": lambda sf: text.source_mix(sf),
         "docs_word_commonness": lambda sf: text.word_commonness(sf),
         "docs_token_budget_mix": lambda sf: text.token_budget_mix(sf),
         "docs_simhash": lambda sf: dedup.simhash64(sf),
@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- tail: oracle-backed spillover (driver window is 50; these
         # stay green via the in-repo parity gate) + rows-only queries ---
+        "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_split": lambda sf: text.train_val_test_split(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
         "docs_top_ngrams": lambda sf: text.top_ngrams(sf),
@@ -1026,6 +1027,19 @@ def oracle_sql() -> dict[str, str]:
                              THEN u - CAST(18446744073709551616 AS HUGEINT)
                              ELSE u END AS BIGINT) AS simhash
             FROM sims ORDER BY doc_id
+        """,
+        # Per-source corpus composition; ppm share via integer floor
+        # division so engine and oracle are hash-exact by construction
+        "docs_source_mix": """
+            WITH t AS (
+                SELECT source, len(string_split(text, ' '))::BIGINT AS n FROM documents
+            ), agg AS (
+                SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS n_tokens
+                FROM t GROUP BY source
+            ), tot AS (SELECT SUM(n_tokens) AS total FROM agg)
+            SELECT source, n_docs, n_tokens,
+                   ((n_tokens * 1000000) // total)::BIGINT AS token_share_ppm
+            FROM agg, tot ORDER BY source
         """,
         # Unigram-frequency scoring: corpus_hits is an exact BIGINT sum
         # (occurrence-weighted unigram counts), commonness is the single

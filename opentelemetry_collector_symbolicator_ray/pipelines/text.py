@@ -1427,3 +1427,55 @@ def token_budget_mix(
         .map_groups(cut, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def source_mix(sf_dir: str) -> pa.Table:
+    """Per-source corpus composition (the domain-mixture report that
+    drives training-mix decisions): document count, token count, and
+    each source's integer-exact token share in ppm (``n_tokens * 1e6 //
+    total`` — no float division, so the oracle hash can't drift).
+
+    Ray shape: per-batch (source -> n_docs, n_tokens) partials ->
+    groupby(source) sums; only the source-cardinality-sized aggregate
+    reaches the driver, where the ppm shares are derived.  At 100 TB
+    this is one streaming pass + a tiny shuffle of per-batch partial
+    rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        docs: dict[str, int] = defaultdict(int)
+        toks: dict[str, int] = defaultdict(int)
+        sources = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for s, t in zip(sources, texts):
+            docs[s] += 1
+            toks[s] += len(t.split(" "))
+        keys = list(docs.keys())
+        return pa.table(
+            {
+                "source": pa.array(keys, type=pa.string()),
+                "n_docs": pa.array([docs[k] for k in keys], type=pa.int64()),
+                "n_tokens": pa.array([toks[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_documents(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["source"])
+    total = sum(int(r["n_tokens"]) for r in rows)
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], type=pa.string()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+            "n_tokens": pa.array([int(r["n_tokens"]) for r in rows], type=pa.int64()),
+            "token_share_ppm": pa.array(
+                [int(r["n_tokens"]) * 1_000_000 // total for r in rows], type=pa.int64()
+            ),
+        }
+    )
