@@ -248,7 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": lambda sf: text.quality_scores(sf),
         "docs_fingerprint": lambda sf: text.fingerprints(sf),
         "docs_profile": lambda sf: text.document_profile(sf),
-        "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
+        "docs_lang_id": lambda sf: text.language_id(sf),
         "docs_source_mix": lambda sf: text.source_mix(sf),
         "docs_word_commonness": lambda sf: text.word_commonness(sf),
         "docs_token_budget_mix": lambda sf: text.token_budget_mix(sf),
@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- tail: oracle-backed spillover (driver window is 50; these
         # stay green via the in-repo parity gate) + rows-only queries ---
+        "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_split": lambda sf: text.train_val_test_split(sf),
         "docs_quality_filter": lambda sf: text.quality_filter(sf),
@@ -286,7 +287,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_otlp_source_counts": sym_otlp_source_counts,
         "sym_sink_counts_sharedcache": sym_sink_counts_sharedcache,
         "sym_processor_telemetry": sym_processor_telemetry,
-        "docs_lang_id": lambda sf: text.language_id(sf),
         "docs_pack_sequences": lambda sf: text.pack_sequences(sf),
         "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
         "docs_minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_dedup(sf, threshold=NGRAM_THRESHOLD),
@@ -307,6 +307,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
     }
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replay of text.language_id, built from the SAME profile
+    constants (text._LANG_PROFILES / _char_ngrams) so engine and oracle
+    can never drift: trigram-set Jaccard via list_intersect /
+    list_distinct over inlined profile literals; ROW_NUMBER ordered by
+    (hits DESC, tri DESC, lang ASC) reproduces the engine's
+    strictly-greater update rule (ties keep the earlier language);
+    trigram_score is the raw int/int IEEE division on both sides."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        _LANG_PROFILES,
+        _char_ngrams,
+    )
+
+    rows = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        tri = sorted(frozenset().union(*(_char_ngrams(w) for w in words)))
+        wl = "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+        tl = "[" + ",".join("'" + t.replace("'", "''") + "'" for t in tri) + "]"
+        rows.append(f"('{lang}', {wl}::VARCHAR[], {tl}::VARCHAR[])")
+    profiles = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS p(lang, words, trigrams)"
+    return f"""
+        WITH profiles AS ({profiles}),
+        d AS (
+          SELECT doc_id,
+                 list_distinct(string_split_regex(lower(text), '\\s+')) AS ws,
+                 list_distinct(list_transform(
+                     generate_series(1, GREATEST(1, length(' ' || lower(text) || ' ') - 2)),
+                     i -> substr(' ' || lower(text) || ' ', CAST(i AS INTEGER), 3))) AS tris
+          FROM documents
+        ),
+        scored AS (
+          SELECT d.doc_id, p.lang,
+                 len(list_intersect(d.ws, p.words))::BIGINT AS hits,
+                 CASE WHEN len(list_distinct(list_concat(d.tris, p.trigrams))) = 0 THEN 0.0
+                      ELSE CAST(len(list_intersect(d.tris, p.trigrams)) AS DOUBLE)
+                           / len(list_distinct(list_concat(d.tris, p.trigrams)))
+                 END AS tri
+          FROM d CROSS JOIN profiles p
+        ),
+        ranked AS (
+          SELECT doc_id, lang, hits, tri,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY hits DESC, tri DESC, lang ASC
+                 ) AS rn
+          FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN hits = 0 AND tri = 0.0 THEN 'und' ELSE lang END AS predicted_lang,
+               CASE WHEN hits = 0 AND tri = 0.0 THEN 0 ELSE hits END AS stopword_hits,
+               CASE WHEN hits = 0 AND tri = 0.0 THEN 0.0 ELSE tri END AS trigram_score
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1028,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE u END AS BIGINT) AS simhash
             FROM sims ORDER BY doc_id
         """,
+        "docs_lang_id": _lang_id_oracle_sql(),
         # Per-source corpus composition; ppm share via integer floor
         # division so engine and oracle are hash-exact by construction
         "docs_source_mix": """

@@ -106,11 +106,15 @@ def _char_ngrams(text: str, n: int = 3) -> set[str]:
 
 
 def language_id(sf_dir: str) -> "ray.data.Dataset":
-    """Character-n-gram + stopword language ID (deterministic heuristic;
-    rows-only check — not SQL-expressible).  Per language, a trigram
-    profile is derived from its stopword list; documents score by
-    Jaccard overlap of their trigram set with each profile, with
-    whole-word stopword hits as a tie-dominant signal."""
+    """Character-n-gram + stopword language ID (deterministic heuristic,
+    SQL-oracle-exact: the DuckDB oracle replays the same trigram-set
+    Jaccard with list_intersect/list_distinct over inlined profile
+    literals, ROW_NUMBER tie-breaking = the strictly-greater update
+    rule).  Per language, a trigram profile is derived from its stopword
+    list; documents score by Jaccard overlap of their trigram set with
+    each profile, with whole-word stopword hits as a tie-dominant
+    signal.  trigram_score is the raw IEEE division (int/int), so engine
+    and oracle are bit-identical."""
 
     word_profiles = {lang: frozenset(words) for lang, words in _LANG_PROFILES.items()}
     trigram_profiles = {
@@ -138,7 +142,7 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
                     best_tri = tri
             preds.append(best_lang if best_key > (0, 0.0) else "und")
             word_scores.append(best_key[0])
-            tri_scores.append(round(best_tri, 6))
+            tri_scores.append(best_tri)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
