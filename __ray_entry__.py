@@ -249,16 +249,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": lambda sf: text.fingerprints(sf),
         "docs_profile": lambda sf: text.document_profile(sf),
         "docs_lang_id": lambda sf: text.language_id(sf),
-        "docs_source_mix": lambda sf: text.source_mix(sf),
         "docs_word_commonness": lambda sf: text.word_commonness(sf),
-        "docs_token_budget_mix": lambda sf: text.token_budget_mix(sf),
         "docs_simhash": lambda sf: dedup.simhash64(sf),
         "docs_rolling_fp": lambda sf: text.rolling_hash_fingerprints(sf),
+        "docs_minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_dedup(sf, threshold=NGRAM_THRESHOLD),
+        "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
         "docs_near_dedup_keep_dcc": lambda sf: dedup.near_dedup_keep(
             sf, threshold=NGRAM_THRESHOLD, cc="distributed"
         ),
         # --- tail: oracle-backed spillover (driver window is 50; these
         # stay green via the in-repo parity gate) + rows-only queries ---
+        "docs_source_mix": lambda sf: text.source_mix(sf),
+        "docs_token_budget_mix": lambda sf: text.token_budget_mix(sf),
         "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_split": lambda sf: text.train_val_test_split(sf),
@@ -288,8 +290,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_sink_counts_sharedcache": sym_sink_counts_sharedcache,
         "sym_processor_telemetry": sym_processor_telemetry,
         "docs_pack_sequences": lambda sf: text.pack_sequences(sf),
-        "docs_near_dedup_keep": lambda sf: dedup.near_dedup_keep(sf, threshold=NGRAM_THRESHOLD),
-        "docs_minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_dedup(sf, threshold=NGRAM_THRESHOLD),
         "emb_ivf_knn": lambda sf: similarity.ivf_knn(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_knn_indexed": lambda sf: similarity.ivf_knn_indexed(sf, KNN_QUERIES, KNN_K),
         "emb_ivf_recall": lambda sf: similarity.ivf_recall(sf, KNN_QUERIES, KNN_K),
@@ -307,6 +307,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
     }
+
+
+def _minhash_pairs_oracle_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = NGRAM_THRESHOLD,
+    max_bucket: int = 256,
+) -> str:
+    """DuckDB replay of dedup.minhash_lsh_dedup, built from the SAME
+    permutation constants (dedup._minhash_params) so engine and oracle
+    can never drift.  Every stage replays exactly: k=2 word shingles
+    dedup to md5_number_lower hashes (engine shingle hash is md5 digest
+    bytes [8:16] little-endian — bit-for-bit md5_number_lower);
+    permuted hashes are ((a*h + b) mod 2^64) mod (2^61-1), the mod-2^64
+    reproducing numpy's uint64 wraparound via HUGEINT; per-band
+    signatures concatenate to the same 'band:v1,v2,..' string the
+    engine md5-buckets on (the oracle groups by the string itself —
+    identical buckets modulo md5 collisions); the >max_bucket star-cap
+    emits (keeper, other) instead of the clique; and verification is the
+    same inter/union double division against the threshold."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import _minhash_params
+
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    perm_vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+    return f"""
+        perms(pi, pa, pb) AS (VALUES {perm_vals}),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   md5_number_lower(array_to_string(ws[i:i+1], ' ')) AS h
+            FROM tok, LATERAL (SELECT unnest(range(1, greatest(2, len(ws)))) AS i) g
+        ),
+        sig AS (
+            SELECT doc_id, pi, pi // {rows_per_band} AS band,
+                   MIN(CAST(((CAST(pa AS HUGEINT) * CAST(h AS HUGEINT) + pb)
+                             % CAST('18446744073709551616' AS HUGEINT))
+                            % 2305843009213693951 AS BIGINT)) AS m
+            FROM sh CROSS JOIN perms GROUP BY doc_id, pi
+        ),
+        bnd AS (
+            SELECT doc_id, band,
+                   band::VARCHAR || ':' || string_agg(m::VARCHAR, ',' ORDER BY pi) AS s
+            FROM sig GROUP BY doc_id, band
+        ),
+        meta AS (
+            SELECT band, s, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+            FROM bnd GROUP BY band, s
+        ),
+        cand AS (
+            SELECT DISTINCT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+            FROM bnd d1
+            JOIN bnd d2 ON d1.band = d2.band AND d1.s = d2.s AND d1.doc_id < d2.doc_id
+            JOIN meta m ON m.band = d1.band AND m.s = d1.s
+            WHERE m.cnt <= {max_bucket} OR d1.doc_id = m.keeper
+        ),
+        ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        lsh_pairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN ssize za ON za.doc_id = i.doc_a
+            JOIN ssize zb ON zb.doc_id = i.doc_b
+            WHERE CAST(icnt AS DOUBLE) / CAST(za.n + zb.n - icnt AS DOUBLE) >= {threshold}
+        )
+    """
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    """docs_minhash_lsh_pairs: the verified pair set, sorted."""
+    return (
+        "WITH "
+        + _minhash_pairs_oracle_sql()
+        + " SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b"
+    )
+
+
+def _near_dedup_keep_oracle_sql() -> str:
+    """docs_near_dedup_keep / _dcc: LSH pairs -> connected components
+    (recursive reachability closure; component label = min reachable
+    node, exactly the engine's min-label-propagation fixpoint) -> drop
+    every non-min member -> surviving doc_ids.  One oracle serves both
+    the driver-union-find and distributed-label-propagation engines —
+    they are different executions of the same math."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_oracle_sql()
+        + """,
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+            UNION ALL SELECT doc_b, doc_a FROM lsh_pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS n FROM bidir),
+        reach(n, lab) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.n
+        ),
+        comp AS (SELECT n, MIN(lab) AS c FROM reach GROUP BY n)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT n FROM comp WHERE n > c)
+        ORDER BY doc_id
+    """
+    )
 
 
 def _lang_id_oracle_sql() -> str:
@@ -1083,6 +1193,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sims ORDER BY doc_id
         """,
         "docs_lang_id": _lang_id_oracle_sql(),
+        # MinHash+LSH near-dup: full-pipeline replay (shingles ->
+        # permutation minima -> band buckets -> star-cap -> exact
+        # Jaccard) sharing the engine's permutation constants verbatim;
+        # the keep oracles add a recursive reachability closure =
+        # connected components, serving BOTH the driver-union-find and
+        # the distributed label-propagation engine variants
+        "docs_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),
+        "docs_near_dedup_keep": _near_dedup_keep_oracle_sql(),
+        "docs_near_dedup_keep_dcc": _near_dedup_keep_oracle_sql(),
         # Per-source corpus composition; ppm share via integer floor
         # division so engine and oracle are hash-exact by construction
         "docs_source_mix": """

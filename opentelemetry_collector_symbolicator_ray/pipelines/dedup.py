@@ -18,7 +18,6 @@ Arrow block refs with memory bounded per task; at scale you run the LSH
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -187,26 +186,38 @@ def _minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.nda
     return a, b
 
 
+def _md5_lower64(s: str) -> int:
+    """md5 digest bytes [8:16] little-endian as an unsigned 64-bit int —
+    bit-for-bit DuckDB's ``md5_number_lower``, which is what makes the
+    whole MinHash+LSH pipeline SQL-replayable (the
+    ``docs_minhash_lsh_pairs`` / ``docs_near_dedup_keep*`` oracles
+    re-run shingling, permutation minima, band bucketing, star-cap and
+    exact-Jaccard verification in DuckDB and hash-compare the result)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
 def _shingle_hashes(text: str, k: int = 2) -> np.ndarray:
     words = text.split(" ")
     shingles = {" ".join(words[i: i + k]) for i in range(max(1, len(words) - k + 1))}
-    return np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
+    return np.array([_md5_lower64(s) for s in shingles], dtype=np.uint64)
 
 
 def _shingle_rows(sf_dir: str, k: int) -> "ray.data.Dataset":
-    """(doc_id, shingles) rows: per-doc k-shingle crc32 set as a binary
-    blob of sorted UNIQUE little-endian int64s (binary, not list<int64>,
-    so the column survives Arrow hash joins as a payload field;
-    np.frombuffer restores the array zero-copy).  np.unique (not just
-    sort) matters: crc32 is 32-bit, so two distinct shingles in one doc
-    can hash-collide, and downstream exact-Jaccard verification uses
-    ``np.intersect1d(..., assume_unique=True)`` whose contract duplicate
-    values would violate.  MinHash semantics are unchanged (min over a
-    set ignores duplicates)."""
+    """(doc_id, shingles) rows: per-doc k-shingle md5-lower-64 set as a
+    binary blob of sorted UNIQUE little-endian int64s (binary, not
+    list<int64>, so the column survives Arrow hash joins as a payload
+    field; np.frombuffer restores the array zero-copy).  np.unique (not
+    just sort) keeps the ``np.intersect1d(..., assume_unique=True)``
+    contract in downstream exact-Jaccard verification honest even if
+    two distinct shingles ever hash-collided (odds ~2^-64 per pair).
+    MinHash semantics are unchanged (min over a set ignores
+    duplicates).  Hash values use the full uint64 range, so the int64
+    view (two's-complement reinterpret, not a value cast) is what hits
+    the blob."""
 
     def fn(batch: pa.Table) -> pa.Table:
         blobs = [
-            np.unique(_shingle_hashes(t, k).astype(np.int64)).astype("<i8").tobytes()
+            np.unique(_shingle_hashes(t, k).view(np.int64)).astype("<i8").tobytes()
             for t in batch.column("text").to_pylist()
         ]
         return pa.table(
@@ -251,7 +262,7 @@ def minhash_lsh_pairs_ds(
 ) -> "ray.data.Dataset":
     """MinHash+LSH near-dup detection, fully distributed:
 
-    1. shingle stage (once; blobs of sorted int64 crc32 hashes) ->
+    1. shingle stage (once; blobs of sorted int64 md5-lower-64 hashes) ->
     2. band-bucket rows CARRYING each doc's shingle blob -> 3. ONE
     ``groupby(bucket)`` shuffle co-locates every bucket's docs with
     their shingles -> 4. exact-Jaccard verification runs inside
@@ -290,9 +301,12 @@ def minhash_lsh_pairs_ds(
             sig = perm.min(axis=1).astype(np.int64)
             for band in range(bands):
                 chunk = sig[band * rows_per_band: (band + 1) * rows_per_band]
-                key = zlib.crc32((str(band) + ":" + ",".join(map(str, chunk))).encode())
+                # band index is inside the hashed string, so keys are
+                # distinct across bands; md5-lower-64 keeps the shuffle
+                # key a compact int64 while staying SQL-replayable
+                key = _md5_lower64(str(band) + ":" + ",".join(map(str, chunk)))
                 doc_ids.append(int(ids[i]))
-                buckets.append((band << 32) | key)
+                buckets.append(key - (1 << 64) if key >= (1 << 63) else key)
                 blobs.append(blob)
         return pa.table(
             {
