@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stay green via the in-repo parity gate) + rows-only queries ---
         "docs_source_mix": lambda sf: text.source_mix(sf),
         "docs_token_budget_mix": lambda sf: text.token_budget_mix(sf),
+        "docs_dup_spans": lambda sf: dedup.duplicate_spans(sf),
         "docs_weighted_sample": lambda sf: text.weighted_lang_sample(sf),
         "docs_hash_sample": lambda sf: text.hash_sample(sf),
         "docs_split": lambda sf: text.train_val_test_split(sf),
@@ -1202,6 +1203,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),
         "docs_near_dedup_keep": _near_dedup_keep_oracle_sql(),
         "docs_near_dedup_keep_dcc": _near_dedup_keep_oracle_sql(),
+        # Duplicate k-word spans (k=8): a window position is duplicated
+        # iff its hash occurs in >1 distinct document; ppm via integer
+        # floor division, engine/oracle hash-exact by construction
+        "docs_dup_spans": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            win AS (
+                SELECT doc_id, md5_number_lower(array_to_string(ws[i:i+7], ' ')) AS h
+                FROM tok, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) g
+            ),
+            freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY h),
+            dup AS (
+                SELECT w.doc_id, COUNT(*) AS ndup
+                FROM win w JOIN freq f ON f.h = w.h AND f.nd > 1
+                GROUP BY w.doc_id
+            ),
+            tot AS (SELECT doc_id, greatest(len(ws) - 7, 0) AS nw FROM tok)
+            SELECT t.doc_id, t.nw::BIGINT AS n_windows,
+                   COALESCE(d.ndup, 0)::BIGINT AS n_dup_windows,
+                   CASE WHEN t.nw > 0
+                        THEN ((COALESCE(d.ndup, 0) * 1000000) // t.nw)::BIGINT
+                        ELSE 0 END AS dup_ppm
+            FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id
+        """,
         # Per-source corpus composition; ppm share via integer floor
         # division so engine and oracle are hash-exact by construction
         "docs_source_mix": """

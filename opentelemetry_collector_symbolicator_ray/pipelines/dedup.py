@@ -511,6 +511,109 @@ def connected_components(
     return msgs.map_batches(to_components, batch_format="pyarrow")
 
 
+def duplicate_spans(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
+    """Substring-level (span) dedup signal — the exact-duplicate-span
+    pass of a training-data pipeline (cf. Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": repeated spans, not
+    just whole-doc dups, drive memorization).  For every k-word window
+    position in every document, the window is *duplicated* iff its
+    md5-lower-64 hash occurs in MORE THAN ONE distinct document; the
+    result is per-doc (n_windows, n_dup_windows, dup_ppm), the
+    "fraction of this doc covered by cross-document repeated text"
+    score a span-dedup filter thresholds on.
+
+    Ray shape (100 TB): docs project to (doc_id, whash) position rows —
+    texts never shuffle.  ONE ``groupby(whash)`` co-locates all
+    occurrences of a span; groups spanning >1 doc emit per-doc position
+    counts (group-sized, tiny).  Those counts union with the per-doc
+    totals (kind-tagged rows, the asof_join union shape) into ONE small
+    ``groupby(doc_id)`` — no join operator, no broadcast of the
+    duplicated-hash set (which at corpus scale can exceed driver
+    memory).  Window hashing is md5-lower-64 so the whole operator is
+    SQL-replayable (``docs_dup_spans`` oracle)."""
+    import pyarrow.compute as pc
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, hashes = [], []
+        tot_ids, totals = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = t.split(" ")
+            n = max(0, len(words) - k + 1)
+            tot_ids.append(did)
+            totals.append(n)
+            for i in range(n):
+                doc_ids.append(did)
+                hashes.append(
+                    np.int64(np.uint64(_md5_lower64(" ".join(words[i: i + k]))))
+                )
+        # kind 0 = per-doc total (whash null), kind 1 = window position
+        n_pos, n_tot = len(doc_ids), len(tot_ids)
+        return pa.table(
+            {
+                "whash": pa.concat_arrays(
+                    [
+                        pa.array(hashes, type=pa.int64()),
+                        pa.nulls(n_tot, pa.int64()),
+                    ]
+                ),
+                "doc_id": pa.array(doc_ids + tot_ids, type=pa.int64()),
+                "n": pa.array([1] * n_pos + totals, type=pa.int64()),
+                "kind": pa.array([1] * n_pos + [0] * n_tot, type=pa.int8()),
+            }
+        )
+
+    rows = _read_docs(sf_dir).map_batches(to_rows, batch_format="pyarrow")
+    pos = rows.filter(expr="kind == 1")
+    tot = rows.filter(expr="kind == 0")
+
+    def dup_counts(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        if len(pc.unique(ids)) < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "kind": pa.array([], type=pa.int8()),
+                }
+            )
+        agg = group.group_by("doc_id").aggregate([("n", "sum")])
+        m = agg.num_rows
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n": agg.column("n_sum"),
+                "kind": pa.array([1] * m, type=pa.int8()),
+            }
+        )
+
+    dup = pos.groupby("whash").map_groups(dup_counts, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        kinds = group.column("kind").to_numpy(zero_copy_only=False)
+        ns = group.column("n").to_numpy(zero_copy_only=False)
+        n_windows = int(ns[kinds == 0].sum())
+        n_dup = int(ns[kinds == 1].sum())
+        ppm = (n_dup * 1_000_000) // n_windows if n_windows else 0
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "n_windows": pa.array([n_windows], type=pa.int64()),
+                "n_dup_windows": pa.array([n_dup], type=pa.int64()),
+                "dup_ppm": pa.array([ppm], type=pa.int64()),
+            }
+        )
+
+    return (
+        tot.select_columns(["doc_id", "n", "kind"])
+        .union(dup)
+        .groupby("doc_id")
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def simhash64(sf_dir: str, cache_cap: int = 1 << 20) -> "ray.data.Dataset":
     """64-bit SimHash over md5-lower-64 word hashes.  The word hash is
     ``int.from_bytes(md5(w).digest()[8:], "little")`` — bit-for-bit
