@@ -1194,6 +1194,49 @@ def oracle_sql() -> dict[str, str]:
             FROM sims ORDER BY doc_id
         """,
         "docs_lang_id": _lang_id_oracle_sql(),
+        # SimHash banded-Hamming dedup: replays simhash (the
+        # docs_simhash CTE) then the banded engine exactly — 4x16-bit
+        # band buckets from the unsigned value, >max_bucket star-cap
+        # around the min id, Hamming verify via bit_count(xor) on the
+        # signed two's-complement representation (same bits)
+        "docs_simhash_dupes": """
+            WITH words AS (
+                SELECT doc_id, md5_number_lower(w) AS h
+                FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+            ), votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM words CROSS JOIN generate_series(0, 63) AS t(b)
+                GROUP BY doc_id, b
+            ), sims AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                                ELSE CAST(0 AS HUGEINT) END) AS u
+                FROM votes GROUP BY doc_id
+            ), sh AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                                 THEN u - CAST('18446744073709551616' AS HUGEINT)
+                                 ELSE u END AS BIGINT) AS s, u
+                FROM sims
+            ), bnd AS (
+                SELECT doc_id, s, band, CAST((u >> (band * 16)) & 65535 AS BIGINT) AS chunk
+                FROM sh CROSS JOIN generate_series(0, 3) AS g(band)
+            ), meta AS (
+                SELECT band, chunk, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+                FROM bnd GROUP BY band, chunk
+            ), cand AS (
+                SELECT DISTINCT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+                       bit_count(xor(d1.s, d2.s)) AS dist
+                FROM bnd d1
+                JOIN bnd d2 ON d1.band = d2.band AND d1.chunk = d2.chunk
+                           AND d1.doc_id < d2.doc_id
+                JOIN meta m ON m.band = d1.band AND m.chunk = d1.chunk
+                WHERE m.cnt <= 256 OR d1.doc_id = m.keeper
+            )
+            SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist FROM cand
+            WHERE dist <= 6 ORDER BY doc_a, doc_b, dist
+        """,
         # MinHash+LSH near-dup: full-pipeline replay (shingles ->
         # permutation minima -> band buckets -> star-cap -> exact
         # Jaccard) sharing the engine's permutation constants verbatim;
