@@ -34,6 +34,7 @@ from opentelemetry_collector_symbolicator_ray.pipelines import (
 
 from opentelemetry_collector_symbolicator_ray.pipelines.symbolicate import (
     input_files,
+    macho_dwarf_lookup,
     macho_symtab_lookup,
     per_processor_telemetry,
     per_sink_aggregates,
@@ -284,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": lambda sf: similarity.knn_bruteforce(sf, KNN_QUERIES, KNN_K),
         "sym_sink_counts": sym_sink_counts,
         "sym_macho_symtab": lambda sf: macho_symtab_lookup(sf),
+        "sym_macho_dwarf": lambda sf: macho_dwarf_lookup(sf),
         "sym_sink_counts_salted": sym_sink_counts_salted,
         "sym_checkpointed_agg": sym_checkpointed_agg,
         "sym_routed_rows": sym_routed_rows,

@@ -688,30 +688,36 @@ class _MachoSymtabLookup:
     from Python-parsed nlist_64 records instead of synthetic tables."""
 
     def __init__(self, blob_ref) -> None:
-        from ..functions.dsymfile import SymCache, parse_macho_symtab
+        from ..functions.dsymfile import SymCache, parse_macho_archive
 
         data = ray.get(blob_ref)
-        self.debug_id, symbols = parse_macho_symtab(data)
-        self.cache = SymCache(symbols)
+        self.debug_id, symbols, line_rows = parse_macho_archive(data)
+        self.cache = SymCache(symbols, line_rows=line_rows)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("event_id").to_pylist()
         addrs = batch.column("instr_addr").to_pylist()
-        symbols, sym_addrs = [], []
+        symbols, sym_addrs, paths, lines = [], [], [], []
         for a in addrs:
             locs = self.cache.lookup(int(a))
             if locs:
                 symbols.append(locs[-1].symbol)
                 sym_addrs.append(locs[-1].sym_addr)
+                paths.append(locs[-1].path or None)
+                lines.append(locs[-1].line or None)
             else:
                 symbols.append(None)
                 sym_addrs.append(None)
+                paths.append(None)
+                lines.append(None)
         return pa.table(
             {
                 "event_id": pa.array(ids, type=pa.int64()),
                 "instr_addr": pa.array(addrs, type=pa.int64()),
                 "symbol": pa.array(symbols, type=pa.string()),
                 "sym_addr": pa.array(sym_addrs, type=pa.int64()),
+                "path": pa.array(paths, type=pa.string()),
+                "line": pa.array(lines, type=pa.int64()),
                 "debug_id": pa.array([self.debug_id] * len(ids), type=pa.string()),
             }
         )
@@ -731,7 +737,35 @@ def macho_symtab_lookup(sf_dir: str, n_symbols: int = 64) -> "ray.data.Dataset":
     from ..synth_artifacts import build_macho_symtab
 
     symbols = [(0x1000 + i * 0x40, f"func_{i:03d}") for i in range(n_symbols)]
-    blob_ref = ray.put(build_macho_symtab(_MACHO_DEBUG_ID, symbols))
+    return _macho_lookup_pipeline(
+        sf_dir, n_symbols, ray.put(build_macho_symtab(_MACHO_DEBUG_ID, symbols))
+    )
+
+
+def macho_dwarf_lookup(sf_dir: str, n_symbols: int = 64) -> "ray.data.Dataset":
+    """Like macho_symtab_lookup but the broadcast binary additionally
+    carries a REAL DWARF v4 ``__DWARF,__debug_line`` section (two line
+    rows per function), so each resolved frame gains file/line from the
+    genuine DWARF line-number program — the layer the reference gets
+    from symbolic-go (dsymprocessor/symbolicator.go:95-104).  Rows-only
+    (DWARF decoding is not SQL-expressible); the state machine itself is
+    pinned by tests/test_dsym.py's hand-crafted-opcode goldens."""
+    from ..synth_artifacts import build_macho_dwarf
+
+    symbols = [(0x1000 + i * 0x40, f"func_{i:03d}") for i in range(n_symbols)]
+    lines: list[tuple[int, str, int]] = []
+    for i in range(n_symbols):
+        base = 0x1000 + i * 0x40
+        lines.append((base, f"src/mod_{i % 8}.swift", 10 + i))
+        lines.append((base + 0x20, f"src/mod_{i % 8}.swift", 11 + i))
+    return _macho_lookup_pipeline(
+        sf_dir, n_symbols, ray.put(build_macho_dwarf(_MACHO_DEBUG_ID, symbols, lines))
+    )
+
+
+def _macho_lookup_pipeline(
+    sf_dir: str, n_symbols: int, blob_ref
+) -> "ray.data.Dataset":
 
     def to_addrs(batch: pa.Table) -> pa.Table:
         import numpy as np

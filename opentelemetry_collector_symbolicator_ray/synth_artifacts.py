@@ -201,17 +201,167 @@ def build_macho_symtab(debug_id: str, symbols: list[tuple[int, str]]) -> bytes:
     return bytes(header + lc_uuid + lc_symtab + nlists + strtab)
 
 
+def _uleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _sleb(n: int) -> bytes:
+    out = bytearray()
+    more = True
+    while more:
+        b = n & 0x7F
+        n >>= 7
+        if (n == 0 and not (b & 0x40)) or (n == -1 and (b & 0x40)):
+            more = False
+        else:
+            b |= 0x80
+        out.append(b)
+    return bytes(out)
+
+
+def build_dwarf_debug_line(lines: list[tuple[int, str, int]]) -> bytes:
+    """Encode a REAL DWARF v4 ``.debug_line`` unit (the genuine on-disk
+    format a dSYM's ``__DWARF,__debug_line`` section holds — the data
+    the reference's symbolic-go reads for file/line resolution,
+    dsymprocessor/symbolicator.go:95-104).  ``lines`` are sorted
+    (address, path, line) rows; the unit uses the standard v4 header
+    (line_base -5, line_range 14, opcode_base 13) and a single sequence
+    of standard opcodes: DW_LNE_set_address, then per row
+    DW_LNS_advance_pc / DW_LNS_set_file / DW_LNS_advance_line /
+    DW_LNS_copy, closed by DW_LNE_end_sequence.  Decodable by any DWARF
+    consumer (dwarfdump, llvm-dwarfdump, symbolic)."""
+    import struct
+
+    if not lines:
+        raise ValueError("build_dwarf_debug_line requires at least one row")
+    files: list[str] = []
+    file_idx: dict[str, int] = {}
+    for _, path, _ in lines:
+        if path not in file_idx:
+            files.append(path)
+            file_idx[path] = len(files)  # DWARF file numbers are 1-based
+
+    # header after header_length field: min_inst(1) max_ops(1)
+    # default_is_stmt(1) line_base(-5) line_range(14) opcode_base(13)
+    # + std opcode arg counts for opcodes 1..12 + dirs + file table
+    post_len = bytearray()
+    post_len += struct.pack("<BBBbBB", 1, 1, 1, -5, 14, 13)
+    post_len += bytes([0, 1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 1])
+    post_len += b"\x00"  # empty include_directories
+    for name in files:
+        post_len += name.encode() + b"\x00" + _uleb(0) + _uleb(0) + _uleb(0)
+    post_len += b"\x00"  # end of file table
+
+    prog = bytearray()
+    first_addr = lines[0][0]
+    prog += b"\x00" + _uleb(9) + b"\x02" + struct.pack("<Q", first_addr)
+    cur_addr, cur_file, cur_line = first_addr, 1, 1
+    for addr, path, line in lines:
+        if addr < cur_addr:
+            raise ValueError("line rows must be sorted by address")
+        if addr != cur_addr:
+            prog += b"\x02" + _uleb(addr - cur_addr)  # DW_LNS_advance_pc
+            cur_addr = addr
+        fi = file_idx[path]
+        if fi != cur_file:
+            prog += b"\x04" + _uleb(fi)  # DW_LNS_set_file
+            cur_file = fi
+        if line != cur_line:
+            prog += b"\x03" + _sleb(line - cur_line)  # DW_LNS_advance_line
+            cur_line = line
+        prog += b"\x01"  # DW_LNS_copy
+    # advance past the final row so its range is non-empty, then close
+    prog += b"\x02" + _uleb(0x40)
+    prog += b"\x00" + _uleb(1) + b"\x01"  # DW_LNE_end_sequence
+
+    body = struct.pack("<HI", 4, len(post_len)) + bytes(post_len) + bytes(prog)
+    return struct.pack("<I", len(body)) + body
+
+
+def build_macho_dwarf(
+    debug_id: str,
+    symbols: list[tuple[int, str]],
+    lines: list[tuple[int, str, int]],
+) -> bytes:
+    """Assemble a real Mach-O 64 binary like build_macho_symtab but with
+    a third load command: an LC_SEGMENT_64 ``__DWARF`` segment holding a
+    genuine ``__debug_line`` section (build_dwarf_debug_line) — the full
+    structural shape of a dSYM bundle's DWARF/<binary> file, giving
+    address->file/line resolution on top of the symtab's
+    address->symbol."""
+    import struct
+    import uuid as uuid_mod
+
+    uuid_bytes = uuid_mod.UUID(debug_id).bytes
+
+    strtab = bytearray(b"\x00")
+    nlists = bytearray()
+    for addr, name in sorted(symbols):
+        n_strx = len(strtab)
+        strtab += name.encode("utf-8") + b"\x00"
+        nlists += struct.pack("<IBBHQ", n_strx, 0x0E, 1, 0, addr)
+
+    debug_line = build_dwarf_debug_line(lines)
+
+    lc_uuid_sz, lc_symtab_sz = 24, 24
+    lc_seg_sz = 72 + 80  # segment_command_64 + one section_64
+    header_sz = 32
+    symoff = header_sz + lc_uuid_sz + lc_symtab_sz + lc_seg_sz
+    stroff = symoff + len(nlists)
+    lineoff = stroff + len(strtab)
+
+    lc_uuid = struct.pack("<II", 0x1B, lc_uuid_sz) + uuid_bytes
+    lc_symtab = struct.pack(
+        "<IIIIII", 0x02, lc_symtab_sz, symoff, len(symbols), stroff, len(strtab)
+    )
+    seg = struct.pack(
+        "<II16sQQQQiiII",
+        0x19, lc_seg_sz, b"__DWARF",
+        0, len(debug_line),          # vmaddr, vmsize
+        lineoff, len(debug_line),    # fileoff, filesize
+        7, 3,                        # maxprot, initprot
+        1, 0,                        # nsects, flags
+    )
+    sect = struct.pack(
+        "<16s16sQQIIIIIIII",
+        b"__debug_line", b"__DWARF",
+        0, len(debug_line), lineoff,
+        0, 0, 0, 0, 0, 0, 0,
+    )
+    header = struct.pack(
+        "<IiiIIII",
+        0xFEEDFACF, 0x0100000C, 0, 0xA,
+        3, lc_uuid_sz + lc_symtab_sz + lc_seg_sz, 0,
+    ) + struct.pack("<I", 0)
+    return bytes(header + lc_uuid + lc_symtab + seg + sect + nlists + strtab + debug_line)
+
+
 def write_macho_dsym(
     dir_path: str,
     debug_id: str,
     binary_name: str,
     symbols: list[tuple[int, str]],
+    lines: list[tuple[int, str, int]] | None = None,
 ) -> None:
-    """Write a real Mach-O symtab dSYM under the reference's store key
+    """Write a real Mach-O dSYM (symtab-only, or symtab + DWARF
+    .debug_line when ``lines`` is given) under the reference's store key
     layout <dir>/<debug_id>.dSYM/Contents/Resources/DWARF/<binary>."""
     dwarf_dir = os.path.join(
         dir_path, f"{debug_id}.dSYM", "Contents", "Resources", "DWARF"
     )
     os.makedirs(dwarf_dir, exist_ok=True)
+    blob = (
+        build_macho_dwarf(debug_id, symbols, lines)
+        if lines
+        else build_macho_symtab(debug_id, symbols)
+    )
     with open(os.path.join(dwarf_dir, binary_name), "wb") as f:
-        f.write(build_macho_symtab(debug_id, symbols))
+        f.write(blob)

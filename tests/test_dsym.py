@@ -490,3 +490,136 @@ def test_macho_symtab_lookup_query(ray_session):
             i = min((addr - 0x1000) >> 6, 63)
             assert row["symbol"] == f"func_{i:03d}"
             assert int(row["sym_addr"]) == 0x1000 + i * 0x40
+
+
+def test_macho_dwarf_line_roundtrip(tmp_path):
+    """A Mach-O carrying a REAL DWARF v4 .debug_line section resolves
+    addr -> (file, line) through the full line-number state machine:
+    rows own [their addr, next row's addr); the end_sequence closes the
+    final range."""
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        DsymArchive,
+        parse_macho_archive,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        build_macho_dwarf,
+    )
+
+    symbols = [(0x1000, "main"), (0x1100, "helper")]
+    lines = [
+        (0x1000, "app/main.c", 10),
+        (0x1040, "app/main.c", 12),
+        (0x1100, "app/util.c", 5),
+    ]
+    blob = build_macho_dwarf(MACHO_UUID, symbols, lines)
+    uid, syms, rows = parse_macho_archive(blob)
+    assert uid == MACHO_UUID.lower()
+    assert [s["symbol"] for s in syms] == ["main", "helper"]
+    assert rows[:3] == [(0x1000, "app/main.c", 10), (0x1040, "app/main.c", 12), (0x1100, "app/util.c", 5)]
+    assert rows[-1][1] is None  # end_sequence closes the table
+
+    arc = DsymArchive(blob)
+    loc = arc.lookup(MACHO_UUID, 0x1000)[-1]
+    assert (loc.symbol, loc.path, loc.line) == ("main", "app/main.c", 10)
+    loc = arc.lookup(MACHO_UUID, 0x103F)[-1]
+    assert (loc.path, loc.line) == ("app/main.c", 10)
+    loc = arc.lookup(MACHO_UUID, 0x1040)[-1]
+    assert (loc.path, loc.line) == ("app/main.c", 12)
+    loc = arc.lookup(MACHO_UUID, 0x1105)[-1]
+    assert (loc.symbol, loc.path, loc.line) == ("helper", "app/util.c", 5)
+    # past the end_sequence (0x1100 + 0x40): symbol still resolves
+    # (unbounded last symtab entry) but the line table is closed
+    loc = arc.lookup(MACHO_UUID, 0x1200)[-1]
+    assert loc.symbol == "helper" and loc.path == "" and loc.line == 0
+
+
+def test_macho_dwarf_end_to_end_store_lookup(tmp_path):
+    """write_macho_dsym(lines=...) -> DsymStore -> symbolicate_frame
+    carries DWARF file/line into the mapped frame."""
+    from opentelemetry_collector_symbolicator_ray.sources.stores import DsymStore
+    from opentelemetry_collector_symbolicator_ray.stages.dsym_processor import (
+        DsymSymbolicator,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        write_macho_dsym,
+    )
+
+    d = str(tmp_path / "machos")
+    write_macho_dsym(
+        d, MACHO_UUID, BINARY,
+        [(100372, "main")],
+        lines=[(100372, "src/app.swift", 41), (100420, "src/app.swift", 44)],
+    )
+    sym = DsymSymbolicator(DsymStore(d))
+    locs = sym.symbolicate_frame(MACHO_UUID, BINARY, 100436)
+    assert [(l.symbol, l.path, l.line) for l in locs] == [("main", "src/app.swift", 44)]
+
+
+def test_dwarf_special_opcodes_and_v2_header():
+    """Hand-crafted DWARF v2 unit exercising special opcodes,
+    DW_LNS_const_add_pc, DW_LNS_fixed_advance_pc and a directory-mapped
+    file table — the opcodes real compilers emit that the synthetic
+    builder does not."""
+    import struct
+
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        parse_dwarf_debug_line,
+    )
+
+    def uleb(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | 0x80 if n else b)
+            if not n:
+                return bytes(out)
+
+    post = struct.pack("<BBbBB", 1, 1, -5, 14, 13) + bytes(
+        [0, 1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 1]
+    )
+    post += b"src\x00\x00"
+    post += b"a.c\x00" + uleb(1) + uleb(0) + uleb(0)
+    post += b"\x00"
+    prog = b"\x00" + uleb(9) + b"\x02" + struct.pack("<Q", 0x2000)
+    prog += bytes([49])  # special: addr +2, line 1 + (-5 + 36%14) = 4
+    prog += b"\x08"      # const_add_pc: addr += (255-13)//14 = 17
+    prog += b"\x09" + struct.pack("<H", 0x10) + b"\x01"  # fixed_advance + copy
+    prog += b"\x00" + uleb(1) + b"\x01"
+    body = struct.pack("<HI", 2, len(post)) + post + prog
+    unit = struct.pack("<I", len(body)) + body
+    rows = parse_dwarf_debug_line(unit)
+    assert rows == [
+        (0x2002, "src/a.c", 4),
+        (0x2002 + 17 + 0x10, "src/a.c", 4),
+        (0x2002 + 17 + 0x10, None, 0),
+    ]
+
+
+def test_dwarf_corruption_is_loud():
+    from opentelemetry_collector_symbolicator_ray.errors import SymbolicationError
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        parse_dwarf_debug_line,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        build_dwarf_debug_line,
+    )
+
+    unit = build_dwarf_debug_line([(0x1000, "a.c", 1)])
+    with pytest.raises(SymbolicationError, match="overruns section"):
+        parse_dwarf_debug_line(unit[:-4])
+    with pytest.raises(SymbolicationError, match="unsupported .debug_line version"):
+        bad = bytearray(unit)
+        bad[4] = 9  # version field
+        parse_dwarf_debug_line(bytes(bad))
+    # truncated Mach-O section bounds are caught at the archive layer
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        parse_macho_archive,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        build_macho_dwarf,
+    )
+
+    blob = build_macho_dwarf(MACHO_UUID, [(0x1000, "f")], [(0x1000, "a.c", 1)])
+    with pytest.raises(SymbolicationError, match="overruns"):
+        parse_macho_archive(blob[:-10])
