@@ -7,9 +7,12 @@ so this engine accepts THREE archive layers: a JSON symbol table
 (synth_artifacts.write_dsym: sorted (sym_addr, end, symbol, path,
 line[, lang, inlines]) records), a real Mach-O 64 symtab
 (parse_macho_archive: LC_UUID + LC_SYMTAB nlist_64 records), and — when
-the Mach-O carries a ``__DWARF,__debug_line`` section — a REAL DWARF
-v2-v4 line-number program (parse_dwarf_debug_line) resolving
-addr -> (file, line).  Lookup semantics and
+the Mach-O carries ``__DWARF`` sections — REAL DWARF v2-v4: the
+``.debug_line`` line-number program (parse_dwarf_debug_line) resolving
+addr -> (file, line), and ``.debug_info``/``.debug_abbrev`` inline
+DIEs (parse_dwarf_debug_info) yielding standard inline unwinding
+(innermost frame = PC's line entry, outer frames = call sites).
+Lookup semantics and
 error texts mirror dsymprocessor/symbolicator.go:104-116, and the
 address math is anchored to the reference golden
 (dsymprocessor/symbolicator_test.go:31-41): lookup(100436) -> [main],
@@ -37,18 +40,53 @@ class DsymLocation:
     symbol: str
 
 
+@dataclass
+class DwarfData:
+    """Decoded DWARF payload of a Mach-O dSYM: .debug_line rows + the
+    unit file table, and .debug_info inline records."""
+
+    line_rows: "list[tuple[int, str | None, int]]"
+    files: list[str]
+    inlines: list[dict]
+
+
 class SymCache:
     def __init__(
         self,
         symbols: list[dict],
         line_rows: "list[tuple[int, str | None, int]] | None" = None,
+        dwarf: "DwarfData | None" = None,
     ) -> None:
         self.symbols = sorted(symbols, key=lambda s: s["sym_addr"])
         self._starts = [s["sym_addr"] for s in self.symbols]
+        if dwarf is not None and line_rows is None:
+            line_rows = dwarf.line_rows
         # DWARF .debug_line rows: (address, path|None, line), sorted;
         # path None marks an end_sequence boundary (range closed)
         self._line_rows = sorted(line_rows) if line_rows else None
         self._line_addrs = [r[0] for r in self._line_rows] if line_rows else None
+        self._files = dwarf.files if dwarf else []
+        # inline records sorted outer-first within an address: by
+        # (low asc, depth asc) so a containing-addr scan yields the
+        # outer->inner chain directly
+        self._inlines = (
+            sorted(dwarf.inlines, key=lambda r: (r["low"], r["depth"]))
+            if dwarf and dwarf.inlines
+            else []
+        )
+
+    def _file(self, idx: int) -> str:
+        if 1 <= idx <= len(self._files):
+            return self._files[idx - 1]
+        return ""
+
+    def _inline_chain(self, addr: int) -> list[dict]:
+        """Inline records whose [low, high) contains addr, outer first.
+        Inline DIE lists are subprogram-sized (a handful of records per
+        function), so a linear scan is the right cost here."""
+        chain = [r for r in self._inlines if r["low"] <= addr < r["high"]]
+        chain.sort(key=lambda r: r["depth"])
+        return chain
 
     def _line_for(self, addr: int) -> "tuple[str, int] | None":
         """Resolve addr -> (path, line) from the DWARF line table: the
@@ -74,6 +112,9 @@ class SymCache:
             return []
         dwarf_line = None
         if "path" not in sym:
+            chain = self._inline_chain(addr)
+            if chain:
+                return self._dwarf_inline_locations(addr, sym, chain)
             dwarf_line = self._line_for(addr)
         locations = []
         # DWARF-style inline expansion: innermost inline frames first,
@@ -101,6 +142,44 @@ class SymCache:
             )
         )
         return locations
+
+    def _dwarf_inline_locations(
+        self, addr: int, sym: dict, chain: list[dict]
+    ) -> list[DsymLocation]:
+        """Standard DWARF inline unwinding (what symbolic-go emits): the
+        innermost inline frame carries the line-table entry at the PC;
+        each outer frame carries the CALL SITE (call_file/call_line) of
+        the inline nested inside it; the physical symtab frame last."""
+        inner = self._line_for(addr) or ("", 0)
+        frames: list[DsymLocation] = []
+        for j in range(len(chain) - 1, -1, -1):
+            rec = chain[j]
+            if j == len(chain) - 1:
+                path, line = inner
+            else:
+                callee = chain[j + 1]
+                path, line = self._file(callee["call_file"]), callee["call_line"]
+            frames.append(
+                DsymLocation(
+                    path=path,
+                    instr_addr=addr,
+                    lang=sym.get("lang", ""),
+                    line=line,
+                    sym_addr=sym["sym_addr"],
+                    symbol=rec["name"],
+                )
+            )
+        frames.append(
+            DsymLocation(
+                path=self._file(chain[0]["call_file"]),
+                instr_addr=addr,
+                lang=sym.get("lang", ""),
+                line=chain[0]["call_line"],
+                sym_addr=sym["sym_addr"],
+                symbol=sym.get("symbol", ""),
+            )
+        )
+        return frames
 
 
 MACHO_MAGIC_64_LE = b"\xcf\xfa\xed\xfe"  # MH_MAGIC_64, little-endian
@@ -140,7 +219,189 @@ def _read_sleb(data: bytes, off: int) -> tuple[int, int]:
             return result, off
 
 
+def parse_dwarf_debug_info(
+    info: bytes, abbrev: bytes, debug_str: bytes = b""
+) -> list[dict]:
+    """Decode real DWARF v2-v4 ``.debug_info`` against its
+    ``.debug_abbrev`` table into the inline-chain records a symbolicator
+    needs: one dict per ``DW_TAG_inlined_subroutine`` —
+    ``{low, high, name, call_file, call_line, depth}`` (depth 1 =
+    directly under its subprogram; call_file is a 1-based index into the
+    unit's .debug_line file table).  The walk is form-driven (every
+    DWARF v4 form is length-decoded so unknown attributes skip
+    correctly) and names resolve through DW_AT_abstract_origin /
+    DW_AT_specification references, the indirection real compilers emit
+    for inline instances.  This plus parse_dwarf_debug_line is the
+    symbolic-go layer of the reference (dsymprocessor/symbolicator.go:
+    95-116)."""
+    import struct
+
+    def fail(why: str) -> SymbolicationError:
+        return SymbolicationError(f"invalid dSYM archive: {why}")
+
+    # ---- .debug_abbrev: code -> (tag, has_children, [(attr, form)]) ----
+    def parse_abbrev_table(off: int) -> dict[int, tuple[int, bool, list]]:
+        table: dict[int, tuple[int, bool, list]] = {}
+        while off < len(abbrev):
+            code, off = _read_uleb(abbrev, off)
+            if code == 0:
+                break
+            tag, off = _read_uleb(abbrev, off)
+            if off >= len(abbrev):
+                raise fail("truncated .debug_abbrev")
+            has_children = abbrev[off] != 0
+            off += 1
+            attrs = []
+            while True:
+                at, off = _read_uleb(abbrev, off)
+                form, off = _read_uleb(abbrev, off)
+                if at == 0 and form == 0:
+                    break
+                attrs.append((at, form))
+            table[code] = (tag, has_children, attrs)
+        return table
+
+    def read_form(form: int, p: int, addr_size: int) -> tuple[object, int]:
+        """Return (value, new_offset); value semantics depend on form."""
+        if form == 0x01:  # addr
+            v = int.from_bytes(info[p: p + addr_size], "little")
+            return v, p + addr_size
+        if form in (0x0B, 0x0C, 0x11):  # data1, flag, ref1
+            return info[p], p + 1
+        if form in (0x05, 0x12):  # data2, ref2
+            return struct.unpack_from("<H", info, p)[0], p + 2
+        if form in (0x06, 0x13, 0x0E, 0x10, 0x17):  # data4, ref4, strp, ref_addr, sec_offset
+            return struct.unpack_from("<I", info, p)[0], p + 4
+        if form in (0x07, 0x14, 0x20):  # data8, ref8, ref_sig8
+            return struct.unpack_from("<Q", info, p)[0], p + 8
+        if form == 0x08:  # string (inline)
+            end = info.find(b"\x00", p)
+            if end < 0:
+                raise fail("unterminated DW_FORM_string")
+            return info[p:end].decode("utf-8", "replace"), end + 1
+        if form in (0x0F, 0x15):  # udata, ref_udata
+            return _read_uleb(info, p)
+        if form == 0x0D:  # sdata
+            return _read_sleb(info, p)
+        if form == 0x19:  # flag_present
+            return 1, p
+        if form == 0x03:  # block2
+            n = struct.unpack_from("<H", info, p)[0]
+            return info[p + 2: p + 2 + n], p + 2 + n
+        if form == 0x04:  # block4
+            n = struct.unpack_from("<I", info, p)[0]
+            return info[p + 4: p + 4 + n], p + 4 + n
+        if form == 0x0A:  # block1
+            n = info[p]
+            return info[p + 1: p + 1 + n], p + 1 + n
+        if form in (0x09, 0x18):  # block, exprloc
+            n, p = _read_uleb(info, p)
+            return info[p: p + n], p + n
+        if form == 0x16:  # indirect
+            actual, p = _read_uleb(info, p)
+            return read_form(actual, p, addr_size)
+        raise fail(f"unsupported DWARF form 0x{form:02x}")
+
+    _AT_NAME, _AT_LOW, _AT_HIGH = 0x03, 0x11, 0x12
+    _AT_ORIGIN, _AT_SPEC = 0x31, 0x47
+    _AT_CALL_FILE, _AT_CALL_LINE = 0x58, 0x59
+    _TAG_INLINED = 0x1D
+
+    records: list[dict] = []
+    name_by_offset: dict[int, str] = {}
+    origin_by_record: list[tuple[int, int | None]] = []  # (record idx, ref)
+
+    off = 0
+    while off < len(info):
+        (unit_len,) = struct.unpack_from("<I", info, off)
+        if unit_len == 0xFFFFFFFF:
+            raise fail("64-bit DWARF .debug_info units are not supported")
+        unit_start, unit_end = off, off + 4 + unit_len
+        if unit_end > len(info):
+            raise fail(".debug_info unit overruns section")
+        p = off + 4
+        version, abbrev_off = struct.unpack_from("<HI", info, p)
+        if version < 2 or version > 4:
+            raise fail(f"unsupported .debug_info version {version}")
+        addr_size = info[p + 6]
+        p += 7
+        table = parse_abbrev_table(abbrev_off)
+        depth_stack: list[int] = []  # has_children nesting; tag per level
+        inline_depth = 0
+        while p < unit_end:
+            die_off = p - unit_start  # CU-relative, the ref4 base
+            code, p = _read_uleb(info, p)
+            if code == 0:
+                if depth_stack:
+                    if depth_stack.pop() == _TAG_INLINED:
+                        inline_depth -= 1
+                continue
+            entry = table.get(code)
+            if entry is None:
+                raise fail(f"abbrev code {code} not in .debug_abbrev")
+            tag, has_children, attrs = entry
+            vals: dict[int, object] = {}
+            for at, form in attrs:
+                v, p = read_form(form, p, addr_size)
+                vals[at] = v
+            name = vals.get(_AT_NAME)
+            if isinstance(name, int):  # strp into .debug_str
+                end = debug_str.find(b"\x00", name)
+                name = debug_str[name:end].decode("utf-8", "replace") if end >= 0 else None
+            if isinstance(name, str):
+                name_by_offset[die_off] = name
+            if tag == _TAG_INLINED:
+                inline_depth += 1
+                low = vals.get(_AT_LOW)
+                high = vals.get(_AT_HIGH)
+                # DWARF4 allows high_pc as an offset (constant class)
+                if isinstance(high, int) and isinstance(low, int) and high < low:
+                    high = low + high
+                ref = vals.get(_AT_ORIGIN, vals.get(_AT_SPEC))
+                records.append(
+                    {
+                        "low": low if isinstance(low, int) else 0,
+                        "high": high if isinstance(high, int) else 0,
+                        "name": name if isinstance(name, str) else None,
+                        "call_file": int(vals.get(_AT_CALL_FILE, 0) or 0),
+                        "call_line": int(vals.get(_AT_CALL_LINE, 0) or 0),
+                        "depth": inline_depth,
+                    }
+                )
+                origin_by_record.append(
+                    (len(records) - 1, ref if isinstance(ref, int) else None)
+                )
+                if not has_children:
+                    inline_depth -= 1
+            if has_children:
+                depth_stack.append(tag)
+        off = unit_end
+
+    for idx, ref in origin_by_record:
+        if records[idx]["name"] is None and ref is not None:
+            records[idx]["name"] = name_by_offset.get(ref, "")
+        if records[idx]["name"] is None:
+            records[idx]["name"] = ""
+    return records
+
+
+def parse_dwarf_line_table(
+    section: bytes,
+) -> "tuple[list[tuple[int, str | None, int]], list[str]]":
+    """parse_dwarf_debug_line plus the FIRST unit's file-name table
+    (what DW_AT_call_file indexes, 1-based)."""
+    rows, files = _parse_debug_line_impl(section)
+    return rows, files
+
+
 def parse_dwarf_debug_line(section: bytes) -> "list[tuple[int, str | None, int]]":
+    rows, _ = _parse_debug_line_impl(section)
+    return rows
+
+
+def _parse_debug_line_impl(
+    section: bytes,
+) -> "tuple[list[tuple[int, str | None, int]], list[str]]":
     """Decode a real DWARF ``.debug_line`` section (versions 2-4, the
     formats Mach-O dSYMs carry) into sorted (address, path, line) rows;
     an end_sequence emits (address, None, 0) closing the range.  This is
@@ -155,6 +416,7 @@ def parse_dwarf_debug_line(section: bytes) -> "list[tuple[int, str | None, int]]
         return SymbolicationError(f"invalid dSYM archive: {why}")
 
     rows: list[tuple[int, str | None, int]] = []
+    first_files: list[str] | None = None
     off = 0
     while off < len(section):
         if off + 4 > len(section):
@@ -223,6 +485,9 @@ def parse_dwarf_debug_line(section: bytes) -> "list[tuple[int, str | None, int]]
             if dir_idx and dir_idx <= len(dirs):
                 name = dirs[dir_idx - 1] + "/" + name
             files.append(name)
+
+        if first_files is None:
+            first_files = files
 
         def file_path(idx: int) -> str:
             # DWARF file numbers are 1-based in v2-v4
@@ -304,7 +569,7 @@ def parse_dwarf_debug_line(section: bytes) -> "list[tuple[int, str | None, int]]
         del default_is_stmt
         off = unit_end
     rows.sort(key=lambda r: (r[0], r[1] is None))
-    return rows
+    return rows, first_files or []
 
 
 def parse_macho_symtab(data: bytes) -> tuple[str, list[dict]]:
@@ -315,7 +580,7 @@ def parse_macho_symtab(data: bytes) -> tuple[str, list[dict]]:
 
 def parse_macho_archive(
     data: bytes,
-) -> "tuple[str, list[dict], list[tuple[int, str | None, int]] | None]":
+) -> "tuple[str, list[dict], DwarfData | None]":
     """Parse a real Mach-O 64-bit (little-endian) binary's LC_UUID +
     LC_SYMTAB into (debug_id, sorted symbol dicts) — the genuine binary
     format inside a dSYM bundle's ``Contents/Resources/DWARF/<binary>``.
@@ -325,11 +590,13 @@ def parse_macho_archive(
     to defined non-debug section symbols (N_SECT, not N_STAB), names
     from the string table, each symbol's end = the next symbol's start
     (the standard symbolicator convention; the last symbol is
-    unbounded).  When the binary carries a ``__DWARF,__debug_line``
-    section (LC_SEGMENT_64 walk), the REAL DWARF line program is decoded
-    (parse_dwarf_debug_line) and returned as the third element for
-    address->file/line resolution; symtab-only binaries return None and
-    their lookups carry symbol + sym_addr with empty path/line.
+    unbounded).  When the binary carries ``__DWARF`` sections
+    (LC_SEGMENT_64 walk), the REAL DWARF payload is decoded and returned
+    as a DwarfData third element: the ``__debug_line`` line-number
+    program (parse_dwarf_debug_line) for addr->(file,line), and — when
+    ``__debug_info``/``__debug_abbrev`` are present — the inline-chain
+    records (parse_dwarf_debug_info).  Symtab-only binaries return None
+    and their lookups carry symbol + sym_addr with empty path/line.
 
     Raises SymbolicationError on structural corruption (truncated
     header/commands/tables, missing LC_UUID or LC_SYMTAB)."""
@@ -348,7 +615,7 @@ def parse_macho_archive(
     off = 32
     uuid_str: str | None = None
     symtab: tuple[int, int, int, int] | None = None
-    debug_line_loc: tuple[int, int] | None = None
+    dwarf_sections: dict[str, tuple[int, int]] = {}
     end_cmds = 32 + sizeofcmds
     for _ in range(ncmds):
         if off + 8 > len(data) or off + 8 > end_cmds:
@@ -374,11 +641,11 @@ def parse_macho_archive(
                 so = off + 72 + si * 80
                 sectname = data[so: so + 16].rstrip(b"\x00")
                 segname = data[so + 16: so + 32].rstrip(b"\x00")
-                if sectname == b"__debug_line" and segname == b"__DWARF":
+                if segname == b"__DWARF" and sectname.startswith(b"__debug_"):
                     size, offset = struct.unpack_from("<QI", data, so + 40)
                     if offset + size > len(data):
-                        raise fail("__debug_line section overruns file")
-                    debug_line_loc = (offset, size)
+                        raise fail(f"{sectname.decode()} section overruns file")
+                    dwarf_sections[sectname.decode()] = (offset, size)
         off += cmdsize
     if uuid_str is None:
         raise fail("missing LC_UUID")
@@ -409,11 +676,22 @@ def parse_macho_archive(
     for i, (addr, name) in enumerate(entries):
         end = entries[i + 1][0] if i + 1 < len(entries) else 1 << 63
         symbols.append({"sym_addr": addr, "end": end, "symbol": name})
-    line_rows = None
-    if debug_line_loc is not None:
-        sect_off, sect_size = debug_line_loc
-        line_rows = parse_dwarf_debug_line(data[sect_off: sect_off + sect_size])
-    return uuid_str, symbols, line_rows
+    dwarf = None
+    if "__debug_line" in dwarf_sections:
+        def sect(name: str) -> bytes:
+            o, n = dwarf_sections[name]
+            return data[o: o + n]
+
+        rows, files = parse_dwarf_line_table(sect("__debug_line"))
+        inlines: list[dict] = []
+        if "__debug_info" in dwarf_sections and "__debug_abbrev" in dwarf_sections:
+            inlines = parse_dwarf_debug_info(
+                sect("__debug_info"),
+                sect("__debug_abbrev"),
+                sect("__debug_str") if "__debug_str" in dwarf_sections else b"",
+            )
+        dwarf = DwarfData(line_rows=rows, files=files, inlines=inlines)
+    return uuid_str, symbols, dwarf
 
 
 class DsymArchive:
@@ -427,9 +705,9 @@ class DsymArchive:
 
     def __init__(self, data: bytes) -> None:
         if isinstance(data, (bytes, bytearray)) and data[:4] == MACHO_MAGIC_64_LE:
-            debug_id, symbols, line_rows = parse_macho_archive(bytes(data))
+            debug_id, symbols, dwarf = parse_macho_archive(bytes(data))
             self.sym_caches: dict[str, SymCache] = {
-                debug_id.lower(): SymCache(symbols, line_rows=line_rows)
+                debug_id.lower(): SymCache(symbols, dwarf=dwarf)
             }
             return
         try:

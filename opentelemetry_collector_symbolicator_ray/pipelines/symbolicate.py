@@ -691,8 +691,8 @@ class _MachoSymtabLookup:
         from ..functions.dsymfile import SymCache, parse_macho_archive
 
         data = ray.get(blob_ref)
-        self.debug_id, symbols, line_rows = parse_macho_archive(data)
-        self.cache = SymCache(symbols, line_rows=line_rows)
+        self.debug_id, symbols, dwarf = parse_macho_archive(data)
+        self.cache = SymCache(symbols, dwarf=dwarf)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("event_id").to_pylist()

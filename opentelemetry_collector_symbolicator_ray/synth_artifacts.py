@@ -286,17 +286,84 @@ def build_dwarf_debug_line(lines: list[tuple[int, str, int]]) -> bytes:
     return struct.pack("<I", len(body)) + body
 
 
+def build_dwarf_debug_info(
+    subprograms: list[dict],
+) -> tuple[bytes, bytes]:
+    """Encode REAL DWARF v4 ``.debug_abbrev`` + ``.debug_info``
+    sections describing subprograms with nested
+    ``DW_TAG_inlined_subroutine`` DIEs — the data symbolic-go walks to
+    produce inline frame chains (dsymprocessor/symbolicator.go:95-116,
+    consumed 1->N at logs_processor.go:126-133).  ``subprograms`` is a
+    list of dicts ``{low, high, name, inlines: [...]}​`` where each
+    inline is ``{low, high, name, call_file, call_line, inlines: [...]}``
+    (``call_file`` is a 1-based index into the unit's .debug_line file
+    table).  Encoded with DW_FORM_string / DW_FORM_addr / DW_FORM_udata
+    — decodable by any DWARF consumer."""
+    import struct
+
+    # abbrev 1: compile_unit (children), name
+    # abbrev 2: subprogram (children), name, low_pc, high_pc
+    # abbrev 3: inlined_subroutine (children), name, low_pc, high_pc,
+    #           call_file, call_line
+    abbrev = bytearray()
+    abbrev += _uleb(1) + _uleb(0x11) + b"\x01"
+    abbrev += _uleb(0x03) + _uleb(0x08)
+    abbrev += b"\x00\x00"
+    abbrev += _uleb(2) + _uleb(0x2E) + b"\x01"
+    abbrev += _uleb(0x03) + _uleb(0x08)
+    abbrev += _uleb(0x11) + _uleb(0x01)
+    abbrev += _uleb(0x12) + _uleb(0x01)
+    abbrev += b"\x00\x00"
+    abbrev += _uleb(3) + _uleb(0x1D) + b"\x01"
+    abbrev += _uleb(0x03) + _uleb(0x08)
+    abbrev += _uleb(0x11) + _uleb(0x01)
+    abbrev += _uleb(0x12) + _uleb(0x01)
+    abbrev += _uleb(0x58) + _uleb(0x0F)
+    abbrev += _uleb(0x59) + _uleb(0x0F)
+    abbrev += b"\x00\x00"
+    abbrev += b"\x00"  # end of abbrev table
+
+    def emit_inline(die: dict) -> bytes:
+        out = bytearray()
+        out += _uleb(3)
+        out += die["name"].encode() + b"\x00"
+        out += struct.pack("<Q", die["low"]) + struct.pack("<Q", die["high"])
+        out += _uleb(die["call_file"]) + _uleb(die["call_line"])
+        for child in die.get("inlines", []):
+            out += emit_inline(child)
+        out += b"\x00"  # end of children
+        return bytes(out)
+
+    body = bytearray()
+    body += _uleb(1) + b"synth.c\x00"  # compile_unit
+    for sp in subprograms:
+        body += _uleb(2)
+        body += sp["name"].encode() + b"\x00"
+        body += struct.pack("<Q", sp["low"]) + struct.pack("<Q", sp["high"])
+        for die in sp.get("inlines", []):
+            body += emit_inline(die)
+        body += b"\x00"
+    body += b"\x00"  # end of compile_unit children
+
+    cu = struct.pack("<HIB", 4, 0, 8) + bytes(body)
+    info = struct.pack("<I", len(cu)) + cu
+    return bytes(abbrev), info
+
+
 def build_macho_dwarf(
     debug_id: str,
     symbols: list[tuple[int, str]],
     lines: list[tuple[int, str, int]],
+    subprograms: list[dict] | None = None,
 ) -> bytes:
     """Assemble a real Mach-O 64 binary like build_macho_symtab but with
     a third load command: an LC_SEGMENT_64 ``__DWARF`` segment holding a
-    genuine ``__debug_line`` section (build_dwarf_debug_line) — the full
-    structural shape of a dSYM bundle's DWARF/<binary> file, giving
-    address->file/line resolution on top of the symtab's
-    address->symbol."""
+    genuine ``__debug_line`` section (build_dwarf_debug_line) and — when
+    ``subprograms`` carry inline DIEs — ``__debug_abbrev`` +
+    ``__debug_info`` (build_dwarf_debug_info) — the full structural
+    shape of a dSYM bundle's DWARF/<binary> file, giving
+    address->file/line and inline-chain resolution on top of the
+    symtab's address->symbol."""
     import struct
     import uuid as uuid_mod
 
@@ -309,39 +376,55 @@ def build_macho_dwarf(
         strtab += name.encode("utf-8") + b"\x00"
         nlists += struct.pack("<IBBHQ", n_strx, 0x0E, 1, 0, addr)
 
-    debug_line = build_dwarf_debug_line(lines)
+    sections: list[tuple[bytes, bytes]] = [
+        (b"__debug_line", build_dwarf_debug_line(lines))
+    ]
+    if subprograms:
+        abbrev, info = build_dwarf_debug_info(subprograms)
+        sections.append((b"__debug_abbrev", abbrev))
+        sections.append((b"__debug_info", info))
 
     lc_uuid_sz, lc_symtab_sz = 24, 24
-    lc_seg_sz = 72 + 80  # segment_command_64 + one section_64
+    lc_seg_sz = 72 + 80 * len(sections)
     header_sz = 32
     symoff = header_sz + lc_uuid_sz + lc_symtab_sz + lc_seg_sz
     stroff = symoff + len(nlists)
-    lineoff = stroff + len(strtab)
+    data_off = stroff + len(strtab)
 
     lc_uuid = struct.pack("<II", 0x1B, lc_uuid_sz) + uuid_bytes
     lc_symtab = struct.pack(
         "<IIIIII", 0x02, lc_symtab_sz, symoff, len(symbols), stroff, len(strtab)
     )
+    total_size = sum(len(payload) for _, payload in sections)
     seg = struct.pack(
         "<II16sQQQQiiII",
         0x19, lc_seg_sz, b"__DWARF",
-        0, len(debug_line),          # vmaddr, vmsize
-        lineoff, len(debug_line),    # fileoff, filesize
+        0, total_size,               # vmaddr, vmsize
+        data_off, total_size,        # fileoff, filesize
         7, 3,                        # maxprot, initprot
-        1, 0,                        # nsects, flags
+        len(sections), 0,            # nsects, flags
     )
-    sect = struct.pack(
-        "<16s16sQQIIIIIIII",
-        b"__debug_line", b"__DWARF",
-        0, len(debug_line), lineoff,
-        0, 0, 0, 0, 0, 0, 0,
-    )
+    sects = bytearray()
+    payloads = bytearray()
+    off = data_off
+    for sectname, payload in sections:
+        sects += struct.pack(
+            "<16s16sQQIIIIIIII",
+            sectname, b"__DWARF",
+            0, len(payload), off,
+            0, 0, 0, 0, 0, 0, 0,
+        )
+        payloads += payload
+        off += len(payload)
     header = struct.pack(
         "<IiiIIII",
         0xFEEDFACF, 0x0100000C, 0, 0xA,
         3, lc_uuid_sz + lc_symtab_sz + lc_seg_sz, 0,
     ) + struct.pack("<I", 0)
-    return bytes(header + lc_uuid + lc_symtab + seg + sect + nlists + strtab + debug_line)
+    return bytes(
+        header + lc_uuid + lc_symtab + seg + bytes(sects)
+        + nlists + strtab + bytes(payloads)
+    )
 
 
 def write_macho_dsym(

@@ -512,11 +512,13 @@ def test_macho_dwarf_line_roundtrip(tmp_path):
         (0x1100, "app/util.c", 5),
     ]
     blob = build_macho_dwarf(MACHO_UUID, symbols, lines)
-    uid, syms, rows = parse_macho_archive(blob)
+    uid, syms, dwarf = parse_macho_archive(blob)
     assert uid == MACHO_UUID.lower()
     assert [s["symbol"] for s in syms] == ["main", "helper"]
-    assert rows[:3] == [(0x1000, "app/main.c", 10), (0x1040, "app/main.c", 12), (0x1100, "app/util.c", 5)]
-    assert rows[-1][1] is None  # end_sequence closes the table
+    assert dwarf.line_rows[:3] == [(0x1000, "app/main.c", 10), (0x1040, "app/main.c", 12), (0x1100, "app/util.c", 5)]
+    assert dwarf.line_rows[-1][1] is None  # end_sequence closes the table
+    assert dwarf.files == ["app/main.c", "app/util.c"]
+    assert dwarf.inlines == []
 
     arc = DsymArchive(blob)
     loc = arc.lookup(MACHO_UUID, 0x1000)[-1]
@@ -623,3 +625,107 @@ def test_dwarf_corruption_is_loud():
     blob = build_macho_dwarf(MACHO_UUID, [(0x1000, "f")], [(0x1000, "a.c", 1)])
     with pytest.raises(SymbolicationError, match="overruns"):
         parse_macho_archive(blob[:-10])
+
+
+def test_macho_dwarf_inline_chain_roundtrip():
+    """__debug_info/__debug_abbrev inline DIEs produce the standard
+    DWARF inline unwinding: innermost frame = PC's line-table entry,
+    each outer frame = the call site of the inline nested inside it,
+    physical symtab frame last."""
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        DsymArchive,
+        parse_macho_archive,
+    )
+    from opentelemetry_collector_symbolicator_ray.synth_artifacts import (
+        build_macho_dwarf,
+    )
+
+    symbols = [(0x1000, "main"), (0x1200, "other")]
+    lines = [
+        (0x1000, "main.c", 10),
+        (0x1050, "inlined_a.h", 100),
+        (0x1060, "inlined_b.h", 200),
+        (0x1080, "main.c", 14),
+    ]
+    subprograms = [{
+        "low": 0x1000, "high": 0x1200, "name": "main",
+        "inlines": [{
+            "low": 0x1050, "high": 0x1080, "name": "alpha",
+            "call_file": 1, "call_line": 12,
+            "inlines": [{
+                "low": 0x1060, "high": 0x1070, "name": "beta",
+                "call_file": 2, "call_line": 101,
+            }],
+        }],
+    }]
+    blob = build_macho_dwarf(MACHO_UUID, symbols, lines, subprograms=subprograms)
+    _, _, dwarf = parse_macho_archive(blob)
+    assert [r["name"] for r in dwarf.inlines] == ["alpha", "beta"]
+    assert [r["depth"] for r in dwarf.inlines] == [1, 2]
+
+    arc = DsymArchive(blob)
+    assert [(l.symbol, l.path, l.line) for l in arc.lookup(MACHO_UUID, 0x1065)] == [
+        ("beta", "inlined_b.h", 200),   # innermost: PC line entry
+        ("alpha", "inlined_a.h", 101),  # beta's call site
+        ("main", "main.c", 12),         # alpha's call site
+    ]
+    assert [(l.symbol, l.path, l.line) for l in arc.lookup(MACHO_UUID, 0x1055)] == [
+        ("alpha", "inlined_a.h", 100),
+        ("main", "main.c", 12),
+    ]
+    # outside any inline range: plain line-table resolution
+    assert [(l.symbol, l.path, l.line) for l in arc.lookup(MACHO_UUID, 0x1090)] == [
+        ("main", "main.c", 14),
+    ]
+
+
+def test_dwarf_debug_info_abstract_origin_name():
+    """Hand-encoded .debug_info where the inline DIE carries no
+    DW_AT_name, only DW_AT_abstract_origin (ref4) to a named subprogram
+    DIE — the indirection real compilers emit for inline instances."""
+    import struct
+
+    from opentelemetry_collector_symbolicator_ray.functions.dsymfile import (
+        parse_dwarf_debug_info,
+    )
+
+    def uleb(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | 0x80 if n else b)
+            if not n:
+                return bytes(out)
+
+    # abbrev 1: CU (children, no attrs); 2: subprogram (children, name
+    # string); 3: inlined_subroutine (no children, abstract_origin ref4,
+    # low/high addr, call_file/line udata)
+    abbrev = bytearray()
+    abbrev += uleb(1) + uleb(0x11) + b"\x01" + b"\x00\x00"
+    abbrev += uleb(2) + uleb(0x2E) + b"\x01" + uleb(0x03) + uleb(0x08) + b"\x00\x00"
+    abbrev += (uleb(3) + uleb(0x1D) + b"\x00"
+               + uleb(0x31) + uleb(0x13)
+               + uleb(0x11) + uleb(0x01) + uleb(0x12) + uleb(0x01)
+               + uleb(0x58) + uleb(0x0F) + uleb(0x59) + uleb(0x0F)
+               + b"\x00\x00")
+    abbrev += b"\x00"
+
+    body = bytearray()
+    body += uleb(1)                      # CU DIE (no attrs)
+    sp_off_holder = []
+    sp_off_holder.append(4 + 7 + len(body))  # CU-relative offset of subprogram DIE
+    body += uleb(2) + b"greek\x00"       # named abstract subprogram
+    body += uleb(3)                      # inline referencing it
+    body += struct.pack("<I", sp_off_holder[0])
+    body += struct.pack("<QQ", 0x10, 0x20)
+    body += uleb(1) + uleb(7)
+    body += b"\x00"                      # end subprogram children
+    body += b"\x00"                      # end CU children
+    cu = struct.pack("<HIB", 4, 0, 8) + bytes(body)
+    info = struct.pack("<I", len(cu)) + cu
+    recs = parse_dwarf_debug_info(info, bytes(abbrev))
+    assert recs == [
+        {"low": 0x10, "high": 0x20, "name": "greek",
+         "call_file": 1, "call_line": 7, "depth": 1}
+    ]
