@@ -697,19 +697,25 @@ class _MachoSymtabLookup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("event_id").to_pylist()
         addrs = batch.column("instr_addr").to_pylist()
-        symbols, sym_addrs, paths, lines = [], [], [], []
+        symbols, sym_addrs, paths, lines, n_frames = [], [], [], [], []
         for a in addrs:
             locs = self.cache.lookup(int(a))
             if locs:
+                # locs[0] is the innermost (inline) frame, locs[-1] the
+                # physical symbol — mirror the reference's 1->N frame
+                # consumption by reporting innermost path/line with the
+                # physical symbol and the chain length
                 symbols.append(locs[-1].symbol)
                 sym_addrs.append(locs[-1].sym_addr)
-                paths.append(locs[-1].path or None)
-                lines.append(locs[-1].line or None)
+                paths.append(locs[0].path or None)
+                lines.append(locs[0].line or None)
+                n_frames.append(len(locs))
             else:
                 symbols.append(None)
                 sym_addrs.append(None)
                 paths.append(None)
                 lines.append(None)
+                n_frames.append(0)
         return pa.table(
             {
                 "event_id": pa.array(ids, type=pa.int64()),
@@ -718,6 +724,7 @@ class _MachoSymtabLookup:
                 "sym_addr": pa.array(sym_addrs, type=pa.int64()),
                 "path": pa.array(paths, type=pa.string()),
                 "line": pa.array(lines, type=pa.int64()),
+                "n_frames": pa.array(n_frames, type=pa.int64()),
                 "debug_id": pa.array([self.debug_id] * len(ids), type=pa.string()),
             }
         )
@@ -754,12 +761,31 @@ def macho_dwarf_lookup(sf_dir: str, n_symbols: int = 64) -> "ray.data.Dataset":
 
     symbols = [(0x1000 + i * 0x40, f"func_{i:03d}") for i in range(n_symbols)]
     lines: list[tuple[int, str, int]] = []
+    subprograms: list[dict] = []
     for i in range(n_symbols):
         base = 0x1000 + i * 0x40
         lines.append((base, f"src/mod_{i % 8}.swift", 10 + i))
         lines.append((base + 0x20, f"src/mod_{i % 8}.swift", 11 + i))
+        sp = {"low": base, "high": base + 0x40, "name": f"func_{i:03d}", "inlines": []}
+        if i % 4 == 0:
+            # every 4th function inlines a helper over its upper half,
+            # so the driver stream also exercises .debug_info unwinding
+            sp["inlines"].append(
+                {
+                    "low": base + 0x20,
+                    "high": base + 0x40,
+                    "name": f"inl_{i:03d}",
+                    "call_file": (i % 8) + 1,
+                    "call_line": 10 + i,
+                }
+            )
+        subprograms.append(sp)
     return _macho_lookup_pipeline(
-        sf_dir, n_symbols, ray.put(build_macho_dwarf(_MACHO_DEBUG_ID, symbols, lines))
+        sf_dir,
+        n_symbols,
+        ray.put(
+            build_macho_dwarf(_MACHO_DEBUG_ID, symbols, lines, subprograms=subprograms)
+        ),
     )
 
 
