@@ -308,6 +308,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_approx_distinct": lambda sf: text.approx_distinct_words(sf),
         "events_hll_users": lambda sf: analytics.approx_distinct_users_by_type(sf),
         "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
+        # threshold matches EMB_THRESHOLD so the synthetic corpus's 271
+        # known near-dup pairs actually exercise the drop path
+        "emb_semantic_dedup": lambda sf: similarity.semantic_dedup(
+            sf, threshold=EMB_THRESHOLD
+        ),
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
     }
 

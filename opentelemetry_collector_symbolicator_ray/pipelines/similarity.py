@@ -545,6 +545,166 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
         }
     )
 
+def semantic_dedup(
+    sf_dir: str,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    iters: int = 3,
+    max_cluster: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then find
+    near-duplicate pairs ONLY within each cluster — the published scale
+    path that turns O(n^2) cosine dedup into O(n^2/k) cluster-local
+    work.  Within a cluster, vectors whose cosine similarity reaches
+    ``threshold`` form components (cluster-local union-find; the
+    cluster fits one task by construction) and every non-min member is
+    marked dropped.
+
+    Ray shape (100 TB): ``iters`` Lloyd passes stream kxd partials to
+    the driver (the kmeans_embeddings pattern), the final assignment
+    pass emits (cell, vec_id, unit-vector blob) rows, and ONE
+    ``groupby(cell)`` co-locates each cluster for in-shuffle pairwise
+    verification — the same in-shuffle-verify shape as the MinHash-LSH
+    text path, with the cluster id playing the band-bucket role.
+    Degenerate clusters (> ``max_cluster``) fall back to
+    representative-only comparison — each member against the vector
+    closest to the centroid (SemDeDup's own formulation) — keeping the
+    worst cluster O(n), not O(n^2).
+
+    Returns a Dataset of (vec_id, cell, keep) sorted by vec_id;
+    rows-only (iterative float k-means is not SQL-expressible)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()
+    centroids = _sample_centroids(sf_dir, n, n_cells)
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            ids, mat = _batch_matrix(batch)
+            if not len(ids):
+                return pa.table(
+                    {
+                        "cell": pa.array([], type=pa.int64()),
+                        "count": pa.array([], type=pa.int64()),
+                        "sums": pa.array([], type=pa.binary()),
+                    }
+                )
+            sims = _unit(mat) @ cents.T
+            assign = np.argmax(sims, axis=1)
+            cells, counts_, sums = [], [], []
+            for c in np.unique(assign):
+                mask = assign == c
+                cells.append(int(c))
+                counts_.append(int(mask.sum()))
+                sums.append(mat[mask].sum(axis=0).astype("<f8").tobytes())
+            return pa.table(
+                {
+                    "cell": pa.array(cells, type=pa.int64()),
+                    "count": pa.array(counts_, type=pa.int64()),
+                    "sums": pa.array(sums, type=pa.binary()),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        dim = centroids.shape[1]
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for ref in agg:
+            t = ray.get(ref)
+            for cell, cnt, blob in zip(
+                t.column("cell").to_pylist(),
+                t.column("count").to_pylist(),
+                t.column("sums").to_pylist(),
+            ):
+                counts[cell] += cnt
+                sums[cell] += np.frombuffer(blob, dtype="<f8")
+        nonempty = counts > 0
+        centroids[nonempty] = _unit(sums[nonempty] / counts[nonempty, None])
+
+    cent_ref = ray.put(centroids)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "unit": pa.array([], type=pa.binary()),
+                    "cdist": pa.array([], type=pa.float64()),
+                }
+            )
+        u = _unit(mat)
+        sims = u @ cents.T
+        assign = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "cell": pa.array(assign, type=pa.int64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "unit": pa.array([r.astype("<f8").tobytes() for r in u], type=pa.binary()),
+                # distance-to-centroid proxy picks the representative
+                "cdist": pa.array(
+                    (1.0 - sims[np.arange(len(ids)), assign]), type=pa.float64()
+                ),
+            }
+        )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        blobs = group.column("unit").to_pylist()
+        u = np.vstack([np.frombuffer(blobs[i], dtype="<f8") for i in order])
+        cell = group.column("cell")[0].as_py()
+        m = len(ids)
+        keep = np.ones(m, dtype=bool)
+        if m > max_cluster:
+            cd = np.asarray(group.column("cdist").to_pylist())[order]
+            rep = int(np.lexsort((ids, cd))[0])  # closest to centroid, min id ties
+            sims = u @ u[rep]
+            dup = (sims >= threshold) & (np.arange(m) != rep)
+            keep[dup & (ids > ids[rep])] = False
+        else:
+            sims = u @ u.T
+            # union-find over >=threshold pairs; keep the min id per
+            # component (matches the text near-dup keep semantics)
+            parent = np.arange(m)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            for a, b in zip(ii.tolist(), jj.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            for x in range(m):
+                if find(x) != x:
+                    keep[x] = False
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array([cell] * m, type=pa.int64()),
+                "keep": pa.array(keep.tolist(), type=pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_rows, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
 def label_centroids(sf_dir: str) -> pa.Table:
     """Per-label centroid sums of the embedding column — the grouped
     vector-mean every prototype / class-balance stage needs.  Ray shape:

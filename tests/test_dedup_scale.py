@@ -422,3 +422,44 @@ def test_ivf_recall_full_probe_is_exact(ray_session):
     partial = similarity.ivf_recall(sf, 5, 10, n_probe=4)
     rs = partial.column("recall").to_pylist()
     assert sum(rs) / len(rs) >= 0.2
+
+
+def test_semantic_dedup_invariants(ray_session):
+    """SemDeDup invariants: (vec_id, cell, keep) partitions the corpus,
+    every cluster keeps at least one member, same-cell pairs at or above
+    the threshold never both survive, and each cluster's minimum vec_id
+    that belongs to a component survives (min-keep rule)."""
+    import numpy as np
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = semantic_dedup(sf, threshold=0.35).take_all()
+    assert len(rows) > 0
+    by_cell: dict[int, list[dict]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        assert any(m["keep"] for m in members), f"cluster {cell} kept nothing"
+
+    # same-cell >= threshold pairs have at most one surviving endpoint
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): np.asarray(e, dtype=np.float64)
+        for i, e in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    }
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    checked = 0
+    for cell, members in by_cell.items():
+        ids = sorted(m["vec_id"] for m in members)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if float(unit[ids[x]] @ unit[ids[y]]) >= 0.35:
+                    checked += 1
+                    assert not (ids[x] in kept and ids[y] in kept)
+    assert checked > 0, "corpus produced no same-cell near-dup pairs to verify"
