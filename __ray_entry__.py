@@ -314,6 +314,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=EMB_THRESHOLD
         ),
         "docs_simhash_dupes": lambda sf: dedup.simhash_dupes(sf),
+        "events_cdc_merge": lambda sf: streaming.cdc_upsert_merge(sf),
+        "events_cohort_retention": lambda sf: streaming.cohort_retention(sf),
+        "events_interarrival": lambda sf: streaming.interarrival_stats(sf),
+        "lineitem_cube": lambda sf: analytics.lineitem_cube(sf),
+        "docs_shuffled_export": lambda sf: text.shuffled_export(sf),
+        "docs_normalized_dedup": lambda sf: dedup.normalized_dedup(sf),
     }
 
 
@@ -1334,5 +1340,92 @@ def oracle_sql() -> dict[str, str]:
                                'min')
                    END AS rolling_fp
             FROM documents ORDER BY doc_id
+        """,
+        # CDC MERGE: latest-wins per (user, type) by (ts, event_id);
+        # changelog rows (ts >= 2024-01-15) with value < 10 are DELETE
+        # markers that remove the key when they win
+        "events_cdc_merge": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, value,
+                     CASE WHEN epoch_us(ts) >= 1705276800000000
+                          THEN 'delta' ELSE 'base' END AS src,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rk
+              FROM events
+            )
+            SELECT user_id, event_type, event_id,
+                   CAST(ROUND(value, 2) * 100 AS BIGINT) AS value_cents, src
+            FROM r
+            WHERE rk = 1 AND NOT (src = 'delta' AND value < 10.0)
+            ORDER BY user_id, event_type
+        """,
+        # Cohort retention matrix: cohort = each user's first active
+        # day; one row per (cohort_day, active_day) with distinct users
+        "events_cohort_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS active_day
+              FROM events
+            ),
+            coh AS (
+              SELECT user_id, MIN(active_day) AS cohort_day FROM ud GROUP BY user_id
+            )
+            SELECT c.cohort_day::BIGINT AS cohort_day,
+                   u.active_day::BIGINT AS active_day,
+                   COUNT(*)::BIGINT AS n_users
+            FROM ud u JOIN coh c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Per-user inter-arrival gaps: LAG over (ts, event_id) order;
+        # integer microsecond sums so the replay is exact
+        "events_interarrival": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap
+              FROM events
+            )
+            SELECT user_id, COUNT(gap)::BIGINT AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        # CUBE over (returnflag, linestatus): per-row integer cents sum
+        # at every grouping level, 'ALL' as the rolled-up marker
+        "lineitem_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   COUNT(*)::BIGINT AS n_rows,
+                   CAST(SUM(CAST(ROUND(l_quantity, 2) * 100 AS BIGINT)) AS BIGINT)
+                     AS sum_qty_cents
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        # Seeded deterministic global shuffle: md5-lower-64(seed:doc_id)
+        # as the shuffle key, first 64 positions as the checked slice
+        "docs_shuffled_export": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5_number_lower('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+                   doc_id, shuffle_key
+            FROM k ORDER BY pos LIMIT 64
+        """,
+        # Normalization-aware dedup: lower + collapse ASCII whitespace +
+        # trim before hashing (RE2 regex on both sides)
+        "docs_normalized_dedup": """
+            WITH n AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'), ' '))
+                       AS norm_md5
+              FROM documents
+            )
+            SELECT MIN(doc_id)::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_variants
+            FROM n GROUP BY norm_md5 ORDER BY doc_id
         """,
     }

@@ -1051,3 +1051,49 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
             "total_units": pa.array([int(r["total"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def lineitem_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets — (flag, status), (flag), (status), () — with 'ALL' as the
+    rolled-up marker.  Ray shape: ONE distributed groupby at the finest
+    grain (per-row integer cents so every level sums exactly), then the
+    three coarser levels are rolled up from the finest cells on the
+    driver — the cell table is |flags| x |statuses|-sized, so no second
+    corpus pass and no extra shuffle at any data scale."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_cents": _cents_array(batch.column("l_quantity")),
+            }
+        )
+
+    finest = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n_rows"), Sum("qty_cents", alias_name="sum_qty_cents"))
+        .take_all()
+    )
+    cells: dict[tuple[str, str], tuple[int, int]] = {}
+    for r in finest:
+        flag, status = str(r["l_returnflag"]), str(r["l_linestatus"])
+        n, q = int(r["n_rows"]), int(r["sum_qty_cents"])
+        for key in ((flag, status), (flag, "ALL"), ("ALL", status), ("ALL", "ALL")):
+            pn, pq = cells.get(key, (0, 0))
+            cells[key] = (pn + n, pq + q)
+    keys = sorted(cells)
+    return pa.table(
+        {
+            "l_returnflag": pa.array([k[0] for k in keys], type=pa.string()),
+            "l_linestatus": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_rows": pa.array([cells[k][0] for k in keys], type=pa.int64()),
+            "sum_qty_cents": pa.array([cells[k][1] for k in keys], type=pa.int64()),
+        }
+    )

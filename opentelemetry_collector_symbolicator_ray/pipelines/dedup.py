@@ -21,6 +21,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -911,3 +912,47 @@ def snapshot_diff(sf_dir: str) -> pa.Table:
             "change": pa.array([r["change"] for r in rows], type=pa.string()),
         }
     )
+
+
+def normalized_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Normalization-aware exact dedup: case-fold, collapse whitespace
+    runs and trim before hashing, so trivially-reformatted copies
+    collapse into one group (the cheap precursor to MinHash in a
+    training-data dedup ladder).  Ray shape: vectorized Arrow kernels
+    (RE2 regex, same engine as the DuckDB oracle's regexp_replace) ->
+    md5 digest -> ONE groupby(digest) keeping min(doc_id) + the variant
+    count; texts never shuffle, only (digest, doc_id) pairs do."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), pattern="[ \\t\\n\\f\\r]+", replacement=" "
+            ),
+            characters=" ",
+        )
+        hashes = [hashlib.md5(t.encode()).hexdigest() for t in norm.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_md5": pa.array(hashes, type=pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        _read_docs(sf_dir)
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("norm_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_variants"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_variants": pc.cast(batch.column("n_variants"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow").sort("doc_id")

@@ -850,3 +850,167 @@ def daily_partition_export(sf_dir: str, out_dir: str | None = None) -> pa.Table:
             "max_event": pa.array([int(r["max_event"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+US_PER_DAY = 86400 * 1_000_000
+
+
+def cdc_upsert_merge(
+    sf_dir: str,
+    cutoff_us: int = 1_705_276_800_000_000,  # 2024-01-15T00:00:00Z
+    tombstone_below: float = 10.0,
+) -> "ray.data.Dataset":
+    """CDC MERGE (upsert + delete): reconcile a compacted base snapshot
+    with a changelog into current state — the lakehouse ``MERGE INTO``
+    every incremental pipeline runs.  Rows before ``cutoff_us`` are the
+    base snapshot; rows at/after it are the changelog, where a row with
+    ``value < tombstone_below`` is a DELETE marker for its key.
+    Latest-wins by (ts, event_id) per (user_id, event_type); a winning
+    tombstone removes the key from the merged state.
+
+    Ray shape: ONE key shuffle.  A map-side combiner first reduces each
+    batch to at most one candidate row per key (classic pre-aggregation
+    — at 100 TB the shuffle moves key-cardinality-sized partials, not
+    the raw log), then ``groupby(key).map_groups`` picks the global
+    winner and applies the tombstone.  Mirrors the reference's
+    keep-latest cache semantics (VERDICT r4 §2.7) extended with delete
+    markers."""
+
+    def _keep_latest(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pylist()
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        # lexsort: key asc, then (ts, event_id) asc -> last row of each
+        # key run is the per-batch winner
+        et_codes, et_inv = np.unique(np.asarray(et, dtype=object), return_inverse=True)
+        del et_codes
+        order = np.lexsort((eid, ts, et_inv, uid))
+        u, e = uid[order], et_inv[order]
+        is_last = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            is_last[:-1] = (u[1:] != u[:-1]) | (e[1:] != e[:-1])
+        keep = order[is_last]
+        return batch.take(pa.array(np.sort(keep)))
+
+    def _merge(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[-1])
+        val = float(group.column("value")[i].as_py())
+        src = "delta" if int(ts[i]) >= cutoff_us else "base"
+        if src == "delta" and val < tombstone_below:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value_cents": pa.array([], type=pa.int64()),
+                    "src": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[i].as_py()], type=pa.int64()),
+                "event_type": pa.array([group.column("event_type")[i].as_py()], type=pa.string()),
+                "event_id": pa.array([int(eid[i])], type=pa.int64()),
+                "value_cents": pa.array(
+                    [int(round(round(val, 2) * 100))], type=pa.int64()
+                ),
+                "src": pa.array([src], type=pa.string()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "event_id", "ts", "value"],
+        )
+        .map_batches(_keep_latest, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(_merge, batch_format="pyarrow")
+        .sort(["user_id", "event_type"])
+    )
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by first-active day, counted per
+    (cohort_day, active_day) — the activation/retention matrix behind
+    every growth dashboard.  Ray shape: per-batch pre-dedup of
+    (user, day) pairs, ONE ``groupby(user_id)`` shuffle that emits each
+    user's (cohort_day, active_day) pairs (cohort = that user's min day,
+    computed inside the group), then a distributed pair groupby whose
+    result is days^2-sized."""
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(US_PER_DAY, type=pa.int64())
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "active_day": day})
+        return t.group_by(["user_id", "active_day"]).aggregate([])
+
+    def label_cohort(group: pa.Table) -> pa.Table:
+        days = np.unique(group.column("active_day").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cohort_day": pa.array([int(days[0])] * len(days), type=pa.int64()),
+                "active_day": pa.array(days, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(label_cohort, batch_format="pyarrow")
+        .groupby(["cohort_day", "active_day"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+    rows = sorted(counts.take_all(), key=lambda r: (r["cohort_day"], r["active_day"]))
+    return pa.table(
+        {
+            "cohort_day": pa.array([int(r["cohort_day"]) for r in rows], type=pa.int64()),
+            "active_day": pa.array([int(r["active_day"]) for r in rows], type=pa.int64()),
+            "n_users": pa.array([int(r["n_users"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def interarrival_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user event inter-arrival gaps (count / sum / max in µs) — the
+    LAG-window building block for idle-time and engagement features.
+    Ray shape: ONE ``groupby(user_id)`` shuffle; inside each group the
+    gaps are a vectorized ``np.diff`` over the (ts, event_id)-sorted
+    event times.  Integer sums only, so the oracle replays exactly."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        d = np.diff(ts[order])
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_gaps": pa.array([], type=pa.int64()),
+                    "sum_gap_us": pa.array([], type=pa.int64()),
+                    "max_gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], type=pa.int64()),
+                "n_gaps": pa.array([len(d)], type=pa.int64()),
+                "sum_gap_us": pa.array([int(d.sum())], type=pa.int64()),
+                "max_gap_us": pa.array([int(d.max())], type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+        .sort("user_id")
+    )

@@ -1483,3 +1483,46 @@ def source_mix(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def shuffled_export(sf_dir: str, seed: str = "shuf42", limit: int = 64) -> pa.Table:
+    """Deterministic seeded GLOBAL SHUFFLE — the epoch-shuffle primitive
+    of a training-data pipeline.  Every doc gets a content-independent
+    shuffle key md5-lower-64(seed ':' doc_id); a distributed sort on the
+    key IS the shuffle (reproducible across re-partitioning, resumption
+    and cluster size, unlike ``random_shuffle``), and the first
+    ``limit`` positions are returned as the verification slice.  At
+    100 TB the sort's range-partitioned exchange is the cost of any
+    true global shuffle; the alternative zero-shuffle form (write
+    hive-partitioned by key prefix, read buckets in key order) reuses
+    the same key."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [
+            int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[8:], "little"
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": pa.array(keys, type=pa.uint64()),
+            }
+        )
+
+    head = (
+        _read_documents(sf_dir, ["doc_id"])
+        .map_batches(add_key, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .limit(limit)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "pos": pa.array(range(1, len(head) + 1), type=pa.int64()),
+            "doc_id": pa.array([int(r["doc_id"]) for r in head], type=pa.int64()),
+            "shuffle_key": pa.array([int(r["shuffle_key"]) for r in head], type=pa.uint64()),
+        }
+    )
