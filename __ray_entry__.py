@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": lambda sf: analytics.lineitem_cube(sf),
         "docs_shuffled_export": lambda sf: text.shuffled_export(sf),
         "docs_normalized_dedup": lambda sf: dedup.normalized_dedup(sf),
+        "docs_jaccard_prefix_pairs": lambda sf: dedup.jaccard_prefix_pairs(
+            sf, NGRAM_THRESHOLD
+        ),
     }
 
 
@@ -706,6 +709,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_ngram_jaccard_pairs": f"""
+            WITH w AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {NGRAM_THRESHOLD}
+            ORDER BY doc_a, doc_b
+        """,
+        # Prefix-filtering similarity join: EXACT (lossless filter), so
+        # it shares the plain all-pairs Jaccard oracle verbatim
+        "docs_jaccard_prefix_pairs": f"""
             WITH w AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
             )

@@ -956,3 +956,104 @@ def normalized_dedup(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def jaccard_prefix_pairs(
+    sf_dir: str, threshold: float = 0.8, max_group: int = 4096
+) -> "ray.data.Dataset":
+    """EXACT word-set Jaccard pairs via prefix filtering (the
+    AllPairs/PPJoin family) — the sub-quadratic scale path that returns
+    the SAME answer as the O(n^2) ``ngram_jaccard_pairs`` oracle
+    counterpart, with no block-pair fan-out.
+
+    Prefix-filter theorem: J(A,B) >= t implies |A∩B| >= ceil(t*|A|)
+    (and symmetrically for B), so under ANY shared global token order a
+    qualifying pair must collide inside each side's first
+    n - ceil(t*n) + 1 tokens.  Tokens are ordered by ascending GLOBAL
+    document frequency (rarest first) so prefix postings are maximally
+    selective — stopwords almost never enter a prefix.
+
+    Ray shape (all stages stream):
+      1. explode docs to (doc_id, tok) rows;
+      2. one ``groupby(tok)`` for global DF (vocab-sized, distributed —
+         never broadcast);
+      3. hash-join tokens with their DF (``safe_join``), regroup by doc
+         to rebuild each doc's (df, tok)-ordered set and emit prefix
+         postings CARRYING the doc's full sorted-hash blob (the same
+         in-shuffle-verify trick as minhash_lsh_dedup — candidates are
+         verified where they collide, no second corpus pass);
+      4. one ``groupby(tok)`` over postings: exact-Jaccard verify all
+         postings pairs in the group;
+      5. pair groupby dedup (a pair can collide on several prefix
+         tokens) -> sort.
+    A group with > ``max_group`` postings raises (exactness forbids the
+    silent star-caps the LSH variants replay in SQL) — at that density
+    use minhash_lsh_dedup."""
+    import math
+
+    from ray.data.aggregate import Count
+    from ._join import safe_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, offs, vals = _table_id_lists(batch, "whashes")
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, np.diff(offs)), type=pa.int64()),
+                "tok": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    toks = _word_hash_rows(sf_dir).map_batches(explode, batch_format="pyarrow")
+    df = toks.groupby("tok").aggregate(Count(alias_name="df"))
+    joined = safe_join(toks, df, join_type="inner", on=("tok",))
+
+    def postings(group: pa.Table) -> pa.Table:
+        tok = group.column("tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = group.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(tok)
+        p = n - math.ceil(threshold * n) + 1
+        order = np.lexsort((tok, dfv))[:p]
+        blob = np.sort(tok).astype("<i8").tobytes()
+        did = int(group.column("doc_id")[0].as_py())
+        return pa.table(
+            {
+                "tok": pa.array(tok[order], type=pa.int64()),
+                "doc_id": pa.array([did] * p, type=pa.int64()),
+                "whashes": pa.array([blob] * p, type=pa.binary()),
+            }
+        )
+
+    posts = joined.groupby("doc_id").map_groups(postings, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) > max_group:
+            raise ValueError(
+                f"jaccard_prefix_pairs: prefix-token group of {len(ids)} "
+                f"postings exceeds max_group={max_group}; use "
+                f"minhash_lsh_dedup at this similarity density."
+            )
+        sets = [
+            np.frombuffer(b, dtype="<i8")
+            for b in group.column("whashes").to_pylist()
+        ]
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+                union = len(sets[i]) + len(sets[j]) - inter
+                if union and inter / union >= threshold:
+                    out_a.append(int(min(ids[i], ids[j])))
+                    out_b.append(int(max(ids[i], ids[j])))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    pairs = posts.groupby("tok").map_groups(verify, batch_format="pyarrow")
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+    return uniq.select_columns(["doc_a", "doc_b"]).sort(["doc_a", "doc_b"])
