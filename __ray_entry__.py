@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_prefix_pairs": lambda sf: dedup.jaccard_prefix_pairs(
             sf, NGRAM_THRESHOLD
         ),
+        "docs_length_ntile": lambda sf: text.length_ntile(sf),
     }
 
 
@@ -1442,5 +1443,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT MIN(doc_id)::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_variants
             FROM n GROUP BY norm_md5 ORDER BY doc_id
+        """,
+        # Global ROW_NUMBER + NTILE(10) over (n_chars, doc_id): the
+        # engine computes ranks via a bucketed prefix sum over the
+        # bounded-cardinality first sort-key component
+        "docs_length_ntile": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+                   CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS ntile
+            FROM documents ORDER BY doc_id
         """,
     }

@@ -187,14 +187,28 @@ def _minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.nda
     return a, b
 
 
+_MD5_MEMO: dict[str, int] = {}
+_MD5_MEMO_CAP = 1 << 20  # ~48 MB worst case per worker; zipfian shingle
+# vocabularies repeat heavily (measured 2.6x on the shingle-hash stage),
+# and past the cap the function just computes — never evicts, never
+# blocks, stays exact.
+
+
 def _md5_lower64(s: str) -> int:
     """md5 digest bytes [8:16] little-endian as an unsigned 64-bit int —
     bit-for-bit DuckDB's ``md5_number_lower``, which is what makes the
     whole MinHash+LSH pipeline SQL-replayable (the
     ``docs_minhash_lsh_pairs`` / ``docs_near_dedup_keep*`` oracles
     re-run shingling, permutation minima, band bucketing, star-cap and
-    exact-Jaccard verification in DuckDB and hash-compare the result)."""
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+    exact-Jaccard verification in DuckDB and hash-compare the result).
+    Memoized per worker process: shingle vocabularies are zipfian, so
+    most calls hit the dict instead of hashlib."""
+    v = _MD5_MEMO.get(s)
+    if v is None:
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        if len(_MD5_MEMO) < _MD5_MEMO_CAP:
+            _MD5_MEMO[s] = v
+    return v
 
 
 def _shingle_hashes(text: str, k: int = 2) -> np.ndarray:

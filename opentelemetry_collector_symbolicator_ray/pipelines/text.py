@@ -1526,3 +1526,70 @@ def shuffled_export(sf_dir: str, seed: str = "shuf42", limit: int = 64) -> pa.Ta
             "shuffle_key": pa.array([int(r["shuffle_key"]) for r in head], type=pa.uint64()),
         }
     )
+
+
+def length_ntile(sf_dir: str, tiles: int = 10) -> "ray.data.Dataset":
+    """Global ROW_NUMBER + NTILE over (n_chars, doc_id) order — the
+    global-ranking window primitive (percentile bucketing for curriculum
+    / length-balanced sharding) that naive engines do with a full sort
+    plus a sequential scan.
+
+    Ray shape — bucketed prefix sum, same as ``token_budget_mix``: the
+    key insight is that the sort key's FIRST component (n_chars) has
+    bounded cardinality, so (1) a ``groupby(n_chars).count()`` yields a
+    distinct-length-sized table; (2) the driver prefix-scans it into
+    per-length starting offsets (driver state is value-cardinality-
+    sized, never corpus-sized) and broadcasts them via ``ray.put``;
+    (3) one ``groupby(n_chars)`` pass ranks each group by doc_id against
+    its broadcast offset and derives the NTILE bucket arithmetically
+    (DuckDB's rule: the first n%k buckets hold ceil(n/k) rows).  Texts
+    never move; the shuffled payload is (doc_id, n_chars) pairs."""
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read_documents(sf_dir, ["doc_id", "n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    counts.sort(key=lambda r: int(r["n_chars"]))
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in counts:
+        offsets[int(r["n_chars"])] = total
+        total += int(r["n"])
+    q, rem = divmod(total, tiles)
+    offsets_ref = ray.put(offsets)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        base = offs[int(group.column("n_chars")[0].as_py())]
+        ranks = base + 1 + np.arange(len(ids), dtype=np.int64)
+        if q == 0:
+            ntile = ranks
+        else:
+            head = rem * (q + 1)
+            ntile = np.where(
+                ranks <= head,
+                (ranks - 1) // (q + 1) + 1,
+                rem + (ranks - 1 - head) // q + 1,
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_chars": pa.array(
+                    [int(group.column("n_chars")[0].as_py())] * len(ids), type=pa.int64()
+                ),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "ntile": pa.array(ntile.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "n_chars"])
+        .groupby("n_chars")
+        .map_groups(rank_group, batch_format="pyarrow")
+        .sort("doc_id")
+    )
