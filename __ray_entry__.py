@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, NGRAM_THRESHOLD
         ),
         "docs_length_ntile": lambda sf: text.length_ntile(sf),
+        "events_ewma": lambda sf: streaming.ewma_by_user(sf),
     }
 
 
@@ -1452,5 +1453,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
                    CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS ntile
             FROM documents ORDER BY doc_id
+        """,
+        # Per-user EWMA: the recursive CTE replays the engine's exact
+        # IEEE recurrence — (1.0 - 0.3) NOT the literal 0.7, because
+        # 1.0-0.3 rounds to 0x3FE6666666666667 while 0.7 parses to
+        # ...66; the engine computes beta = 1.0 - alpha
+        "events_ewma": """
+            WITH RECURSIVE s AS (
+              SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, value AS ewma FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.rn, 0.3 * s.value + (1.0 - 0.3) * r.ewma
+              FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+            )
+            SELECT user_id, MAX(rn)::BIGINT AS n_events,
+                   arg_max(ewma, rn) AS ewma
+            FROM r GROUP BY user_id ORDER BY user_id
         """,
     }

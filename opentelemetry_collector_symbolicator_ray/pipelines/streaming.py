@@ -1014,3 +1014,41 @@ def interarrival_stats(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(gaps, batch_format="pyarrow")
         .sort("user_id")
     )
+
+
+def ewma_by_user(sf_dir: str, alpha: float = 0.3) -> "ray.data.Dataset":
+    """Per-user exponentially-weighted moving average of ``value`` in
+    event-time order — the classic stateful streaming fold (smoothed
+    engagement / rate signals).  e_1 = v_1; e_i = a*v_i + (1-a)*e_{i-1}.
+
+    Ray shape: ONE ``groupby(user_id)`` shuffle; the fold inside each
+    group is inherently sequential (that IS the operator), one linear
+    pass per group.  The oracle replays the identical IEEE recurrence
+    as a DuckDB recursive CTE, so the double result is BIT-exact, not
+    just close."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        e = float(vals[order[0]])
+        for i in order[1:]:
+            e = alpha * float(vals[i]) + (1.0 - alpha) * e
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], type=pa.int64()),
+                "n_events": pa.array([len(order)], type=pa.int64()),
+                "ewma": pa.array([e], type=pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("user_id")
+    )
