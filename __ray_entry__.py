@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_length_ntile": lambda sf: text.length_ntile(sf),
         "events_ewma": lambda sf: streaming.ewma_by_user(sf),
+        "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
+        "small_quantity_revenue": lambda sf: analytics.small_quantity_revenue(sf),
     }
 
 
@@ -1473,5 +1475,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MAX(rn)::BIGINT AS n_events,
                    arg_max(ewma, rn) AS ewma
             FROM r GROUP BY user_id ORDER BY user_id
+        """,
+        # Q5-style same-nation customer/supplier revenue; ONE final
+        # round per nation (the lineitem_pricing convention — per-row
+        # ROUND diverges from Python round on half-cent products)
+        "local_supplier_volume": """
+            SELECT n.n_name, COUNT(*)::BIGINT AS n_items,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) * 100
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        # Q17-style correlated-aggregate join-back: threshold is the
+        # single IEEE expression 0.2 * (sum/n) on both sides
+        "small_quantity_revenue": """
+            WITH t AS (
+              SELECT l_partkey,
+                     0.2 * (SUM(l_quantity) / COUNT(*)) AS thr
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice, 2) * 100 AS BIGINT))
+                        AS BIGINT) AS total_price_cents
+            FROM lineitem l JOIN t USING (l_partkey)
+            WHERE l.l_quantity < t.thr
         """,
     }

@@ -1097,3 +1097,175 @@ def lineitem_cube(sf_dir: str) -> pa.Table:
             "sum_qty_cents": pa.array([cells[k][1] for k in keys], type=pa.int64()),
         }
     )
+
+
+def local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-style local-supplier volume: revenue from lineitems
+    whose CUSTOMER and SUPPLIER sit in the same nation, grouped by
+    nation — the classic correlated-dimension fact-fact topology.
+
+    Ray shape: customer/supplier/nation key maps are dimension-sized,
+    so each broadcasts once via ``ray.put`` and annotates its fact
+    stream inside ``map_batches`` (orders gain c_nationkey, lineitems
+    gain s_nationkey + the double revenue term); the one real
+    shuffle is the fact-fact hash join on orderkey — shipping only
+    (orderkey, natkey, cents) triples — and the same-nation filter +
+    nation-name groupby run on the join output.  The per-nation result
+    is nation-count-sized."""
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).take_all()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    supp_nat = pa.table(
+        {
+            "l_suppkey": pa.array([s["s_suppkey"] for s in supp], type=pa.int64()),
+            "s_nationkey": pa.array([s["s_nationkey"] for s in supp], type=pa.int64()),
+        }
+    )
+    cust_nat = pa.table(
+        {
+            "o_custkey": pa.array([c["c_custkey"] for c in cust], type=pa.int64()),
+            "c_nationkey": pa.array([c["c_nationkey"] for c in cust], type=pa.int64()),
+        }
+    )
+    nat_keys = pa.array([int(n["n_nationkey"]) for n in nations], type=pa.int64())
+    nat_names = pa.array([str(n["n_name"]) for n in nations], type=pa.string())
+    supp_ref, cust_ref = ray.put(supp_nat), ray.put(cust_nat)
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        # revenue stays a double until ONE final round per nation (the
+        # lineitem_pricing convention): per-row cents would need
+        # Python-round == DuckDB-ROUND on every product, and the two
+        # disagree on rare half-cent boundaries (measured: 1 row in
+        # 60k at sf0.01)
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "revenue": rev,
+            }
+        )
+        return t.join(ray.get(supp_ref), keys="l_suppkey", join_type="inner").drop_columns(
+            ["l_suppkey"]
+        )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+            }
+        )
+        return t.join(ray.get(cust_ref), keys="o_custkey", join_type="inner").drop_columns(
+            ["o_custkey"]
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    from ._join import safe_join
+
+    joined = safe_join(
+        lineitem,
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("s_nationkey"), batch.column("c_nationkey"))
+        kept = batch.filter(mask)
+        idx = pc.index_in(kept.column("s_nationkey"), value_set=nat_keys)
+        names = pc.take(nat_names, idx)
+        return pa.table({"n_name": names, "revenue": kept.column("revenue")})
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_items"), Sum("revenue", alias_name="revenue")
+        )
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["n_name"])
+    return pa.table(
+        {
+            "n_name": pa.array([r["n_name"] for r in rows], type=pa.string()),
+            "n_items": pa.array([int(r["n_items"]) for r in rows], type=pa.int64()),
+            "revenue_cents": pa.array(
+                [_cents(r["revenue"]) for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+def small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17-style correlated-aggregate join-back: lineitems whose
+    quantity is below 20% of their part's average quantity — the
+    "join the fact to its own per-key aggregate" shape (SQL correlated
+    subquery) that requires TWO passes over the key space, not a
+    broadcast: part-key cardinality is fact-like at scale.
+
+    Ray shape: pass 1 is a ``groupby(l_partkey)`` computing (sum, n)
+    partials; pass 2 hash-joins the thresholds back to the fact stream
+    (``safe_join`` — the aggregate side can be sparse after filters)
+    and applies the comparison vectorized.  Quantities are integral so
+    the double sums are order-independent-exact; the threshold is the
+    single IEEE expression 0.2 * (sum/n) on both engine and oracle."""
+    from ._join import safe_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    per_part = lineitem.groupby("l_partkey").aggregate(
+        Sum("l_quantity", alias_name="qty_sum"), Count(alias_name="qty_n")
+    )
+
+    def to_threshold(batch: pa.Table) -> pa.Table:
+        thr = pc.multiply(
+            pa.scalar(0.2),
+            pc.divide(
+                batch.column("qty_sum"), pc.cast(batch.column("qty_n"), pa.float64())
+            ),
+        )
+        return pa.table({"t_partkey": batch.column("l_partkey"), "thr": thr})
+
+    thresholds = per_part.map_batches(to_threshold, batch_format="pyarrow")
+    joined = safe_join(
+        lineitem,
+        thresholds,
+        join_type="inner",
+        on=("l_partkey",),
+        right_on=("t_partkey",),
+        num_partitions=8,
+    )
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.less(batch.column("l_quantity"), batch.column("thr")))
+        return pa.table({"price_cents": _cents_array(kept.column("l_extendedprice"))})
+
+    agg = joined.map_batches(qualifying, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_items"), Sum("price_cents", alias_name="total_price_cents")
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(agg["n_items"])], type=pa.int64()),
+            "total_price_cents": pa.array([int(agg["total_price_cents"])], type=pa.int64()),
+        }
+    )
