@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": lambda sf: streaming.ewma_by_user(sf),
         "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
         "small_quantity_revenue": lambda sf: analytics.small_quantity_revenue(sf),
+        "customers_without_orders": lambda sf: analytics.customers_without_orders(sf),
+        "events_dominant_type": lambda sf: analytics.dominant_event_type(sf),
     }
 
 
@@ -1504,5 +1506,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_price_cents
             FROM lineitem l JOIN t USING (l_partkey)
             WHERE l.l_quantity < t.thr
+        """,
+        # Q22-style anti-join; the balance threshold is computed over
+        # integer cents so the mean is the identical IEEE division
+        # sum/n on both sides (engine: Bloom-prefiltered left_anti)
+        "customers_without_orders": """
+            WITH cb AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(ROUND(c_acctbal, 2) * 100 AS BIGINT) AS bal_cents
+              FROM customer
+            ), thr AS (
+              SELECT SUM(bal_cents) / COUNT(*) AS thr_cents
+              FROM cb WHERE bal_cents > 0
+            )
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS n_custs,
+                   SUM(bal_cents)::BIGINT AS total_bal_cents
+            FROM cb, thr
+            WHERE bal_cents > thr.thr_cents
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = cb.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'
+              )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        # argmax-per-group with smallest-string tie-break (engine: three
+        # vectorized hash aggregates + an equality join-back)
+        "events_dominant_type": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+              FROM events GROUP BY user_id, event_type
+            ), m AS (
+              SELECT user_id, MAX(n) AS mx FROM c GROUP BY user_id
+            )
+            SELECT c.user_id, MIN(c.event_type) AS event_type,
+                   CAST(MAX(c.n) AS BIGINT) AS n
+            FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
+            GROUP BY c.user_id ORDER BY c.user_id
         """,
     }

@@ -1269,3 +1269,164 @@ def small_quantity_revenue(sf_dir: str) -> pa.Table:
             "total_price_cents": pa.array([int(agg["total_price_cents"])], type=pa.int64()),
         }
     )
+
+
+def customers_without_orders(
+    sf_dir: str,
+    priority: str = "1-URGENT",
+    nbits: int = 1 << 17,
+    nhashes: int = 4,
+) -> pa.Table:
+    """TPC-H Q22-style ANTI-join: high-balance customers that placed NO
+    order of the given priority, grouped by market segment (the
+    reference tables carry no phone column, so segment stands in for
+    Q22's country code, and the priority filter keeps the anti side
+    non-degenerate — every synthetic customer has *some* order).
+
+    Ray shape — the scale-correct anti-join is the dual of
+    ``bloom_semijoin_revenue``: a Bloom filter over the order custkeys
+    is built in one streaming pass and broadcast once.  A Bloom NEGATIVE
+    is definitive, so every customer whose key misses the filter is a
+    PROVEN non-orderer and never enters any shuffle; only the
+    Bloom-positive sliver (true orderers + the small false-positive
+    rate) needs the exact distributed ``left_anti`` join to weed out
+    false positives.  At 100 TB that turns an all-to-all anti-join of
+    the full customer table into a shuffle over ~(orderers + epsilon).
+
+    The balance threshold (mean positive balance, Q22's correlated
+    scalar subquery) is computed over integer cents so both engine and
+    oracle evaluate the identical sum exactly, then compared through
+    the single IEEE division sum/n on both sides."""
+    import numpy as np
+
+    from ._join import safe_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "bal_cents": _cents_array(batch.column("c_acctbal")),
+            }
+        )
+
+    cust_cents = cust.map_batches(to_cents, batch_format="pyarrow")
+
+    # scalar threshold: ONE streaming aggregate; integer cents make the
+    # sum order-independent-exact, the final sum/n is the same IEEE op
+    # DuckDB performs for BIGINT / BIGINT
+    pos = cust_cents.filter(expr="bal_cents > 0")
+    tot = pos.aggregate(Sum("bal_cents", alias_name="s"), Count(alias_name="n"))
+    thr_cents = float(tot["s"]) / float(tot["n"])
+
+    import pyarrow.dataset as pads
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == priority,
+    )
+    bits = np.zeros(nbits, dtype=bool)
+    mults = [np.uint64(0x9E3779B97F4A7C15 + 2 * h + 1) for h in range(nhashes)]
+    with np.errstate(over="ignore"):
+        for batch in orders.iter_batches(batch_format="pyarrow"):
+            keys = batch.column("o_custkey").to_numpy().astype(np.uint64)
+            for m in mults:
+                bits[((keys * m) >> np.uint64(44)) % nbits] = True
+    bloom_ref = ray.put(np.packbits(bits))
+
+    def split(batch: pa.Table, want_maybe: bool) -> pa.Table:
+        thr_mask = pc.greater(
+            pc.cast(batch.column("bal_cents"), pa.float64()), pa.scalar(thr_cents)
+        )
+        batch = batch.filter(thr_mask)
+        packed = ray.get(bloom_ref)
+        bloom = np.unpackbits(packed, count=nbits).astype(bool)
+        keys = batch.column("c_custkey").to_numpy().astype(np.uint64)
+        maybe = np.ones(len(keys), dtype=bool)
+        with np.errstate(over="ignore"):
+            for m in mults:
+                maybe &= bloom[((keys * m) >> np.uint64(44)) % nbits]
+        return batch.filter(pa.array(maybe if want_maybe else ~maybe))
+
+    definite = cust_cents.map_batches(
+        lambda b: split(b, want_maybe=False), batch_format="pyarrow"
+    )
+    maybe = cust_cents.map_batches(
+        lambda b: split(b, want_maybe=True), batch_format="pyarrow"
+    )
+    # exact weed-out of Bloom false positives: only the positive sliver
+    # shuffles; duplicate right keys are fine for anti semantics
+    confirmed = safe_join(
+        maybe,
+        orders,
+        join_type="left_anti",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    agg = (
+        definite.union(confirmed)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_custs"), Sum("bal_cents", alias_name="total"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["c_mktsegment"])
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([r["c_mktsegment"] for r in rows], type=pa.string()),
+            "n_custs": pa.array([int(r["n_custs"]) for r in rows], type=pa.int64()),
+            "total_bal_cents": pa.array([int(r["total"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def dominant_event_type(sf_dir: str) -> pa.Table:
+    """Per-user modal event type (argmax-per-group with a deterministic
+    smallest-string tie-break) — the "dominant label per key" reduction
+    every training-data pipeline needs (dominant language per domain,
+    majority dedup-cluster label, ...).
+
+    Ray shape: NO per-group Python — the mode is three vectorized hash
+    aggregates: (1) ``groupby(user, type).count()`` collapses the fact
+    stream to key×label cardinality, (2) ``groupby(user).max(n)``
+    extracts the winning count, (3) an equality ``safe_join`` back +
+    ``groupby(user).min(type)`` applies the tie-break.  Stages 2-3 run
+    over the already-collapsed table, so the single fact-sized shuffle
+    is stage 1 (which Ray pre-aggregates map-side)."""
+    from ray.data.aggregate import Max, Min
+
+    from ._join import safe_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = events.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n")
+    )
+    winners = counts.groupby("user_id").aggregate(Max("n", alias_name="mx"))
+    joined = safe_join(
+        counts,
+        winners,
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id",),
+        right_on=("user_id",),
+    )
+    tied = joined.filter(expr="n == mx")
+    agg = tied.groupby("user_id").aggregate(
+        Min("event_type", alias_name="event_type"), Max("n", alias_name="n")
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["user_id"])
+    return pa.table(
+        {
+            "user_id": pa.array([int(r["user_id"]) for r in rows], type=pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], type=pa.int64()),
+        }
+    )

@@ -196,3 +196,17 @@ def test_token_budget_mix_bucket_invariance(ray_session):
         grp = grp.sort_values("doc_id")
         assert (grp["cum_tokens"] == grp["n_tokens"].cumsum()).all()
         assert grp["cum_tokens"].iloc[-1] <= 5000
+
+
+def test_bloom_antijoin_exact_under_heavy_false_positives(ray_session):
+    """The Q22-style anti-join's Bloom prefilter only routes rows between
+    the shuffle-free 'definite non-orderer' path and the exact left_anti
+    join — a saturated 64-bit filter (everything looks 'maybe') must
+    yield the identical result."""
+    from opentelemetry_collector_symbolicator_ray.pipelines import analytics
+
+    sf = "/root/testdata/sf0.001"
+    tight = analytics.customers_without_orders(sf, nbits=64, nhashes=1)
+    normal = analytics.customers_without_orders(sf)
+    assert tight.equals(normal)
+    assert normal.num_rows > 0
