@@ -752,13 +752,28 @@ def densified_window_counts(
         return pa.table({"window_id": w, "event_type": batch.column("event_type")})
 
     windows = ds.map_batches(to_window, batch_format="pyarrow")
-    agg = windows.groupby(["window_id", "event_type"]).aggregate(Count(alias_name="n"))
-    mm = windows.aggregate(Min("window_id"), Max("window_id"))
-    w0, w1 = int(mm["min(window_id)"]), int(mm["max(window_id)"])
-    types = sorted(
-        r["event_type"]
-        for r in ds.groupby("event_type").aggregate(Count(alias_name="_n")).take_all()
+    # ONE scan + ONE shuffle of the fact stream; the (window x type)
+    # aggregate is grid-sized, so materializing it lets the window
+    # span, the type list and the join side all reuse it instead of
+    # re-executing the events read three times
+    agg = (
+        windows.groupby(["window_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "window_id": pc.cast(b.column("window_id"), pa.int64()),
+                    "event_type": b.column("event_type"),
+                    "n": pc.cast(b.column("n"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
+    mm = agg.aggregate(Min("window_id"), Max("window_id"))
+    w0, w1 = int(mm["min(window_id)"]), int(mm["max(window_id)"])
+    types = sorted(set(agg.unique("event_type")))
     k = len(types)
 
     def grid(batch: pa.Table) -> pa.Table:
@@ -775,16 +790,7 @@ def densified_window_counts(
     dense = ray.data.range((w1 - w0 + 1) * k).map_batches(grid, batch_format="pyarrow")
     joined = safe_join(
         dense,
-        agg.map_batches(
-            lambda b: pa.table(
-                {
-                    "window_id": pc.cast(b.column("window_id"), pa.int64()),
-                    "event_type": b.column("event_type"),
-                    "n": pc.cast(b.column("n"), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        ),
+        agg,
         join_type="left_outer",
         num_partitions=8,
         on=("window_id", "event_type"),
