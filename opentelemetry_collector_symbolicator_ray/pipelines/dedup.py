@@ -411,120 +411,99 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed connected components over an edge-list Dataset via
-    JOIN-FREE min-label propagation (message passing, the
-    ``streaming.asof_join`` union+groupby shape).
+    vectorized min-label propagation.
 
-    Why no ``Dataset.join``: Ray 2.49's hash-shuffle join crashes when
-    a partition receives only schema-less empty blocks — exactly what a
-    small LSH edge/label table produces at 16 partitions (the round-4
-    ``docs_near_dedup_keep_dcc`` red row; see ``_join.safe_join``).
-    Message passing sidesteps the join operator entirely AND does ONE
-    groupby shuffle per round where the join formulation needed three
-    (two hash joins + a groupby-min).
+    Round state is a ``(node, label)`` table, one row per edge endpoint,
+    materialized per round (it is edge-endpoint-sized, never
+    corpus-sized).  Each round is two shuffles and ZERO per-row Python:
 
-    Shape: one relation ``(node, peer, label, kind)`` unions the static
-    adjacency (kind=0: ``peer`` set, ``label`` null — built once, both
-    directions) with the current round's messages (kind=1 peer-message /
-    kind=2 self-label: ``peer`` null, ``label`` set).  A single
-    ``groupby(node)`` then both *applies* incoming labels (min over the
-    group's label column) and *emits* next round's messages: the
-    resolved label to every distinct peer plus one kind=2 self row.
-    Per-round message volume is 2·|edges| + |nodes| — bounded, no
-    growth.  Convergence: the sum of kind=2 self labels is monotone
-    non-increasing and strictly decreases until the fixpoint, so one
-    cheap filter+sum per round (no shuffle) is the stop test.
+    1. message send — ``safe_join(adjacency, labels)`` on ``node``
+       attaches every node's current label to each outgoing edge (the
+       Arrow hash-join kernel; ``safe_join`` coalesces both sides first
+       so the round-4 schema-less-empty-partition crash class cannot
+       recur at any partition count), and a ``map_batches`` re-addresses
+       the pair to the receiving endpoint;
+    2. label apply — the messages union the current labels and one
+       ``groupby(node).min(label)`` resolves the new fixpoint candidate.
 
-    Rounds needed = graph diameter; LSH dedup graphs are unions of
-    near-cliques and star-capped buckets (tiny diameter), so 2-4 rounds
-    are typical; ``max_iters`` guards pathological chains.  All state is
-    edge-list-sized datasets — nothing reaches the driver but the
-    per-round label sum.
+    Round 0 seeds each node with ``min(self, min(neighbors))`` — the
+    first propagation step fused into the seeding aggregate — so
+    near-clique LSH graphs typically finish in 1-2 further rounds.
+    Convergence: the label sum is monotone non-increasing and strictly
+    decreases until the fixpoint; the sum is read from the already-
+    materialized round result, so the stop test re-executes nothing.
+    ``max_iters`` bounds pathological path graphs (rounds = diameter).
 
-    ``num_partitions`` is accepted for API compatibility and ignored
-    (there is no join to partition; the groupby uses Ray's own shuffle
-    sizing).
+    All per-round state stays in the object store; the driver sees one
+    integer per round.  ``num_partitions`` is accepted for API
+    compatibility and ignored (shuffle sizing is Ray's own; the join
+    goes through ``safe_join``).
 
     Returns a Dataset of ``(node, component)`` where component is the
     min node id of the node's component.  Nodes with no edges don't
     appear (their component is trivially themselves)."""
     import pyarrow.compute as pc
+    from ray.data.aggregate import Min as AggMin
+
+    from ._join import safe_join
 
     del num_partitions  # kept for signature compatibility; unused
 
     def to_adj(batch: pa.Table) -> pa.Table:
         a = batch.column(col_a).combine_chunks().cast(pa.int64())
         b = batch.column(col_b).combine_chunks().cast(pa.int64())
-        n = len(a) + len(b)
         return pa.table(
             {
                 "node": pa.concat_arrays([a, b]),
                 "peer": pa.concat_arrays([b, a]),
-                "label": pa.nulls(n, pa.int64()),
-                "kind": pa.array([0] * n, type=pa.int8()),
             }
         )
 
     adj = edges.map_batches(to_adj, batch_format="pyarrow").materialize()
 
-    def self_propose(batch: pa.Table) -> pa.Table:
-        # round-0 messages: every adjacency endpoint proposes itself
-        # (duplicates per degree are fine — min() absorbs them)
-        node = batch.column("node").combine_chunks()
-        n = len(node)
+    def seed(batch: pa.Table) -> pa.Table:
+        label = pc.min_element_wise(
+            batch.column("node"), pc.cast(batch.column("nbr_min"), pa.int64())
+        )
+        return pa.table({"node": batch.column("node"), "label": label})
+
+    labels = (
+        adj.groupby("node")
+        .aggregate(AggMin("peer", alias_name="nbr_min"))
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def readdress(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "node": node,
-                "peer": pa.nulls(n, pa.int64()),
-                "label": node,
-                "kind": pa.array([2] * n, type=pa.int8()),
-            }
+            {"node": batch.column("peer"), "label": batch.column("label")}
         )
 
-    msgs = adj.map_batches(self_propose, batch_format="pyarrow")
-
-    def resolve(group: pa.Table) -> pa.Table:
-        # min over message labels = the node's new label; adjacency rows
-        # contribute null labels, which min() ignores
-        label = pc.min(group.column("label")).as_py()
-        node = group.column("node")[0].as_py()
-        peers = pc.unique(pc.drop_null(group.column("peer")))
-        n_out = len(peers) + 1
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [peers.cast(pa.int64()), pa.array([node], type=pa.int64())]
-                ),
-                "peer": pa.nulls(n_out, pa.int64()),
-                "label": pa.array([label] * n_out, type=pa.int64()),
-                "kind": pa.array([1] * len(peers) + [2], type=pa.int8()),
-            }
-        )
-
-    prev_sum = None
+    prev_sum = labels.sum("label")
     for _ in range(max_iters):
-        msgs = (
-            adj.union(msgs)
+        msgs = safe_join(
+            adj, labels, join_type="inner", num_partitions=4, on=("node",)
+        ).map_batches(readdress, batch_format="pyarrow")
+        labels = (
+            msgs.union(labels)
             .groupby("node")
-            .map_groups(resolve, batch_format="pyarrow")
+            .aggregate(AggMin("label", alias_name="label"))
             .materialize()
         )
-        new_sum = msgs.filter(expr="kind == 2").sum("label")
+        new_sum = labels.sum("label")
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
 
     def to_components(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch.column("kind"), pa.scalar(2, type=pa.int8()))
-        picked = batch.filter(keep)
         return pa.table(
             {
-                "node": picked.column("node"),
-                "component": picked.column("label"),
+                "node": batch.column("node"),
+                "component": pc.cast(batch.column("label"), pa.int64()),
             }
         )
 
-    return msgs.map_batches(to_components, batch_format="pyarrow")
-
+    return labels.map_batches(to_components, batch_format="pyarrow")
 
 def duplicate_spans(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
     """Substring-level (span) dedup signal — the exact-duplicate-span
