@@ -101,42 +101,24 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
-    """Broadcast join (orders -> customer) + groupby + top-k: the small
-    customer side is ray.put once (as an Arrow table) and read per task,
-    never re-shipped per batch; orders stream through map_batches and
-    join each batch with the vectorized ``pa.Table.join`` hash-join
-    kernel — no per-row Python lookup."""
+    """Top-k customers by total spend: groupby + distributed sort+limit
+    over the naked custkey — the name column never enters the shuffle.
+    The per-customer aggregate is keyed on ``o_custkey`` alone (an int64
+    a tenth the width of (key, name) pairs), the top-k rows are taken
+    with a distributed sort+limit, and names attach AFTER the limit via
+    one vectorized lookup against the driver-held dimension table — a
+    k-row operation instead of a fact-stream-wide join."""
     customers = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).take_all()
-    lookup_tbl = pa.table(
-        {
-            "c_custkey": pa.array([r["c_custkey"] for r in customers], type=pa.int64()),
-            "c_name": pa.array([r["c_name"] for r in customers], type=pa.string()),
-        }
-    )
-    lookup_ref = ray.put(lookup_tbl)
-
-    def join(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        joined = batch.join(
-            lookup, keys="o_custkey", right_keys="c_custkey", join_type="left outer"
-        )
-        return pa.table(
-            {
-                "c_custkey": pc.cast(joined.column("o_custkey"), pa.int64()),
-                "c_name": pc.fill_null(joined.column("c_name"), ""),
-                "o_totalprice": joined.column("o_totalprice"),
-            }
-        )
+    cust_keys = pa.array([r["c_custkey"] for r in customers], type=pa.int64())
+    cust_names = pa.array([r["c_name"] for r in customers], type=pa.string())
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    agg = (
-        orders.map_batches(join, batch_format="pyarrow")
-        .groupby(["c_custkey", "c_name"])
-        .aggregate(Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders"))
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders")
     )
 
     # customer-count-sized aggregate: cents in a streaming stage, top-k
@@ -145,8 +127,7 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
         cents = _cents_array(batch.column("total_spend"))
         return pa.table(
             {
-                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
-                "c_name": batch.column("c_name"),
+                "c_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
                 "total_spend_cents": cents,
                 "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
             }
@@ -158,10 +139,13 @@ def top_customers(sf_dir: str, limit: int = 10) -> pa.Table:
         .limit(limit)
         .take_all()
     )
+    keys = pa.array([r["c_custkey"] for r in rows], type=pa.int64())
+    idx = pc.index_in(keys, value_set=cust_keys)
+    names = pc.fill_null(pc.take(cust_names, idx), "")
     return pa.table(
         {
-            "c_custkey": pa.array([r["c_custkey"] for r in rows], type=pa.int64()),
-            "c_name": pa.array([r["c_name"] for r in rows], type=pa.string()),
+            "c_custkey": keys,
+            "c_name": names,
             "total_spend_cents": pa.array(
                 [int(r["total_spend_cents"]) for r in rows], type=pa.int64()
             ),
