@@ -1544,4 +1544,114 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
         """,
+        # Grouped HyperLogLog replayed exactly: splitmix64 via HUGEINT
+        # split multiplication (uint64 wraparound), register idx = top
+        # 12 bits, rank = 53 - bit_length(low 52 bits) (bit length by
+        # exact power-of-two compares — no float log2), per-(type,idx)
+        # MAX = the merged register file, and the estimator's harmonic
+        # sum carried as the exact integer S = sum 2^(63-reg).  The
+        # only float math is the final shared expression in
+        # analytics._hll_estimate, mirrored literal for literal.
+        "events_hll_users": """
+            WITH pairs AS (
+              SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS v FROM events
+            ),
+            z1 AS (
+              SELECT event_type,
+                     (v + CAST('11400714819323198485' AS HUGEINT))
+                       % CAST('18446744073709551616' AS HUGEINT) AS z
+              FROM pairs
+            ),
+            z1x AS (SELECT event_type, xor(z, z // 1073741824) AS x FROM z1),
+            z2 AS (
+              SELECT event_type,
+                     ((x % 4294967296) * CAST('13787848793156543929' AS HUGEINT)
+                      + (((x // 4294967296) * CAST('13787848793156543929' AS HUGEINT))
+                         % 4294967296) * 4294967296
+                     ) % CAST('18446744073709551616' AS HUGEINT) AS z
+              FROM z1x
+            ),
+            z2x AS (SELECT event_type, xor(z, z // 134217728) AS x FROM z2),
+            z3 AS (
+              SELECT event_type,
+                     ((x % 4294967296) * CAST('10723151780598845931' AS HUGEINT)
+                      + (((x // 4294967296) * CAST('10723151780598845931' AS HUGEINT))
+                         % 4294967296) * 4294967296
+                     ) % CAST('18446744073709551616' AS HUGEINT) AS z
+              FROM z2x
+            ),
+            h AS (SELECT event_type, xor(z, z // 2147483648) AS h FROM z3),
+            parts AS (
+              SELECT event_type,
+                     h // CAST('4503599627370496' AS HUGEINT) AS idx,
+                     h % CAST('4503599627370496' AS HUGEINT) AS hm
+              FROM h
+            ),
+            ranked AS (
+              SELECT event_type, idx,
+                     53 - COALESCE((SELECT MAX(k) FROM generate_series(1, 52) s(k)
+                                    WHERE parts.hm >= (CAST(1 AS HUGEINT) << (k - 1))), 0) AS rank
+              FROM parts
+            ),
+            regs AS (
+              SELECT event_type, idx, MAX(rank) AS r FROM ranked GROUP BY event_type, idx
+            ),
+            sums AS (
+              SELECT event_type, COUNT(*) AS present,
+                     SUM(CAST(1 AS HUGEINT) << CAST(63 - r AS INTEGER)) AS s_nz
+              FROM regs GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type, 4096 - present AS zeros,
+                     (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                       * 9223372036854775808.0
+                       / CAST(s_nz + (4096 - present)
+                              * CAST('9223372036854775808' AS HUGEINT) AS DOUBLE) AS raw
+              FROM sums
+            )
+            SELECT event_type,
+                   CAST(FLOOR(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                                   THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                                   ELSE raw END + 0.5) AS BIGINT) AS approx_users
+            FROM est
+            ORDER BY event_type
+        """,
+        # Corpus-wide HLL: same estimator, word hash = md5_number_lower
+        # (the engine's shared md5-lower-64 convention).
+        "docs_approx_distinct": """
+            WITH words AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            h AS (SELECT CAST(md5_number_lower(w) AS HUGEINT) AS h FROM words),
+            parts AS (
+              SELECT h // CAST('4503599627370496' AS HUGEINT) AS idx,
+                     h % CAST('4503599627370496' AS HUGEINT) AS hm
+              FROM h
+            ),
+            ranked AS (
+              SELECT idx,
+                     53 - COALESCE((SELECT MAX(k) FROM generate_series(1, 52) s(k)
+                                    WHERE parts.hm >= (CAST(1 AS HUGEINT) << (k - 1))), 0) AS rank
+              FROM parts
+            ),
+            regs AS (SELECT idx, MAX(rank) AS r FROM ranked GROUP BY idx),
+            sums AS (
+              SELECT COUNT(*) AS present,
+                     SUM(CAST(1 AS HUGEINT) << CAST(63 - r AS INTEGER)) AS s_nz
+              FROM regs
+            ),
+            est AS (
+              SELECT 4096 - present AS zeros,
+                     (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                       * 9223372036854775808.0
+                       / CAST(s_nz + (4096 - present)
+                              * CAST('9223372036854775808' AS HUGEINT) AS DOUBLE) AS raw
+              FROM sums
+            )
+            SELECT CAST(FLOOR(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                                   THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                                   ELSE raw END + 0.5) AS BIGINT) AS approx_distinct,
+                   CAST(4096 AS BIGINT) AS registers
+            FROM est
+        """,
     }

@@ -684,6 +684,33 @@ def _splitmix64(x: "np.ndarray") -> "np.ndarray":
     return z ^ (z >> np.uint64(31))
 
 
+def _hll_estimate(regs: "np.ndarray", m: int) -> int:
+    """Shared HLL estimator with the harmonic sum carried as an EXACT
+    integer ``S = sum_r 2^(63-reg_r)`` (a zero register contributes
+    2^63) so the estimate is bit-reproducible in SQL: the oracle
+    computes the same HUGEINT S and evaluates the identical float
+    expression ``alpha*m*m*2^63/S`` (same literals, same left-to-right
+    associativity), with the standard linear-counting small-range
+    correction and a tie-free ``floor(est+0.5)`` integer conversion
+    (Python round() is half-even, SQL ROUND is half-away — floor+0.5
+    sidesteps the disagreement)."""
+    import math
+
+    import numpy as np
+
+    hist = np.bincount(regs, minlength=1)
+    s_exact = 0
+    for r, c in enumerate(hist):
+        if c:
+            s_exact += int(c) << (63 - int(r))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m * 9223372036854775808.0 / float(s_exact)
+    zeros = int(hist[0])
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return int(math.floor(est + 0.5))
+
+
 def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
     """Grouped HyperLogLog: approximate COUNT(DISTINCT user_id) per
     event_type as a MERGEABLE per-group sketch.  The exact variant
@@ -693,9 +720,15 @@ def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
     max, and shuffle volume is groups x blocks x 4 KiB regardless of
     user cardinality.  Same estimator + linear-counting correction as
     ``text.approx_distinct_words``; user_ids hash via vectorized
-    splitmix64 (no per-row digest).  Rows-only driver check; the pytest
-    gate asserts every estimate lands within the small-range bound of
-    the exact count."""
+    splitmix64 (no per-row digest).  SQL-replayable end to end: the
+    oracle re-runs splitmix64 (HUGEINT split multiplication = uint64
+    wraparound), register indexing/ranking, and the estimator; the
+    harmonic sum is carried as an EXACT integer S = sum(2^(63-reg))
+    so the only float ops are the shared final expression — both sides
+    compute `alpha*m*m*2^63/S` with identical literals/associativity
+    and convert via floor(est+0.5) (no round-half tie semantics to
+    disagree on).  The pytest gate additionally asserts every estimate
+    lands within the small-range bound of the exact count."""
     import numpy as np
 
     m = 1 << p
@@ -732,15 +765,10 @@ def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
         regs = np.zeros(m, dtype=np.uint8)
         for blob in group.column("regs").to_pylist():
             regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
-        alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)
         return pa.table(
             {
                 "event_type": pa.array([group.column("event_type")[0].as_py()]),
-                "approx_users": pa.array([int(round(est))], type=pa.int64()),
+                "approx_users": pa.array([_hll_estimate(regs, m)], type=pa.int64()),
             }
         )
 

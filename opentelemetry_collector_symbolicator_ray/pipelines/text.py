@@ -494,9 +494,17 @@ def approx_distinct_words(sf_dir: str, p: int = 12) -> pa.Table:
     shuffle moves one tiny blob per block (never the words), and the
     driver folds blobs with an elementwise max.  Standard HLL estimator
     with the small-range (linear counting) correction; expected relative
-    error ~1.04/sqrt(2^p) (~1.6% at p=12).  Rows-only check: the exact
-    counterpart is the `doc_frequency` groupby (oracle-checked), and the
-    test asserts the sketch lands within the error bound."""
+    error ~1.04/sqrt(2^p) (~1.6% at p=12).  SQL-replayable: words hash
+    via the shared md5-lower-64 convention (= DuckDB
+    ``md5_number_lower``), registers are a per-idx MAX the oracle
+    reproduces with a GROUP BY, and the estimator carries its harmonic
+    sum as an exact integer (see ``analytics._hll_estimate``), so the
+    oracle hash-compares the estimate itself; the pytest gate
+    additionally asserts the sketch lands within the error bound of the
+    exact `doc_frequency` count."""
+    from .analytics import _hll_estimate
+    from .dedup import _md5_lower64
+
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -505,13 +513,7 @@ def approx_distinct_words(sf_dir: str, p: int = 12) -> pa.Table:
         for t in batch.column("text").to_pylist():
             words.update(t.split(" "))
         if words:
-            hashes = np.array(
-                [
-                    int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                    for w in words
-                ],
-                dtype=np.uint64,
-            )
+            hashes = np.array([_md5_lower64(w) for w in words], dtype=np.uint64)
             idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
             rest = hashes << np.uint64(p)  # top (64-p) bits left-aligned
             # rank = leading zeros of rest + 1 (capped at 64-p+1)
@@ -533,14 +535,9 @@ def approx_distinct_words(sf_dir: str, p: int = 12) -> pa.Table:
     for row in blobs:
         regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
 
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear-counting small-range correction
     return pa.table(
         {
-            "approx_distinct": pa.array([int(round(est))], type=pa.int64()),
+            "approx_distinct": pa.array([_hll_estimate(regs, m)], type=pa.int64()),
             "registers": pa.array([m], type=pa.int64()),
         }
     )
