@@ -1544,6 +1544,70 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
         """,
+        # Sequential greedy first-fit bin packing replayed exactly: a
+        # recursive CTE advances every md5-partition in lockstep, one
+        # document (in doc_id order) per recursion step, carrying each
+        # partition's OPEN-BIN list as LIST<BIGINT> state (bin ids +
+        # used tokens, exactly-full bins retired) — the same state the
+        # engine's per-group Python loop holds.  j = first open bin
+        # that fits (list_filter preserves creation order = first-fit).
+        "docs_pack_sequences": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 32 AS BIGINT) AS part
+              FROM documents
+            ),
+            seq AS (
+              SELECT doc_id, t, part,
+                     ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+              FROM docs
+            ),
+            pack AS (
+              SELECT part, CAST(0 AS BIGINT) AS rn,
+                     CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+                     CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS pack_pos,
+                     CAST([] AS BIGINT[]) AS bin_ids, CAST([] AS BIGINT[]) AS used,
+                     CAST(0 AS BIGINT) AS next_bin
+              FROM (SELECT DISTINCT part FROM seq)
+              UNION ALL
+              SELECT part, rn, doc_id, n_tokens,
+                     CASE WHEN j IS NULL THEN next_bin ELSE bin_ids[j] END AS bin,
+                     CASE WHEN j IS NULL THEN 0 ELSE used[j] END AS pack_pos,
+                     list_transform(keep, k -> upd_bins[k]) AS bin_ids,
+                     list_transform(keep, k -> upd_used[k]) AS used,
+                     next_bin + CASE WHEN j IS NULL THEN 1 ELSE 0 END AS next_bin
+              FROM (
+                SELECT q.*,
+                       list_filter(list_transform(q.upd_used,
+                                                  (u, i) -> CASE WHEN u < 256 THEN i END),
+                                   x -> x IS NOT NULL) AS keep
+                FROM (
+                  SELECT w.*,
+                         CASE WHEN w.j IS NULL THEN list_append(w.used, w.n_tokens)
+                              ELSE list_transform(w.used,
+                                     (u, i) -> CASE WHEN i = w.j THEN u + w.n_tokens ELSE u END)
+                         END AS upd_used,
+                         CASE WHEN w.j IS NULL THEN list_append(w.bin_ids, w.next_bin)
+                              ELSE w.bin_ids END AS upd_bins
+                  FROM (
+                    SELECT p.part, s.rn, s.doc_id, s.t AS n_tokens,
+                           p.bin_ids, p.used, p.next_bin,
+                           (list_filter(list_transform(p.used,
+                                          (u, i) -> CASE WHEN u + s.t <= 256 THEN i END),
+                                        x -> x IS NOT NULL))[1] AS j
+                    FROM pack p
+                    JOIN seq s ON s.part = p.part AND s.rn = p.rn + 1
+                  ) w
+                ) q
+              )
+            )
+            SELECT doc_id, n_tokens,
+                   part * 4294967296 + bin AS pack_id,
+                   pack_pos
+            FROM pack WHERE doc_id IS NOT NULL
+            ORDER BY doc_id
+        """,
         # Grouped HyperLogLog replayed exactly: splitmix64 via HUGEINT
         # split multiplication (uint64 wraparound), register idx = top
         # 12 bits, rank = 53 - bit_length(low 52 bits) (bit length by

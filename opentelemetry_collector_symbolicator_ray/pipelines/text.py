@@ -713,9 +713,9 @@ def pack_sequences(
     token-budget bins (the sample-efficiency step before LLM training —
     concatenate short docs so a context window wastes no tokens).
 
-    Distributed shape: docs hash-partition by ``crc32(doc_id)`` (ONE
-    groupby shuffle of (doc_id, n_tokens) pairs only — text stays in
-    the source files); each partition group sorts by doc_id and runs
+    Distributed shape: docs hash-partition by ``md5_lower64(doc_id)``
+    (ONE groupby shuffle of (doc_id, n_tokens) pairs only — text stays
+    in the source files); each partition group sorts by doc_id and runs
     greedy first-fit over bins, emitting ``(doc_id, n_tokens, pack_id,
     pack_pos)``.  ``pack_id = partition << 32 | local bin`` keeps ids
     globally unique, and the assignment is DETERMINISTIC regardless of
@@ -723,12 +723,17 @@ def pack_sequences(
     content-keyed).  A doc longer than ``budget`` gets a bin of its own
     (callers chunk oversized docs upstream; packing never truncates).
     Token counts use the whitespace-word convention shared with
-    token_counts/the SQL oracles."""
+    token_counts/the SQL oracles; the partition hash is the repo-wide
+    md5-lower-64 convention, which makes the whole sequential first-fit
+    SQL-replayable — the ``docs_pack_sequences`` oracle re-runs it as a
+    recursive CTE carrying each partition's open-bin list as LIST
+    state, one recursion step per document."""
+    from .dedup import _md5_lower64
 
     def count_and_part(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         n_tok = [len(t.split(" ")) for t in batch.column("text").to_pylist()]
-        parts = [zlib.crc32(str(i).encode()) % num_partitions for i in ids]
+        parts = [_md5_lower64(str(i)) % num_partitions for i in ids]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

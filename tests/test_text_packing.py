@@ -5,9 +5,9 @@ single-process implementation here)."""
 
 from __future__ import annotations
 
-import zlib
-
 import pytest
+
+from opentelemetry_collector_symbolicator_ray.pipelines.dedup import _md5_lower64
 
 SF = "/root/testdata/sf0.001"
 
@@ -62,7 +62,7 @@ def test_pack_sequences_matches_reference_and_is_deterministic(ray_session):
         bins: list[tuple[int, int]] = []
         next_bin = 0
         for doc_id, t in docs:
-            if zlib.crc32(str(doc_id).encode()) % P != part:
+            if _md5_lower64(str(doc_id)) % P != part:
                 continue
             placed = False
             for bi, (b_id, used) in enumerate(bins):
