@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": lambda sf: analytics.small_quantity_revenue(sf),
         "customers_without_orders": lambda sf: analytics.customers_without_orders(sf),
         "events_dominant_type": lambda sf: analytics.dominant_event_type(sf),
+        "events_watermarked_counts": lambda sf: streaming.watermarked_window_counts(sf),
     }
 
 
@@ -1543,6 +1544,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c.n) AS BIGINT) AS n
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        # Event-time watermark + allowed-lateness drop policy replayed
+        # exactly: the engine's distributed prefix max (bucketed
+        # partials + carry-in offsets) equals MAX(ts) OVER the arrival
+        # order excluding the current row; all math is integer
+        # microseconds.  lateness = 1h, tumbling window = 1h.
+        "events_watermarked_counts": """
+            WITH w AS (
+              SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                     MAX(epoch_us(ts)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM events
+            )
+            SELECT ts_us // 3600000000 AS window_id,
+                   event_type,
+                   COUNT(*)::BIGINT AS n_events
+            FROM w
+            WHERE prev_max IS NULL OR ts_us >= prev_max - 3600000000
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Sequential greedy first-fit bin packing replayed exactly: a
         # recursive CTE advances every md5-partition in lockstep, one

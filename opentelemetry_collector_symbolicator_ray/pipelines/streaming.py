@@ -1058,3 +1058,113 @@ def ewma_by_user(sf_dir: str, alpha: float = 0.3) -> "ray.data.Dataset":
         .map_groups(fold, batch_format="pyarrow")
         .sort("user_id")
     )
+
+
+def watermarked_window_counts(
+    sf_dir: str,
+    lateness_us: int = US_PER_HOUR,
+    window_us: int = US_PER_HOUR,
+    bucket_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Event-time WATERMARK with an allowed-lateness drop policy — the
+    core streaming-system semantics (Flink/Beam watermarks) that Ray
+    Data lacks natively, made deterministic on the batch log: arrival
+    order is ``event_id`` (the monotone ingest id); the watermark at an
+    event's arrival is max(ts) over all STRICTLY EARLIER arrivals minus
+    ``lateness_us``; an event whose own ts is below that watermark is
+    late and DROPPED.  Survivors aggregate into tumbling windows per
+    event_type, i.e. the result is what a streaming engine with this
+    lateness bound would have emitted after replaying the log.
+
+    Ray shape — a DISTRIBUTED PREFIX MAX (the same machinery as the
+    token-budget prefix sum in ``text.token_budget_mix``): (1) project
+    (event_id, ts_us), bucket by ``event_id // bucket_size``, and send
+    per-bucket max-ts partials to the driver — driver state is
+    bucket-count-sized, never corpus-sized; (2) an exclusive prefix max
+    over the sorted bucket maxima gives each bucket's carry-in
+    watermark, broadcast via ``ray.put``; (3) ONE groupby(bucket) pass
+    sorts each <=bucket_size-row group by event_id, takes the running
+    max (np.maximum.accumulate), applies the late filter in-stream, and
+    emits (window_id, event_type) partial counts; a final
+    window-count-sized groupby sums them.  Exact integer-microsecond
+    math end to end, so the oracle replays it verbatim with
+    ``MAX(epoch_us(ts)) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``."""
+    import ray
+    from ray.data.aggregate import Max
+
+    _SENTINEL = -(1 << 62)  # "no prior arrival": always below any real watermark
+
+    def project(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id")
+        return pa.table(
+            {
+                "bucket": pc.divide(eid, pa.scalar(bucket_size, type=pa.int64())),
+                "event_id": eid,
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    ).map_batches(project, batch_format="pyarrow")
+
+    # (1)+(2): bucket-count-sized driver combine -> exclusive prefix max
+    maxima = sorted(
+        (r["bucket"], r["max(ts_us)"])
+        for r in ds.groupby("bucket").aggregate(Max("ts_us")).take_all()
+    )
+    carry_in: dict[int, int] = {}
+    running = _SENTINEL
+    for b, mx in maxima:
+        carry_in[int(b)] = running
+        running = max(running, int(mx))
+    carry_ref = ray.put(carry_in)
+
+    def late_filter(group: pa.Table) -> pa.Table:
+        carries = ray.get(carry_ref)
+        bucket = int(group.column("bucket")[0].as_py())
+        order = np.argsort(group.column("event_id").to_numpy(zero_copy_only=False), kind="stable")
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)[order]
+        types = np.asarray(group.column("event_type").to_pylist(), dtype=object)[order]
+        prior = np.empty(len(ts), dtype=np.int64)
+        prior[0] = carries[bucket]
+        if len(ts) > 1:
+            prior[1:] = np.maximum(carries[bucket], np.maximum.accumulate(ts)[:-1])
+        keep = ts >= prior - lateness_us
+        win = ts[keep] // window_us
+        kt = types[keep]
+        pairs, counts = np.unique(
+            np.char.add(np.char.add(win.astype("U20"), "|"), kt.astype("U32")),
+            return_counts=True,
+        )
+        wins = [int(p.split("|", 1)[0]) for p in pairs]
+        tys = [p.split("|", 1)[1] for p in pairs]
+        return pa.table(
+            {
+                "window_id": pa.array(wins, type=pa.int64()),
+                "event_type": pa.array(tys, type=pa.string()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("bucket")
+        .map_groups(late_filter, batch_format="pyarrow")
+        .groupby(["window_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": pc.cast(batch.column("window_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+            }
+        )
+
+    return _compact_sort(
+        agg.map_batches(finish, batch_format="pyarrow"), ["window_id", "event_type"]
+    )

@@ -329,3 +329,68 @@ def test_asof_join_hot_key_skew(ray_session):
             assert got[i] != got[i], i  # NaN
         else:
             assert r_ts[int(got[i])] == m.max(), i
+
+
+def test_watermarked_counts_drops_late_events(ray_session, tmp_path):
+    """A disordered log (the driver tables are perfectly time-ordered, so
+    the drop path never fires there): events whose ts falls more than
+    `lateness` behind the running max of STRICTLY EARLIER arrivals are
+    dropped; ties with the watermark survive; and the result is identical
+    at bucket_size 1024, 3 and 1 (bucketing is an implementation detail,
+    not a semantic)."""
+    import numpy as np
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import (
+        watermarked_window_counts,
+    )
+
+    H = 3_600_000_000  # 1h in us
+    base = 1_700_000_000_000_000
+    # arrival order = event_id; crafted lags:
+    #   id 1: ts base           (first arrival, always kept)
+    #   id 2: ts base+3h        (advances watermark to base+2h)
+    #   id 3: ts base+1h        (late by 2h-lateness -> DROPPED at lateness=1h)
+    #   id 4: ts base+2h        (exactly AT the watermark -> kept, >= is not <)
+    #   id 5: ts base-5h        (very late -> DROPPED)
+    #   id 6: ts base+4h        (kept, advances watermark)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "ts": pa.array(
+                [base, base + 3 * H, base + H, base + 2 * H, base - 5 * H, base + 4 * H],
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "a", "a", "b", "b", "a"], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    # python replica over arrival order
+    kept = []
+    prev_max = None
+    for eid, ts_us, ty in sorted(
+        zip(
+            tbl.column("event_id").to_pylist(),
+            [t.value if hasattr(t, "value") else t for t in pa.compute.cast(tbl.column("ts"), pa.int64()).to_pylist()],
+            tbl.column("event_type").to_pylist(),
+        )
+    ):
+        if prev_max is None or ts_us >= prev_max - H:
+            kept.append((ts_us // H, ty))
+        prev_max = ts_us if prev_max is None else max(prev_max, ts_us)
+    expect = {}
+    for w, ty in kept:
+        expect[(w, ty)] = expect.get((w, ty), 0) + 1
+    assert len(kept) == 4  # ids 1, 2, 4, 6 — the crafted drop set
+
+    results = {}
+    for bs in (1024, 3, 1):
+        got = {
+            (r["window_id"], r["event_type"]): r["n_events"]
+            for r in watermarked_window_counts(
+                str(tmp_path), lateness_us=H, window_us=H, bucket_size=bs
+            ).take_all()
+        }
+        results[bs] = got
+        assert got == expect, f"bucket_size={bs}: {got} != {expect}"
+    assert results[1024] == results[3] == results[1]
