@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": lambda sf: analytics.customers_without_orders(sf),
         "events_dominant_type": lambda sf: analytics.dominant_event_type(sf),
         "events_watermarked_counts": lambda sf: streaming.watermarked_window_counts(sf),
+        "docs_bm25_topk": lambda sf: text.bm25_search(sf),
     }
 
 
@@ -1544,6 +1545,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c.n) AS BIGINT) AS n
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        # BM25 ranked retrieval replayed exactly: df/tf/doc-length from
+        # first principles, idf and the per-(doc,term) contribution as
+        # the identical staged IEEE expression (same literals, same
+        # associativity as text.bm25_search), each contribution floored
+        # to integer micro-units BEFORE the per-doc sum so addition
+        # order cannot matter, ties broken by doc_id.
+        "docs_bm25_topk": """
+            WITH dl AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents
+            ),
+            stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS s FROM dl),
+            tf AS (
+              SELECT doc_id, w AS term, COUNT(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE w IN ('merge', 'sort', 'stream')
+              GROUP BY doc_id, w
+            ),
+            df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(FLOOR(
+                       ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                 / (CAST(df.df AS DOUBLE) + 0.5))
+                       * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                      / (CAST(stats.s AS DOUBLE) / CAST(stats.n AS DOUBLE)))))
+                       * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+            )
+            SELECT doc_id, SUM(c_micro)::BIGINT AS score_micro
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 10
         """,
         # Event-time watermark + allowed-lateness drop policy replayed
         # exactly: the engine's distributed prefix max (bucketed

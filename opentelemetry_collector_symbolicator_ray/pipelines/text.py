@@ -960,31 +960,51 @@ def build_inverted_index(
     per-key assumption every groupby here makes)."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        words, ids, buckets = [], [], []
+        from collections import Counter
+
+        words, ids, buckets, tfs, dls = [], [], [], [], []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for w in set(t.split(" ")):
+            toks = t.split(" ")
+            for w, tf in Counter(toks).items():
                 words.append(w)
                 ids.append(doc_id)
                 buckets.append(zlib.crc32(w.encode()) % num_buckets)
+                tfs.append(tf)
+                dls.append(len(toks))
         return pa.table(
             {
                 "word": pa.array(words, type=pa.string()),
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "bucket": pa.array(buckets, type=pa.int64()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64()),
             }
         )
 
     def postings(group: pa.Table) -> pa.Table:
         word = group.column("word")[0].as_py()
-        ids = sorted(group.column("doc_id").to_pylist())
+        rows = sorted(
+            zip(
+                group.column("doc_id").to_pylist(),
+                group.column("tf").to_pylist(),
+                group.column("dl").to_pylist(),
+            )
+        )
+        ids = [r[0] for r in rows]
         return pa.table(
             {
                 "bucket": pa.array([int(group.column("bucket")[0].as_py())], type=pa.int64()),
                 "word": pa.array([word], type=pa.string()),
                 "df": pa.array([len(ids)], type=pa.int64()),
                 "postings": pa.array([ids], type=pa.list_(pa.int64())),
+                # Lucene-style norms alongside each posting: term
+                # frequency + the doc's token length, so ranked
+                # retrieval (BM25) runs from the index alone — the
+                # corpus text is never touched at query time.
+                "tfs": pa.array([[r[1] for r in rows]], type=pa.list_(pa.int64())),
+                "dls": pa.array([[r[2] for r in rows]], type=pa.list_(pa.int64())),
             }
         )
 
@@ -994,6 +1014,36 @@ def build_inverted_index(
         .groupby("word")
         .map_groups(postings, batch_format="pyarrow")
         .write_parquet(index_dir, partition_cols=["bucket"])
+    )
+    # corpus stats (N docs, total token length) land next to the index —
+    # computed at build time exactly like Lucene stores norms, so BM25's
+    # avgdl needs no corpus pass at query time
+    stats = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n_docs": pa.array([b.num_rows], type=pa.int64()),
+                    "total_dl": pa.array(
+                        [sum(len(t.split(" ")) for t in b.column("text").to_pylist())],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([sum(r["n_docs"] for r in stats)], type=pa.int64()),
+                "total_dl": pa.array([sum(r["total_dl"] for r in stats)], type=pa.int64()),
+            }
+        ),
+        f"{index_dir}/_corpus_stats.parquet",
     )
     return {"index_dir": index_dir, "num_buckets": num_buckets}
 
@@ -1049,8 +1099,10 @@ def _cached_index_dir(sf_dir: str) -> str:
     import shutil
 
     st = os.stat(f"{sf_dir}/documents.parquet")
+    # "v2" = index schema version (tfs/dls norm lists + _corpus_stats);
+    # bumping it orphans v1 caches instead of misreading them
     tag = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
     ).hexdigest()[:16]
     index_dir = f"/tmp/ocsr_invidx/{tag}"
     if not os.path.exists(index_dir):
@@ -1258,6 +1310,111 @@ def search_and(sf_dir: str, k_probe: int = 2) -> pa.Table:
         )
     hits = sorted(set.intersection(*(set(r["postings"]) for r in rows)))
     return pa.table({"doc_id": pa.array(hits, type=pa.int64())})
+
+
+BM25_QUERY = ("merge", "sort", "stream")
+
+
+def bm25_search(
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """BM25 ranked retrieval THROUGH the inverted index — the corpus
+    text is never read at query time: term frequencies and doc-length
+    norms ride in the postings (Lucene-style, written at build time),
+    corpus stats (N, avgdl) come from the index's ``_corpus_stats``
+    sidecar, and only the probed buckets leave storage (partition
+    pruning).  Distributed shape: probed postings EXPLODE to
+    (doc_id, contribution) rows inside map_batches (term-sized lists,
+    vectorized numpy scoring), ONE groupby(doc_id) sums candidate
+    scores, and a sort/limit returns the top k — no driver-side
+    scoring loop, candidates never materialize.
+
+    Hash-exact oracle trick: each term's contribution is converted to
+    integer MICRO-units (floor(c*1e6+0.5)) before the sum, so the
+    cross-term addition is order-independent (integers commute; float
+    sums don't) and DuckDB replays the identical staged IEEE expression
+    per (doc, term).  Ties in score_micro break by doc_id."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    index_dir = _cached_index_dir(sf_dir)
+    stats = pq.read_table(f"{index_dir}/_corpus_stats.parquet")
+    n_docs = int(stats.column("n_docs")[0].as_py())
+    total_dl = int(stats.column("total_dl")[0].as_py())
+    avgdl = float(total_dl) / float(n_docs)
+
+    qset = set(query)
+    # pass 1 over probed buckets only: term-count-sized df table
+    dfs: dict[str, int] = {}
+    for row in (
+        _read_index_buckets(index_dir, list(query), INDEX_BUCKETS)
+        .map_batches(
+            lambda t: t.select(["word", "df"]).filter(
+                pa.array([w in qset for w in t.column("word").to_pylist()])
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    ):
+        dfs[row["word"]] = int(row["df"])
+    idf = {
+        w: math.log(1.0 + (float(n_docs) - float(df) + 0.5) / (float(df) + 0.5))
+        for w, df in dfs.items()
+    }
+
+    def explode_score(batch: pa.Table) -> pa.Table:
+        out_ids: list[np.ndarray] = []
+        out_micro: list[np.ndarray] = []
+        words = batch.column("word").to_pylist()
+        posts = batch.column("postings").to_pylist()
+        tfs = batch.column("tfs").to_pylist()
+        dls = batch.column("dls").to_pylist()
+        for w, ids, tf, dl in zip(words, posts, tfs, dls):
+            if w not in idf:
+                continue
+            tfa = np.asarray(tf, dtype=np.float64)
+            dla = np.asarray(dl, dtype=np.float64)
+            num = tfa * (k1 + 1.0)
+            den = tfa + k1 * (1.0 - b + b * dla / avgdl)
+            c = idf[w] * (num / den)
+            out_ids.append(np.asarray(ids, dtype=np.int64))
+            out_micro.append(np.floor(c * 1000000.0 + 0.5).astype(np.int64))
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "c_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+                "c_micro": pa.array(np.concatenate(out_micro), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    top = (
+        _read_index_buckets(index_dir, list(query), INDEX_BUCKETS)
+        .map_batches(explode_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Sum("c_micro", alias_name="score_micro"))
+        .sort(["score_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    rows = top.take_all()
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score_micro": pa.array([int(r["score_micro"]) for r in rows], type=pa.int64()),
+        }
+    )
 
 def train_val_test_split(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic 80/10/10 train/val/test assignment by content-hash
