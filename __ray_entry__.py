@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dominant_type": lambda sf: analytics.dominant_event_type(sf),
         "events_watermarked_counts": lambda sf: streaming.watermarked_window_counts(sf),
         "docs_bm25_topk": lambda sf: text.bm25_search(sf),
+        "docs_phrase_search": lambda sf: text.phrase_search(sf),
     }
 
 
@@ -1545,6 +1546,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c.n) AS BIGINT) AS n
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        # Positional phrase search replayed exactly: 1-based token
+        # positions (the index's convention) via indexed list lambdas,
+        # adjacency = |(pos0 + 1) ∩ pos1| — positions are distinct so
+        # list_intersect's count equals np.intersect1d's.
+        "docs_phrase_search": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, ' '),
+                                   (x, i) -> CASE WHEN x = 'merge' THEN i END),
+                                 x -> x IS NOT NULL) AS p0,
+                     list_filter(list_transform(string_split(text, ' '),
+                                   (x, i) -> CASE WHEN x = 'sort' THEN i END),
+                                 x -> x IS NOT NULL) AS p1
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_intersect(list_transform(p0, x -> x + 1), p1)) AS BIGINT)
+                     AS n_matches
+            FROM p
+            WHERE len(list_intersect(list_transform(p0, x -> x + 1), p1)) > 0
+            ORDER BY doc_id
         """,
         # BM25 ranked retrieval replayed exactly: df/tf/doc-length from
         # first principles, idf and the per-(doc,term) contribution as

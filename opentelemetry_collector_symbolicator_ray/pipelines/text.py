@@ -960,19 +960,23 @@ def build_inverted_index(
     per-key assumption every groupby here makes)."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        words, ids, buckets, tfs, dls = [], [], [], [], []
+        words, ids, buckets, tfs, dls, poss = [], [], [], [], [], []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             toks = t.split(" ")
-            for w, tf in Counter(toks).items():
+            posmap: dict[str, list[int]] = {}
+            # 1-based positions — matches SQL list indexing so the
+            # phrase oracle replays them verbatim
+            for i, w in enumerate(toks, start=1):
+                posmap.setdefault(w, []).append(i)
+            for w, ps in posmap.items():
                 words.append(w)
                 ids.append(doc_id)
                 buckets.append(zlib.crc32(w.encode()) % num_buckets)
-                tfs.append(tf)
+                tfs.append(len(ps))
                 dls.append(len(toks))
+                poss.append(ps)
         return pa.table(
             {
                 "word": pa.array(words, type=pa.string()),
@@ -980,6 +984,7 @@ def build_inverted_index(
                 "bucket": pa.array(buckets, type=pa.int64()),
                 "tf": pa.array(tfs, type=pa.int64()),
                 "dl": pa.array(dls, type=pa.int64()),
+                "pos": pa.array(poss, type=pa.list_(pa.int64())),
             }
         )
 
@@ -990,6 +995,7 @@ def build_inverted_index(
                 group.column("doc_id").to_pylist(),
                 group.column("tf").to_pylist(),
                 group.column("dl").to_pylist(),
+                group.column("pos").to_pylist(),
             )
         )
         ids = [r[0] for r in rows]
@@ -999,12 +1005,16 @@ def build_inverted_index(
                 "word": pa.array([word], type=pa.string()),
                 "df": pa.array([len(ids)], type=pa.int64()),
                 "postings": pa.array([ids], type=pa.list_(pa.int64())),
-                # Lucene-style norms alongside each posting: term
-                # frequency + the doc's token length, so ranked
-                # retrieval (BM25) runs from the index alone — the
-                # corpus text is never touched at query time.
+                # Lucene-style norms + positions alongside each posting:
+                # term frequency, the doc's token length, and 1-based
+                # term positions, so ranked retrieval (BM25) AND phrase
+                # queries run from the index alone — the corpus text is
+                # never touched at query time.
                 "tfs": pa.array([[r[1] for r in rows]], type=pa.list_(pa.int64())),
                 "dls": pa.array([[r[2] for r in rows]], type=pa.list_(pa.int64())),
+                "poss": pa.array(
+                    [[r[3] for r in rows]], type=pa.list_(pa.list_(pa.int64()))
+                ),
             }
         )
 
@@ -1099,10 +1109,11 @@ def _cached_index_dir(sf_dir: str) -> str:
     import shutil
 
     st = os.stat(f"{sf_dir}/documents.parquet")
-    # "v2" = index schema version (tfs/dls norm lists + _corpus_stats);
-    # bumping it orphans v1 caches instead of misreading them
+    # "v3" = index schema version (tfs/dls/poss norm+position lists +
+    # _corpus_stats); bumping it orphans older caches instead of
+    # misreading them
     tag = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v3".encode()
     ).hexdigest()[:16]
     index_dir = f"/tmp/ocsr_invidx/{tag}"
     if not os.path.exists(index_dir):
@@ -1313,6 +1324,97 @@ def search_and(sf_dir: str, k_probe: int = 2) -> pa.Table:
 
 
 BM25_QUERY = ("merge", "sort", "stream")
+PHRASE_QUERY = ("merge", "sort")
+
+
+def phrase_search(
+    sf_dir: str, phrase: tuple[str, ...] = PHRASE_QUERY
+) -> pa.Table:
+    """Exact PHRASE search through the positional index: the postings
+    carry 1-based term positions (written at build time), so adjacency
+    is checked without ever reading corpus text — probe only the
+    phrase words' buckets (partition pruning), explode each phrase
+    slot's postings to (doc_id, slot, positions) rows, and ONE
+    groupby(doc_id) pass chains the position intersections
+    ``((pos_1 + 1) ∩ pos_2) + 1) ∩ pos_3 ...`` vectorized
+    (np.intersect1d of sorted int arrays).  Emits (doc_id, n_matches =
+    phrase occurrence count) for matching docs.  Docs missing any slot
+    produce a group with < len(phrase) rows and are filtered by the
+    slot-count check — no driver-side set logic, candidates never
+    materialize."""
+    index_dir = _cached_index_dir(sf_dir)
+    n_slots = len(phrase)
+    slot_of: dict[str, list[int]] = {}
+    for s, w in enumerate(phrase):
+        slot_of.setdefault(w, []).append(s)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_doc, out_slot, out_pos = [], [], []
+        for w, ids, poss in zip(
+            batch.column("word").to_pylist(),
+            batch.column("postings").to_pylist(),
+            batch.column("poss").to_pylist(),
+        ):
+            for s in slot_of.get(w, ()):
+                out_doc.extend(ids)
+                out_slot.extend([s] * len(ids))
+                out_pos.extend(poss)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "slot": pa.array(out_slot, type=pa.int64()),
+                "pos": pa.array(out_pos, type=pa.list_(pa.int64())),
+            }
+        )
+
+    def adjacency(group: pa.Table) -> pa.Table:
+        if group.num_rows < n_slots:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        by_slot = dict(
+            zip(group.column("slot").to_pylist(), group.column("pos").to_pylist())
+        )
+        cur = np.asarray(by_slot[0], dtype=np.int64)
+        for s in range(1, n_slots):
+            cur = np.intersect1d(cur + 1, np.asarray(by_slot[s], dtype=np.int64))
+            if not len(cur):
+                break
+        if not len(cur):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array([group.column("doc_id")[0].as_py()], type=pa.int64()),
+                "n_matches": pa.array([len(cur)], type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        _read_index_buckets(index_dir, list(set(phrase)), INDEX_BUCKETS)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(adjacency, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    if not rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_matches": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.Table.from_pylist(rows).select(["doc_id", "n_matches"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_matches", pa.int64())])
+    )
 
 
 def bm25_search(
