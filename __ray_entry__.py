@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermarked_counts": lambda sf: streaming.watermarked_window_counts(sf),
         "docs_bm25_topk": lambda sf: text.bm25_search(sf),
         "docs_phrase_search": lambda sf: text.phrase_search(sf),
+        "docs_weighted_reservoir": lambda sf: text.weighted_reservoir_sample(sf),
+        "events_table_checksum": lambda sf: analytics.table_checksum(sf),
     }
 
 
@@ -1546,6 +1548,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c.n) AS BIGINT) AS n
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        # Efraimidis-Spirakis A-Res weighted sampling: priority =
+        # ln(u)/w with u = (md5_lower64(text)+1)/2^64 — identical IEEE
+        # expression both sides (same libm ln), ties (duplicate texts)
+        # break by doc_id.
+        "docs_weighted_reservoir": """
+            SELECT doc_id, n_chars,
+                   ln((CAST(md5_number_lower(text) AS DOUBLE) + 1.0)
+                      / 18446744073709551616.0) / CAST(n_chars AS DOUBLE) AS priority
+            FROM documents
+            ORDER BY priority DESC, doc_id
+            LIMIT 50
+        """,
+        # Order-independent table fingerprint: SUM of per-row
+        # md5-lower-64 over the canonical integer/string serialization,
+        # mod 2^64, wrapped to signed int64 (the simhash convention).
+        "events_table_checksum": """
+            WITH s AS (
+              SELECT COUNT(*)::BIGINT AS n_rows,
+                     SUM(CAST(md5_number_lower(
+                           CAST(event_id AS VARCHAR) || '|' ||
+                           CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                           CAST(user_id AS VARCHAR) || '|' || event_type
+                         ) AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS u
+              FROM events
+            )
+            SELECT n_rows,
+                   CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                             THEN u - CAST('18446744073709551616' AS HUGEINT)
+                             ELSE u END AS BIGINT) AS checksum
+            FROM s
         """,
         # Positional phrase search replayed exactly: 1-based token
         # positions (the index's convention) via indexed list lambdas,

@@ -672,6 +672,57 @@ def bloom_semijoin_revenue(
         }
     )
 
+def table_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent table FINGERPRINT — the anti-entropy check a
+    replicated 100 TB lake runs to compare copies without moving rows:
+    each row hashes to md5-lower-64 of its canonical serialization and
+    the fingerprint is the SUM of row hashes mod 2^64 (addition
+    commutes, so the result is identical for ANY block layout, task
+    order or physical row order — no sort, no shuffle; each block
+    emits ONE partial).  Floats are excluded from the canonical string
+    (integer/string fields only) so there are no rounding semantics to
+    disagree on; the oracle replays the same concat + md5 + HUGEINT
+    sum.  Signed int64 wrap matches the repo's simhash convention."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64()).to_pylist()
+        s = 0
+        for eid, t, uid, ty in zip(
+            batch.column("event_id").to_pylist(),
+            ts_us,
+            batch.column("user_id").to_pylist(),
+            batch.column("event_type").to_pylist(),
+        ):
+            s += int.from_bytes(
+                hashlib.md5(f"{eid}|{t}|{uid}|{ty}".encode()).digest()[8:], "little"
+            )
+        return pa.table(
+            {
+                "part_sum": pa.array([str(s % (1 << 64))], type=pa.string()),
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    total = sum(int(r["part_sum"]) for r in rows) % (1 << 64)
+    if total >= 1 << 63:
+        total -= 1 << 64
+    return pa.table(
+        {
+            "n_rows": pa.array([sum(r["n"] for r in rows)], type=pa.int64()),
+            "checksum": pa.array([total], type=pa.int64()),
+        }
+    )
+
+
 def _splitmix64(x: "np.ndarray") -> "np.ndarray":
     """Vectorized splitmix64 — a public-domain integer mixer with full
     avalanche, used to hash int64 keys for sketches without a per-row

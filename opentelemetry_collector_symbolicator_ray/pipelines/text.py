@@ -1327,6 +1327,52 @@ BM25_QUERY = ("merge", "sort", "stream")
 PHRASE_QUERY = ("merge", "sort")
 
 
+def weighted_reservoir_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each doc gets priority ``ln(u) / w`` with ``u`` a
+    content-keyed uniform in (0,1] (md5-lower-64 of the text, so the
+    sample is deterministic and resumption-stable) and ``w = n_chars``;
+    the k largest priorities ARE the weighted sample.  Distributed as
+    priorities-in-map_batches + a global sort/limit — no reservoir
+    state, no sequential pass, identical result at any block layout.
+    SQL-replayable: DuckDB computes the identical IEEE ``ln(u)/w``
+    (same libm), ties (duplicate texts) break by doc_id."""
+    import math
+
+    from .dedup import _md5_lower64
+
+    def priorities(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        nchars = batch.column("n_chars").to_pylist()
+        pri = [
+            math.log((float(_md5_lower64(t)) + 1.0) / 18446744073709551616.0)
+            / float(w)
+            for t, w in zip(batch.column("text").to_pylist(), nchars)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_chars": pa.array(nchars, type=pa.int64()),
+                "priority": pa.array(pri, type=pa.float64()),
+            }
+        )
+
+    rows = (
+        _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(priorities, batch_format="pyarrow")
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+            "priority": pa.array([r["priority"] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def phrase_search(
     sf_dir: str, phrase: tuple[str, ...] = PHRASE_QUERY
 ) -> pa.Table:
