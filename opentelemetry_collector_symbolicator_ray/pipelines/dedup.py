@@ -595,26 +595,43 @@ def duplicate_spans(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
 
     dup = pos.groupby("whash").map_groups(dup_counts, batch_format="pyarrow")
 
-    def finalize(group: pa.Table) -> pa.Table:
-        kinds = group.column("kind").to_numpy(zero_copy_only=False)
-        ns = group.column("n").to_numpy(zero_copy_only=False)
-        n_windows = int(ns[kinds == 0].sum())
-        n_dup = int(ns[kinds == 1].sum())
-        ppm = (n_dup * 1_000_000) // n_windows if n_windows else 0
+    # vectorized finalize: split each row's count into (window, dup)
+    # columns by kind, let NATIVE Sum aggregates do the per-doc fold
+    # (no per-doc Python group call — docs are corpus-count-sized), and
+    # derive dup_ppm in one integer map over the aggregate result
+    def split_kinds(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.int64())
+        iswin = pc.cast(pc.equal(batch.column("kind"), 0), pa.int64())
         return pa.table(
             {
-                "doc_id": group.column("doc_id").slice(0, 1),
-                "n_windows": pa.array([n_windows], type=pa.int64()),
-                "n_dup_windows": pa.array([n_dup], type=pa.int64()),
-                "dup_ppm": pa.array([ppm], type=pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_win": pc.multiply(n, iswin),
+                "n_dup": pc.multiply(n, pc.subtract(pa.scalar(1, pa.int64()), iswin)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as AggSum
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        n_win = batch.column("sum(n_win)").to_numpy(zero_copy_only=False)
+        n_dup = batch.column("sum(n_dup)").to_numpy(zero_copy_only=False)
+        out = np.where(n_win > 0, (n_dup * 1_000_000) // np.maximum(n_win, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_windows": pa.array(n_win, type=pa.int64()),
+                "n_dup_windows": pa.array(n_dup, type=pa.int64()),
+                "dup_ppm": pa.array(out, type=pa.int64()),
             }
         )
 
     return (
         tot.select_columns(["doc_id", "n", "kind"])
         .union(dup)
+        .map_batches(split_kinds, batch_format="pyarrow")
         .groupby("doc_id")
-        .map_groups(finalize, batch_format="pyarrow")
+        .aggregate(AggSum("n_win"), AggSum("n_dup"))
+        .map_batches(ppm, batch_format="pyarrow")
         .sort("doc_id")
     )
 
