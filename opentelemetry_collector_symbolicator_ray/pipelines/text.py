@@ -946,18 +946,9 @@ def _read_index_buckets(
     return ray.data.read_parquet(files)
 
 
-def build_inverted_index(
-    sf_dir: str, index_dir: str, num_buckets: int = INDEX_BUCKETS
-) -> dict:
-    """Build a persistent inverted index (word -> sorted doc_id
-    postings), hash-partitioned by word: per-batch distinct (word,
-    doc_id) pairs -> ONE word shuffle -> per-word postings rows written
-    ``partition_cols=["bucket"]`` (bucket = crc32(word) % num_buckets).
-    This is the partition-once-probe-many layout for retrieval at
-    100 TB: a term lookup reads only the probed buckets via partition
-    pruning — no full scan.  At corpus scale num_buckets rises with the
-    vocabulary; postings for one word must fit one task (the same
-    per-key assumption every groupby here makes)."""
+def _index_pairs(num_buckets: int):
+    """(word, doc_id, tf, dl, positions, bucket) extraction shared by
+    the full index build and the delta merge."""
 
     def pairs(batch: pa.Table) -> pa.Table:
         words, ids, buckets, tfs, dls, poss = [], [], [], [], [], []
@@ -1018,6 +1009,24 @@ def build_inverted_index(
             }
         )
 
+    return pairs, postings
+
+
+def build_inverted_index(
+    sf_dir: str, index_dir: str, num_buckets: int = INDEX_BUCKETS
+) -> dict:
+    """Build a persistent inverted index (word -> sorted doc_id
+    postings + Lucene-style tf/dl/position norms), hash-partitioned by
+    word: per-batch (word, doc_id, tf, dl, positions) rows -> ONE word
+    shuffle -> per-word postings rows written
+    ``partition_cols=["bucket"]`` (bucket = crc32(word) % num_buckets).
+    This is the partition-once-probe-many layout for retrieval at
+    100 TB: a term lookup reads only the probed buckets via partition
+    pruning — no full scan.  At corpus scale num_buckets rises with the
+    vocabulary; postings for one word must fit one task (the same
+    per-key assumption every groupby here makes)."""
+    pairs, postings = _index_pairs(num_buckets)
+
     (
         _read_documents(sf_dir, ["doc_id", "text"])
         .map_batches(pairs, batch_format="pyarrow")
@@ -1056,6 +1065,140 @@ def build_inverted_index(
         f"{index_dir}/_corpus_stats.parquet",
     )
     return {"index_dir": index_dir, "num_buckets": num_buckets}
+
+
+def merge_index_delta(
+    base_index_dir: str,
+    delta_sf_dir: str,
+    out_index_dir: str,
+    num_buckets: int = INDEX_BUCKETS,
+) -> dict:
+    """Incremental index maintenance: fold a DELTA corpus (new doc_ids)
+    into an existing index without rebuilding it.  Work is
+    delta-sized, not corpus-sized — the core requirement for index
+    upkeep at 100 TB:
+
+    1. the delta's (word, doc_id, tf, dl, positions) rows determine the
+       AFFECTED buckets (word-hash partition pruning in reverse);
+    2. only those buckets' existing postings are read back, EXPLODED to
+       pair rows, unioned with the delta pairs, and re-aggregated by
+       the same groupby(word) the full build uses — so merged postings
+       are bit-identical to a from-scratch rebuild over the combined
+       corpus;
+    3. untouched bucket directories HARDLINK into the new index root
+       (no data copied), and ``_corpus_stats`` adds the delta's counts.
+
+    The output is a complete, self-consistent index at
+    ``out_index_dir``; the base index is never mutated (snapshot
+    semantics — readers of the old root are unaffected)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    pairs, postings = _index_pairs(num_buckets)
+
+    delta_pairs = (
+        _read_documents(delta_sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    affected = sorted(
+        {r["bucket"] for r in delta_pairs.select_columns(["bucket"]).take_all()}
+    )
+
+    def explode_old(batch: pa.Table) -> pa.Table:
+        words, ids, buckets, tfs, dls, poss = [], [], [], [], [], []
+        for w, b, p_ids, p_tfs, p_dls, p_poss in zip(
+            batch.column("word").to_pylist(),
+            batch.column("bucket").to_pylist() if "bucket" in batch.column_names
+            else [None] * batch.num_rows,
+            batch.column("postings").to_pylist(),
+            batch.column("tfs").to_pylist(),
+            batch.column("dls").to_pylist(),
+            batch.column("poss").to_pylist(),
+        ):
+            bk = zlib.crc32(w.encode()) % num_buckets if b is None else int(b)
+            for d, tf, dl, ps in zip(p_ids, p_tfs, p_dls, p_poss):
+                words.append(w)
+                ids.append(d)
+                buckets.append(bk)
+                tfs.append(tf)
+                dls.append(dl)
+                poss.append(ps)
+        return pa.table(
+            {
+                "word": pa.array(words, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64()),
+                "pos": pa.array(poss, type=pa.list_(pa.int64())),
+            }
+        )
+
+    os.makedirs(out_index_dir, exist_ok=True)
+    old_files = [
+        f"{base_index_dir}/bucket={b}/{f}"
+        for b in affected
+        if os.path.isdir(f"{base_index_dir}/bucket={b}")
+        for f in sorted(os.listdir(f"{base_index_dir}/bucket={b}"))
+    ]
+    merged = delta_pairs
+    if old_files:
+        merged = merged.union(
+            rd.read_parquet(old_files).map_batches(explode_old, batch_format="pyarrow")
+        )
+    (
+        merged.groupby("word")
+        .map_groups(postings, batch_format="pyarrow")
+        .write_parquet(out_index_dir, partition_cols=["bucket"])
+    )
+
+    # untouched buckets: hardlink files into the new root (fall back to
+    # copy across filesystems) — no re-aggregation, no data movement
+    for entry in sorted(os.listdir(base_index_dir)):
+        if not entry.startswith("bucket="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        if b in set(affected):
+            continue
+        dst_dir = f"{out_index_dir}/{entry}"
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in sorted(os.listdir(f"{base_index_dir}/{entry}")):
+            src, dst = f"{base_index_dir}/{entry}/{f}", f"{dst_dir}/{f}"
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+    base_stats = pq.read_table(f"{base_index_dir}/_corpus_stats.parquet")
+    delta_docs = pq.read_table(
+        f"{delta_sf_dir}/documents.parquet", columns=["text"]
+    )
+    d_n = delta_docs.num_rows
+    d_dl = sum(len(t.split(" ")) for t in delta_docs.column("text").to_pylist())
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array(
+                    [int(base_stats.column("n_docs")[0].as_py()) + d_n], type=pa.int64()
+                ),
+                "total_dl": pa.array(
+                    [int(base_stats.column("total_dl")[0].as_py()) + d_dl],
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        f"{out_index_dir}/_corpus_stats.parquet",
+    )
+    return {
+        "index_dir": out_index_dir,
+        "num_buckets": num_buckets,
+        "affected_buckets": affected,
+    }
 
 
 def postings_lookup(
