@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_phrase_search": lambda sf: text.phrase_search(sf),
         "docs_weighted_reservoir": lambda sf: text.weighted_reservoir_sample(sf),
         "events_table_checksum": lambda sf: analytics.table_checksum(sf),
+        "events_mad_outliers": lambda sf: streaming.mad_outliers(sf),
     }
 
 
@@ -1548,6 +1549,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c.n) AS BIGINT) AS n
             FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
             GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        # Robust median/MAD outliers: both medians evaluated from order
+        # statistics with the engine's explicitly-staged interpolation
+        # (v[f] + (v[c]-v[f])*(pos-floor(pos)), pos = 0.5*(n-1)) — no
+        # reliance on quantile_cont matching np.quantile — and the
+        # outlier threshold compare |v-med| > 3*MAD is the same IEEE
+        # expression on both sides.
+        "events_mad_outliers": """
+            WITH v AS (
+              SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            ),
+            mparts AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                              THEN value END) AS vf,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.5 * (n - 1)) AS BIGINT)
+                              THEN value END) AS vc,
+                     MAX(0.5 * (n - 1)) AS pos,
+                     MAX(n) AS n
+              FROM v GROUP BY event_type
+            ),
+            m AS (SELECT event_type, n, vf + (vc - vf) * (pos - FLOOR(pos)) AS med
+                  FROM mparts),
+            d AS (
+              SELECT v.event_type, abs(v.value - m.med) AS dv
+              FROM v JOIN m USING (event_type)
+            ),
+            dr AS (
+              SELECT event_type, dv,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM d
+            ),
+            madp AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                              THEN dv END) AS vf,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.5 * (n - 1)) AS BIGINT)
+                              THEN dv END) AS vc,
+                     MAX(0.5 * (n - 1)) AS pos
+              FROM dr GROUP BY event_type
+            ),
+            mad AS (SELECT event_type, vf + (vc - vf) * (pos - FLOOR(pos)) AS mad
+                    FROM madp),
+            outs AS (
+              SELECT d.event_type,
+                     COUNT(*) FILTER (WHERE d.dv > 3.0 * mad.mad) AS n_outliers
+              FROM d JOIN mad USING (event_type) GROUP BY d.event_type
+            )
+            SELECT m.event_type, m.n::BIGINT AS n_events,
+                   CAST(FLOOR(m.med * 1000.0 + 0.5) AS BIGINT) AS median_milli,
+                   CAST(FLOOR(mad.mad * 1000.0 + 0.5) AS BIGINT) AS mad_milli,
+                   outs.n_outliers::BIGINT AS n_outliers
+            FROM m JOIN mad USING (event_type) JOIN outs USING (event_type)
+            ORDER BY m.event_type
         """,
         # Efraimidis-Spirakis A-Res weighted sampling: priority =
         # ln(u)/w with u = (md5_lower64(text)+1)/2^64 — identical IEEE

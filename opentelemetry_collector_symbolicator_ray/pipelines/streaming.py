@@ -204,6 +204,71 @@ def event_type_percentiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def _interp_quantile(sorted_vals: "np.ndarray", q: float) -> float:
+    """numpy-default linear interpolation written out explicitly so the
+    SQL oracle can evaluate the IDENTICAL IEEE expression from order
+    statistics: ``v[f] + (v[c] - v[f]) * (pos - floor(pos))`` with
+    ``pos = q * (n - 1)`` — no reliance on quantile_cont matching
+    np.quantile bit-for-bit."""
+    import math
+
+    n = len(sorted_vals)
+    pos = q * (n - 1)
+    f = math.floor(pos)
+    c = math.ceil(pos)
+    vf = float(sorted_vals[f])
+    vc = float(sorted_vals[c])
+    return vf + (vc - vf) * (pos - f)
+
+
+def mad_outliers(sf_dir: str, k: float = 3.0) -> pa.Table:
+    """Robust per-group outlier detection: median + MAD (median
+    absolute deviation) per event type, flagging events with
+    ``|v - median| > k * MAD`` — the scale-/outlier-insensitive
+    alternative to z-scores (one extreme value cannot move the
+    threshold the way it moves a mean/stddev).  Shape: ONE
+    groupby(event_type).map_groups; each group sorts once, both order
+    statistics and the outlier count read from the sorted arrays.
+    Hash-exact: both medians use the shared explicitly-staged
+    interpolation (``_interp_quantile``), deviations and the threshold
+    compare are plain IEEE ops the oracle mirrors, and the reported
+    median/MAD convert to integer MILLI-units via tie-free
+    ``floor(x*1000+0.5)`` — medians of 2-decimal values land exactly on
+    half-cents (.xx5), where Python round (half-even) and SQL ROUND
+    (half-away) disagree; the third decimal is exactly 0 or 5, so the
+    milli conversion has no tie to disagree on (measured: cents units
+    diverged 2286 vs 2287 on this very dataset)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def fold(group: pa.Table) -> pa.Table:
+        import math
+
+        vals = np.sort(group.column("value").to_numpy(zero_copy_only=False))
+        med = _interp_quantile(vals, 0.5)
+        dev = np.sort(np.abs(vals - med))
+        mad = _interp_quantile(dev, 0.5)
+        n_out = int((np.abs(vals - med) > k * mad).sum())
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_events": pa.array([len(vals)], type=pa.int64()),
+                "median_milli": pa.array(
+                    [int(math.floor(med * 1000.0 + 0.5))], type=pa.int64()
+                ),
+                "mad_milli": pa.array(
+                    [int(math.floor(mad * 1000.0 + 0.5))], type=pa.int64()
+                ),
+                "n_outliers": pa.array([n_out], type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        ds.groupby("event_type").map_groups(fold, batch_format="pyarrow").take_all(),
+        key=lambda r: r["event_type"],
+    )
+    return pa.Table.from_pylist(rows)
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
