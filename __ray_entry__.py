@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_reservoir": lambda sf: text.weighted_reservoir_sample(sf),
         "events_table_checksum": lambda sf: analytics.table_checksum(sf),
         "events_mad_outliers": lambda sf: streaming.mad_outliers(sf),
+        # rows-only: iterative argmax loop isn't SQL-expressible; the
+        # pytest gate pins equality with a single-process reference BPE
+        "docs_bpe_merges": lambda sf: text.bpe_train(sf),
     }
 
 

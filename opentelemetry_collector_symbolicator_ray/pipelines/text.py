@@ -2043,3 +2043,129 @@ def length_ntile(sf_dir: str, tiles: int = 10) -> "ray.data.Dataset":
         .map_groups(rank_group, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def bpe_train(
+    sf_dir: str, n_merges: int = 40, min_freq: int = 2
+) -> pa.Table:
+    """Distributed BPE tokenizer TRAINING (the SentencePiece/GPT-2
+    recipe): learn merge rules from corpus word frequencies.
+
+    Scale shape — after ONE corpus pass builds the (word, freq) table,
+    every iteration runs over the VOCAB-SIZED word table only (at
+    100 TB the corpus is petabytes but distinct words are billions at
+    most): (1) map_batches emits freq-weighted adjacent-symbol-pair
+    partial counts per block (local dict combine — pairs never
+    explode per occurrence); (2) one pair-count-sized groupby picks
+    the best pair; (3) the merge broadcasts and map_batches rewrites
+    each word's symbol list in-stream; the materialized word table
+    rolls forward.  Ties break deterministically by (count DESC, left
+    ASC, right ASC), so the merge list is a pure function of the
+    corpus.  Words end with the classic '</w>' marker so merges cannot
+    cross word boundaries.  Returns the merge table (rank, left,
+    right, pair_freq); rows-only driver check — the pytest gate pins
+    equality with a single-process reference implementation."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as AggSum
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split(" "))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "freq": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    def to_symbols(batch: pa.Table) -> pa.Table:
+        syms = [
+            list(w) + ["</w>"] for w in batch.column("word").to_pylist()
+        ]
+        return pa.table(
+            {
+                "symbols": pa.array(syms, type=pa.list_(pa.string())),
+                "freq": pc.cast(batch.column("sum(freq)"), pa.int64()),
+            }
+        )
+
+    vocab = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(word_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(AggSum("freq"))
+        .map_batches(to_symbols, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for syms, f in zip(
+            batch.column("symbols").to_pylist(), batch.column("freq").to_pylist()
+        ):
+            for a, b in zip(syms, syms[1:]):
+                c[(a, b)] += f
+        if not c:
+            return pa.table(
+                {
+                    "left": pa.array([], type=pa.string()),
+                    "right": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "left": pa.array([k[0] for k in ks], type=pa.string()),
+                "right": pa.array([k[1] for k in ks], type=pa.string()),
+                "n": pa.array([c[k] for k in ks], type=pa.int64()),
+            }
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(AggSum("n"))
+            .sort(["sum(n)", "left", "right"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not best or int(best[0]["sum(n)"]) < min_freq:
+            break
+        left, right, freq = best[0]["left"], best[0]["right"], int(best[0]["sum(n)"])
+        merges.append((rank, left, right, freq))
+
+        def apply_merge(batch: pa.Table, left=left, right=right) -> pa.Table:
+            out = []
+            merged = left + right
+            for syms in batch.column("symbols").to_pylist():
+                i, new = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        new.append(merged)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                out.append(new)
+            return pa.table(
+                {
+                    "symbols": pa.array(out, type=pa.list_(pa.string())),
+                    "freq": batch.column("freq"),
+                }
+            )
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "pair_freq": pa.array([m[3] for m in merges], type=pa.int64()),
+        }
+    )

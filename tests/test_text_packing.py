@@ -210,3 +210,61 @@ def test_bloom_antijoin_exact_under_heavy_false_positives(ray_session):
     normal = analytics.customers_without_orders(sf)
     assert tight.equals(normal)
     assert normal.num_rows > 0
+
+
+def test_bpe_train_matches_single_process_reference(ray_session):
+    """The distributed pair-count/merge loop must learn exactly the
+    merge list a single-process BPE (dict-of-words) learns: same pairs,
+    same order, same freqs — ties broken by (count DESC, left, right)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import bpe_train
+
+    SF = "/root/testdata/sf0.001"
+    n_merges = 25
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    wc = Counter()
+    for t in texts:
+        wc.update(t.split(" "))
+    vocab = {w: (tuple(w) + ("</w>",), f) for w, f in wc.items()}
+    expect = []
+    for rank in range(n_merges):
+        pc_ = Counter()
+        for syms, f in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += f
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), freq = best
+        if freq < 2:
+            break
+        expect.append((rank, left, right, freq))
+        merged = left + right
+        new_vocab = {}
+        for w, (syms, f) in vocab.items():
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            new_vocab[w] = (tuple(new), f)
+        vocab = new_vocab
+
+    got = bpe_train(SF, n_merges=n_merges)
+    got_rows = list(
+        zip(
+            got.column("rank").to_pylist(),
+            got.column("left").to_pylist(),
+            got.column("right").to_pylist(),
+            got.column("pair_freq").to_pylist(),
+        )
+    )
+    assert got_rows == expect
+    assert len(got_rows) == n_merges  # corpus is rich enough to not early-stop
