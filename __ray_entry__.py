@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_reservoir": lambda sf: text.weighted_reservoir_sample(sf),
         "events_table_checksum": lambda sf: analytics.table_checksum(sf),
         "events_mad_outliers": lambda sf: streaming.mad_outliers(sf),
+        "docs_lm_perplexity": lambda sf: text.lm_perplexity(sf),
+        "suppliers_kept_waiting": lambda sf: analytics.suppliers_kept_waiting(sf),
         # rows-only: iterative argmax loop isn't SQL-expressible; the
         # pytest gate pins equality with a single-process reference BPE
         "docs_bpe_merges": lambda sf: text.bpe_train(sf),
@@ -1894,5 +1896,68 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE raw END + 0.5) AS BIGINT) AS approx_distinct,
                    CAST(4096 AS BIGINT) AS registers
             FROM est
+        """,
+        # CCNet-style unigram-LM perplexity scoring (text.lm_perplexity):
+        # Laplace add-1 smoothing over the corpus's own word counts;
+        # each token contributes floor(1e6*ln((c+1)/(N+V))) as an int64
+        # micro-unit (order-independent sum, same trick as bm25);
+        # avg_logprob is one IEEE division of the two exact integers and
+        # ppl = exp(-avg) is one shared libm call on both sides.
+        "docs_lm_perplexity": """
+            WITH cnt AS (
+              SELECT w AS word, COUNT(*)::BIGINT AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w
+            ),
+            tot AS (SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM cnt),
+            micro AS (
+              SELECT word,
+                     CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE)
+                                   / CAST(tot.n + tot.v AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS m
+              FROM cnt, tot
+            ),
+            tf AS (
+              SELECT doc_id, w AS word, COUNT(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY doc_id, w
+            ),
+            agg AS (
+              SELECT tf.doc_id,
+                     SUM(tf.tf)::BIGINT AS n_words,
+                     SUM(tf.tf * micro.m)::BIGINT AS logprob_micro
+              FROM tf JOIN micro USING (word) GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_words, logprob_micro,
+                   CAST(logprob_micro AS DOUBLE)
+                     / (CAST(n_words AS DOUBLE) * 1000000.0) AS avg_logprob,
+                   exp(-(CAST(logprob_micro AS DOUBLE)
+                         / (CAST(n_words AS DOUBLE) * 1000000.0))) AS ppl
+            FROM agg ORDER BY doc_id
+        """,
+        # TPC-H Q21 shape (analytics.suppliers_kept_waiting): for each
+        # multi-supplier order the supplier with the ONLY returned ('R')
+        # lineitems — EXISTS(other supplier) + NOT EXISTS(other failing
+        # supplier) expressed as per-order totals joined back.
+        "suppliers_kept_waiting": """
+            WITH f AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS is_r
+              FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ),
+            o AS (
+              SELECT l_orderkey, COUNT(*)::BIGINT AS n_supp,
+                     SUM(is_r)::BIGINT AS n_fail
+              FROM f GROUP BY l_orderkey
+            )
+            SELECT s.s_name AS s_name, COUNT(*)::BIGINT AS numwait
+            FROM f
+            JOIN o USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = f.l_suppkey
+            WHERE f.is_r = 1 AND o.n_supp >= 2 AND o.n_fail = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
     }

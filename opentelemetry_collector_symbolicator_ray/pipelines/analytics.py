@@ -1501,3 +1501,88 @@ def dominant_event_type(sf_dir: str) -> pa.Table:
             "n": pa.array([int(r["n"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def suppliers_kept_waiting(sf_dir: str, limit: int = 20) -> pa.Table:
+    """TPC-H Q21-style 'suppliers who kept orders waiting', adapted to
+    this corpus's columns (no receipt/commit dates; `l_returnflag='R'`
+    stands in for the late-delivery predicate): for every order served
+    by >= 2 distinct suppliers, find the supplier whose lineitems were
+    the ONLY returned ones — the multi-EXISTS + NOT-EXISTS correlated
+    semi/anti-join topology — and count qualifying orders per supplier.
+
+    Ray shape: a per-batch vectorized (orderkey, suppkey, is_r)
+    combiner pre-dedups inside the scan so the ONE fact shuffle ships
+    pair rows, not lineitems; a pair-sized ``groupby(orderkey)``
+    derives per-order supplier/failure totals; ``safe_join`` attaches
+    them back to the pairs (the dominant_event_type join-back shape);
+    the EXISTS/NOT-EXISTS predicate becomes a vectorized filter; and
+    the final count is a supplier-sized aggregate.  Supplier names
+    attach AFTER the aggregate from a dimension-sized driver map (the
+    top_customers convention — names never enter a shuffle)."""
+    from ._join import safe_join
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "is_r": pc.cast(
+                    pc.equal(batch.column("l_returnflag"), pa.scalar("R")), pa.int64()
+                ),
+            }
+        )
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("is_r", "max")]).rename_columns(
+            ["l_orderkey", "l_suppkey", "is_r"]
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+        )
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("is_r", alias_name="is_r"))
+        .materialize()  # consumed twice: order totals + join left side
+    )
+    order_stats = pairs.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_supp"), Sum("is_r", alias_name="n_fail")
+    )
+    joined = safe_join(
+        pairs, order_stats, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    )
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.equal(batch.column("is_r"), pa.scalar(1, pa.int64())),
+                pc.greater_equal(batch.column("n_supp"), pa.scalar(2, pa.int64())),
+            ),
+            pc.equal(batch.column("n_fail"), pa.scalar(1, pa.int64())),
+        )
+        return batch.filter(mask).select(["l_suppkey"])
+
+    waits = (
+        joined.map_batches(qualifying, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="numwait"))
+        .take_all()  # supplier-sized
+    )
+    names = {
+        int(r["s_suppkey"]): str(r["s_name"])
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ).take_all()
+    }
+    rows = sorted(
+        ((-int(r["numwait"]), names[int(r["l_suppkey"])]) for r in waits),
+    )[:limit]
+    return pa.table(
+        {
+            "s_name": pa.array([n for _, n in rows], type=pa.string()),
+            "numwait": pa.array([-w for w, _ in rows], type=pa.int64()),
+        }
+    )

@@ -463,3 +463,31 @@ def test_semantic_dedup_invariants(ray_session):
                     checked += 1
                     assert not (ids[x] in kept and ids[y] in kept)
     assert checked > 0, "corpus produced no same-cell near-dup pairs to verify"
+
+
+def test_lm_perplexity_join_path_matches_broadcast(ray_session):
+    """The web-scale word-key-join LM scoring path (no driver vocab
+    dict) must reproduce the broadcast path bit-for-bit, including the
+    float avg_logprob/ppl columns, and auto must switch on the
+    measured vocabulary size."""
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import lm_perplexity
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = lm_perplexity(sf, mode="broadcast")
+    join = lm_perplexity(sf, mode="join")
+    assert isinstance(broadcast, rd.Dataset) and isinstance(join, rd.Dataset)
+    b_rows, j_rows = broadcast.take_all(), join.take_all()
+    assert b_rows == j_rows  # exact equality incl. float bits
+
+    # perplexity sanity: every row positive, exp(-avg) consistent
+    import math
+
+    for r in b_rows[:25]:
+        assert r["ppl"] > 0
+        assert r["ppl"] == math.exp(-r["avg_logprob"])
+
+    # auto picks the join path when the vocab exceeds the threshold
+    forced = lm_perplexity(sf, mode="auto", vocab_threshold=1)
+    assert forced.take_all() == j_rows
