@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative argmax loop isn't SQL-expressible; the
         # pytest gate pins equality with a single-process reference BPE
         "docs_bpe_merges": lambda sf: text.bpe_train(sf),
+        # rows-only: GPT-2 encode sweep isn't SQL-expressible; pytest
+        # pins per-doc digests against an independent reference encode
+        "docs_bpe_token_stats": lambda sf: text.bpe_encode(sf),
     }
 
 

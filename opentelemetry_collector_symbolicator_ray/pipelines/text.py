@@ -2337,3 +2337,97 @@ def lm_perplexity(
         )
     )
     return per_doc.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
+
+
+def bpe_encode(
+    sf_dir: str,
+    n_merges: int = 40,
+    min_freq: int = 2,
+    merges: pa.Table | None = None,
+) -> "ray.data.Dataset":
+    """Distributed BPE tokenizer ENCODE: apply trained merge rules to
+    the corpus (the GPT-2 algorithm — per word, repeatedly rewrite ALL
+    occurrences of the lowest-rank adjacent pair in one left-to-right
+    sweep until no trained pair remains).  Completes the token
+    pipeline: bpe_train -> bpe_encode -> pack_sequences -> export.
+
+    Scale shape: the merge table is n_merges-sized, so the rank map
+    broadcasts ONCE via ``ray.put`` and the corpus streams through a
+    single ``map_batches`` pass; a per-actor word->tokens memo makes
+    the per-word cost amortize to a dict hit (Zipf: the head dominates)
+    and is vocab-bounded, the same budget every symbolizer LRU already
+    assumes.  Output is digest-style (doc_id, n_words, n_tokens,
+    token_digest) — corpus-sized rows, constant row width, no token
+    payload in the shuffle.  Rows-only driver check; the pytest gate
+    pins equality with an independent single-process reference
+    implementation of the published algorithm."""
+    import ray
+
+    if merges is None:
+        merges = bpe_train(sf_dir, n_merges=n_merges, min_freq=min_freq)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+        )
+    }
+    ranks_ref = ray.put(ranks)
+
+    def encode_word(word: str, rk: dict, memo: dict) -> list[str]:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best = None
+            for a, b in zip(syms, syms[1:]):
+                r = rk.get((a, b))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, a, b)
+            if best is None:
+                break
+            _, a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    class EncodeStage:
+        def __init__(self):
+            self.rk = ray.get(ranks_ref)
+            self.memo: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, n_words, n_tokens, digests = [], [], [], []
+            for doc_id, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                ws = t.split(" ")
+                toks: list[str] = []
+                for w in ws:
+                    toks.extend(encode_word(w, self.rk, self.memo))
+                ids.append(doc_id)
+                n_words.append(len(ws))
+                n_tokens.append(len(toks))
+                digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_words": pa.array(n_words, type=pa.int64()),
+                    "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                    "token_digest": pa.array(digests, type=pa.string()),
+                }
+            )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(EncodeStage, batch_format="pyarrow", concurrency=(1, 8))
+        .sort("doc_id")
+    )

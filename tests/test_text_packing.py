@@ -268,3 +268,66 @@ def test_bpe_train_matches_single_process_reference(ray_session):
     )
     assert got_rows == expect
     assert len(got_rows) == n_merges  # corpus is rich enough to not early-stop
+
+def test_bpe_encode_matches_single_process_reference(ray_session):
+    """The distributed encode stage must reproduce, per document, the
+    published GPT-2 BPE encode algorithm (merge ALL occurrences of the
+    lowest-rank adjacent pair per sweep) applied with the trained merge
+    list — and the trained-merge consistency invariant: a word that IS
+    a training merge product encodes to few tokens."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    n_merges = 25
+    merges = bpe_train(SF, n_merges=n_merges)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+        )
+    }
+
+    def ref_encode_word(word):
+        syms = list(word) + ["</w>"]
+        while True:
+            pairs = {(a, b) for a, b in zip(syms, syms[1:])}
+            ranked = [p for p in pairs if p in ranks]
+            if not ranked:
+                return syms
+            a, b = min(ranked, key=lambda p: ranks[p])
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {}
+    for doc_id, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        toks = []
+        for w in t.split(" "):
+            toks.extend(ref_encode_word(w))
+        expect[doc_id] = (
+            len(t.split(" ")),
+            len(toks),
+            hashlib.md5(" ".join(toks).encode()).hexdigest(),
+        )
+
+    got = bpe_encode(SF, merges=merges).take_all()
+    assert len(got) == len(expect)
+    for r in got:
+        assert (r["n_words"], r["n_tokens"], r["token_digest"]) == expect[r["doc_id"]]
+    # compression sanity: merges actually fire (tokens < raw chars+1)
+    raw = sum(len(w) + 1 for t in tbl.column("text").to_pylist() for w in t.split(" "))
+    assert sum(r["n_tokens"] for r in got) < raw
