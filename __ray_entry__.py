@@ -304,7 +304,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dupes": lambda sf: multimodal.image_phash_dupes(sf),
         "media_scene_changes": lambda sf: multimodal.video_scene_changes(sf),
         "media_audio_fp_dupes": lambda sf: multimodal.audio_fingerprint_dupes(sf),
-        "emb_quantized": lambda sf: similarity.quantize_embeddings(sf),
+        # binary codes stay an engine artifact; the compared columns pin
+        # them via the position-weighted integer checksum
+        "emb_quantized": lambda sf: similarity.quantize_embeddings(sf).drop_columns(
+            ["codes"]
+        ),
         "docs_approx_distinct": lambda sf: text.approx_distinct_words(sf),
         "events_hll_users": lambda sf: analytics.approx_distinct_users_by_type(sf),
         "emb_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
@@ -1962,5 +1966,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        # int8 quantization (similarity.quantize_embeddings): half-up
+        # codes (floor(x/s + 0.5) — np.round's half-to-even is not SQL-
+        # replayable), per-element squared error floored to int64
+        # atto-units (order-independent per-vector sums), codes pinned
+        # by the position-weighted checksum sum(code_i * i), rmse one
+        # staged IEEE division + one shared libm sqrt.
+        "emb_quantized": """
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     greatest(CAST(list_max(list_transform(embedding,
+                                x -> abs(x))) AS DOUBLE), 1e-12) / 127.0 AS s,
+                     len(embedding) AS d
+              FROM embeddings
+            ),
+            el AS (
+              SELECT vec_id, s, d, CAST(e AS DOUBLE) AS x, i
+              FROM (SELECT vec_id, s, d, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM base)
+            ),
+            c AS (
+              SELECT vec_id, s, d, i, x,
+                     CAST(least(greatest(FLOOR(x / s + 0.5), -127.0),
+                                127.0) AS BIGINT) AS code
+              FROM el
+            ),
+            agg AS (
+              SELECT vec_id,
+                     SUM(code * i)::BIGINT AS codes_chk,
+                     SUM(CAST(FLOOR((x - code * s) * (x - code * s)
+                                    * 1e18) AS BIGINT))::BIGINT AS sq_atto,
+                     MAX(s) AS s, MAX(d) AS d
+              FROM c GROUP BY vec_id
+            )
+            SELECT vec_id, s AS scale,
+                   CAST(FLOOR(s * 1e12) AS BIGINT) AS scale_micro,
+                   codes_chk,
+                   sqrt(CAST(sq_atto AS DOUBLE)
+                        / (CAST(d AS BIGINT) * 1e18)) AS rmse
+            FROM agg ORDER BY vec_id
         """,
     }

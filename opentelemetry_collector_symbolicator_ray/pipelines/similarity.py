@@ -402,7 +402,17 @@ def quantize_embeddings(sf_dir: str) -> "ray.data.Dataset":
     """Symmetric per-vector int8 quantization (the 4x storage-reduction
     stage of an embedding pipeline): scale = max|x| / 127, stored
     alongside the int8 codes plus the reconstruction RMSE — all
-    vectorized per batch, streaming."""
+    vectorized per batch, streaming.
+
+    Exactness contract (shared verbatim with the SQL oracle):
+    codes = clip(floor(x/scale + 0.5), ±127) — half-up, NOT np.round's
+    half-to-even, which DuckDB's ROUND cannot replay; per-element
+    squared reconstruction error floors to int64 atto-units (1e18) so
+    the per-vector sum is ORDER-INDEPENDENT; ``scale_micro`` floors the
+    scale to picounits; ``codes_chk`` is the position-weighted integer
+    checksum sum(code_i * i) pinning every code without shipping the
+    blob through SQL; ``rmse = sqrt(sq_atto / (d * 1e18))`` is one
+    staged IEEE division + one shared libm sqrt."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
@@ -411,20 +421,31 @@ def quantize_embeddings(sf_dir: str) -> "ray.data.Dataset":
                 {
                     "vec_id": pa.array([], type=pa.int64()),
                     "scale": pa.array([], type=pa.float64()),
+                    "scale_micro": pa.array([], type=pa.int64()),
                     "codes": pa.array([], type=pa.binary()),
+                    "codes_chk": pa.array([], type=pa.int64()),
                     "rmse": pa.array([], type=pa.float64()),
                 }
             )
+        d = mat.shape[1]
         scale = np.maximum(np.abs(mat).max(axis=1), 1e-12) / 127.0
-        codes = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
+        codes = np.clip(
+            np.floor(mat / scale[:, None] + 0.5), -127, 127
+        ).astype(np.int8)
         recon = codes.astype(np.float64) * scale[:, None]
-        rmse = np.sqrt(((mat - recon) ** 2).mean(axis=1))
+        sq_atto = np.floor((mat - recon) ** 2 * 1e18).astype(np.int64).sum(axis=1)
+        rmse = np.sqrt(sq_atto.astype(np.float64) / (d * 1e18))
+        chk = (codes.astype(np.int64) * np.arange(1, d + 1, dtype=np.int64)).sum(axis=1)
         return pa.table(
             {
                 "vec_id": pa.array(ids, type=pa.int64()),
-                "scale": pa.array(np.round(scale, 9), type=pa.float64()),
+                "scale": pa.array(scale, type=pa.float64()),
+                "scale_micro": pa.array(
+                    np.floor(scale * 1e12).astype(np.int64), type=pa.int64()
+                ),
                 "codes": pa.array([c.tobytes() for c in codes], type=pa.binary()),
-                "rmse": pa.array(np.round(rmse, 9), type=pa.float64()),
+                "codes_chk": pa.array(chk, type=pa.int64()),
+                "rmse": pa.array(rmse, type=pa.float64()),
             }
         )
 
