@@ -347,7 +347,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: GPT-2 encode sweep isn't SQL-expressible; pytest
         # pins per-doc digests against an independent reference encode
         "docs_bpe_token_stats": lambda sf: text.bpe_encode(sf),
+        "graph_pagerank": lambda sf: analytics.purchase_graph_pagerank(sf),
     }
+
+
+def _pagerank_oracle_sql(iterations: int = 10, limit: int = 30) -> str:
+    """DuckDB replay of analytics.purchase_graph_pagerank: the fixed
+    iteration count unrolls as chained CTEs (SQL's recursive term
+    forbids aggregation over the recursive reference), and because the
+    engine keeps ranks in int64 micro-units with integer-only damping
+    ((sum * 17) // 20, teleport 15e10 // n), every iteration is
+    bit-exact with zero float staging to match."""
+    ctes = [
+        """pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        """edges AS (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs
+        )""",
+        """deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src)""",
+        """nn AS (SELECT COUNT(*)::BIGINT AS n FROM deg)""",
+        """r0 AS (SELECT d.src AS node,
+                         CAST(1000000000000 // nn.n AS BIGINT) AS rnk
+                  FROM deg d, nn)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+              SELECT e.dst AS node,
+                     CAST(150000000000 // nn.n
+                          + (SUM(r.rnk // d.deg) * 17) // 20 AS BIGINT) AS rnk
+              FROM edges e
+              JOIN r{i - 1} r ON r.node = e.src
+              JOIN deg d ON d.src = e.src, nn
+              GROUP BY e.dst, nn.n
+            )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               node // 2 AS key, rnk AS rank_micro
+        FROM r{iterations}
+        ORDER BY rank_micro DESC, node
+        LIMIT {limit}
+    """
 
 
 def _minhash_pairs_oracle_sql(
@@ -2008,4 +2053,5 @@ def oracle_sql() -> dict[str, str]:
                         / (CAST(d AS BIGINT) * 1e18)) AS rmse
             FROM agg ORDER BY vec_id
         """,
+        "graph_pagerank": _pagerank_oracle_sql(),
     }

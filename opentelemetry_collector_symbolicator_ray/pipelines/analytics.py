@@ -1586,3 +1586,135 @@ def suppliers_kept_waiting(sf_dir: str, limit: int = 20) -> pa.Table:
             "numwait": pa.array([-w for w, _ in rows], type=pa.int64()),
         }
     )
+
+
+def purchase_graph_pagerank(
+    sf_dir: str, iterations: int = 10, limit: int = 30
+) -> pa.Table:
+    """Distributed PageRank over the customer<->supplier purchase graph
+    (an undirected edge per distinct (customer, supplier) order
+    relationship) — the web-graph quality-weighting algorithm early
+    training corpora used for page filtering, expressed as iterative
+    message passing.
+
+    Exactness contract (shared verbatim with the SQL oracle, which
+    unrolls the iterations as chained CTEs): ranks live entirely in
+    int64 micro-units (start 1e12 // n_nodes); each edge contributes
+    ``rank // degree`` (integer floor division), so per-node sums are
+    ORDER-INDEPENDENT; damping 0.85 is the pure-integer
+    ``(sum * 17) // 20`` with teleport base ``15e10 // n_nodes`` — the
+    whole fixpoint is float-free and bit-stable at any parallelism.
+
+    Scale shape: the one fact-fact `safe_join` (orders x lineitem on
+    orderkey) runs ONCE to derive distinct edges; each iteration is one
+    edge-vs-ranks hash join on ``src`` plus one ``groupby(dst)`` sum —
+    node-sized rank tables roll forward on the cluster, never the
+    driver; the driver sees only scalar n_nodes and the final top-k."""
+    from ._join import safe_join
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+            }
+        )
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate([])
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(li_project, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = safe_join(
+        lineitem, orders, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        # node ids: customer -> 2k, supplier -> 2k+1; UNDIRECTED graph
+        # (both directions emitted) so every node has out-degree >= 1
+        c = pc.multiply(pc.cast(batch.column("o_custkey"), pa.int64()), pa.scalar(2, pa.int64()))
+        s = pc.add(
+            pc.multiply(pc.cast(batch.column("l_suppkey"), pa.int64()), pa.scalar(2, pa.int64())),
+            pa.scalar(1, pa.int64()),
+        )
+        both = pa.table(
+            {
+                "src": pa.concat_arrays([c.combine_chunks(), s.combine_chunks()]),
+                "dst": pa.concat_arrays([s.combine_chunks(), c.combine_chunks()]),
+            }
+        )
+        return both.group_by(["src", "dst"]).aggregate([])  # per-batch pre-dedup
+
+    edges = (
+        joined.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])  # global distinct edges
+        .materialize()
+    )
+    degrees = edges.groupby("src").aggregate(Count(alias_name="deg")).materialize()
+    n_nodes = degrees.count()
+    mass, base = 10**12 // n_nodes, (15 * 10**10) // n_nodes
+
+    edges_deg = safe_join(
+        edges, degrees, join_type="inner", num_partitions=8, on=("src",)
+    ).materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "rank": pa.array([mass] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    ranks = degrees.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        sent = safe_join(
+            edges_deg, ranks, join_type="inner", num_partitions=8, on=("src",)
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            d = batch.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "dst": batch.column("dst"),
+                    "c": pa.array(r // d, type=pa.int64()),
+                }
+            )
+
+        summed = (
+            sent.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+
+        def damp(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "src": batch.column("dst"),
+                    "rank": pa.array(base + (s * 17) // 20, type=pa.int64()),
+                }
+            )
+
+        ranks = summed.map_batches(damp, batch_format="pyarrow").materialize()
+
+    top = ranks.sort(["rank", "src"], descending=[True, False]).limit(limit).take_all()
+    return pa.table(
+        {
+            "kind": pa.array(
+                ["customer" if r["src"] % 2 == 0 else "supplier" for r in top],
+                type=pa.string(),
+            ),
+            "key": pa.array([r["src"] // 2 for r in top], type=pa.int64()),
+            "rank_micro": pa.array([r["rank"] for r in top], type=pa.int64()),
+        }
+    )
