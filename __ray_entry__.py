@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pins per-doc digests against an independent reference encode
         "docs_bpe_token_stats": lambda sf: text.bpe_encode(sf),
         "graph_pagerank": lambda sf: analytics.purchase_graph_pagerank(sf),
+        "events_salted_agg": lambda sf: analytics.salted_type_counts(sf),
+        "events_incremental_agg": lambda sf: analytics.incremental_daily_agg(sf),
     }
 
 
@@ -2054,4 +2056,22 @@ def oracle_sql() -> dict[str, str]:
             FROM agg ORDER BY vec_id
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        # Two-phase salted aggregation: per-row integer cents make both
+        # phases associative, so the salted result provably equals the
+        # plain one-phase GROUP BY — which IS the oracle.
+        "events_salted_agg": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   SUM(CAST(ROUND(value, 2) * 100 AS BIGINT))::BIGINT
+                     AS total_value_cents
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # Incremental view maintenance: base(evens) + delta(odds) merged
+        # with integer sums must equal the full recompute — the oracle.
+        "events_incremental_agg": """
+            SELECT epoch_us(ts) // 86400000000 AS day_id,
+                   count(*)::BIGINT AS n_events,
+                   SUM(CAST(ROUND(value, 2) * 100 AS BIGINT))::BIGINT
+                     AS total_value_cents
+            FROM events GROUP BY day_id ORDER BY day_id
+        """,
     }

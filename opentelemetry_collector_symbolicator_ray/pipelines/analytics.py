@@ -1718,3 +1718,102 @@ def purchase_graph_pagerank(
             "rank_micro": pa.array([r["rank"] for r in top], type=pa.int64()),
         }
     )
+
+
+def salted_type_counts(sf_dir: str, salt: int = 16) -> pa.Table:
+    """Generic two-phase SALTED aggregation — the hot-key-skew shape for
+    groupby at scale: phase 1 shuffles on (event_type, event_id % salt)
+    so one hot key spreads over `salt` reducers; phase 2 re-aggregates
+    the salt-fan-out-sized partials by the real key.
+
+    Exactness: values convert to integer cents PER ROW before either
+    phase, so both sums are associative integer adds — the result is
+    provably independent of the salt fan-out (that independence is what
+    makes salting sound), and the oracle is the plain one-phase
+    GROUP BY."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "salt": pc.cast(
+                    pc.bit_wise_and(
+                        batch.column("event_id"), pa.scalar(salt - 1, pa.int64())
+                    ),
+                    pa.int64(),
+                ),
+                "cents": _cents_array(batch.column("value")),
+            }
+        )
+
+    phase1 = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="c"))
+    )
+    out = (
+        phase1.groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("c", alias_name="total_value_cents"))
+        .sort("event_type")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in out], type=pa.string()),
+            "n_events": pa.array([int(r["n_events"]) for r in out], type=pa.int64()),
+            "total_value_cents": pa.array(
+                [int(r["total_value_cents"]) for r in out], type=pa.int64()
+            ),
+        }
+    )
+
+
+def incremental_daily_agg(sf_dir: str) -> pa.Table:
+    """Incremental aggregate maintenance (the lambda-architecture /
+    materialized-view pattern): a BASE aggregate and a DELTA aggregate
+    computed in separate executions merge into exactly the full
+    recompute — here split deterministically by event_id parity, merged
+    with one partial-sized groupby sum.  Per-row integer cents make the
+    merge associative, so base+delta == full holds bit-exactly no
+    matter where the split falls; the oracle IS the full recompute."""
+    def agg_split(keep_even: bool) -> pa.Table:
+        def project(batch: pa.Table) -> pa.Table:
+            parity = pc.bit_wise_and(batch.column("event_id"), pa.scalar(1, pa.int64()))
+            mask = pc.equal(parity, pa.scalar(0 if keep_even else 1, pa.int64()))
+            b = batch.filter(mask)
+            ts = pc.cast(b.column("ts"), pa.int64())  # epoch microseconds
+            return pa.table(
+                {
+                    # truncating int division == floor for non-negative ts,
+                    # matching the oracle's epoch_us(ts) // 86400000000
+                    "day_id": pc.divide(ts, pa.scalar(86_400_000_000, pa.int64())),
+                    "cents": _cents_array(b.column("value")),
+                }
+            )
+
+        return (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+            )
+            .map_batches(project, batch_format="pyarrow")
+            .groupby("day_id")
+            .aggregate(Count(alias_name="n"), Sum("cents", alias_name="c"))
+            .take_all()
+        )
+
+    merged: dict[int, tuple[int, int]] = {}
+    for part in (agg_split(True), agg_split(False)):  # two independent executions
+        for r in part:
+            n, c = merged.get(int(r["day_id"]), (0, 0))
+            merged[int(r["day_id"])] = (n + int(r["n"]), c + int(r["c"]))
+    days = sorted(merged)
+    return pa.table(
+        {
+            "day_id": pa.array(days, type=pa.int64()),
+            "n_events": pa.array([merged[d][0] for d in days], type=pa.int64()),
+            "total_value_cents": pa.array([merged[d][1] for d in days], type=pa.int64()),
+        }
+    )
