@@ -491,3 +491,35 @@ def test_lm_perplexity_join_path_matches_broadcast(ray_session):
     # auto picks the join path when the vocab exceeds the threshold
     forced = lm_perplexity(sf, mode="auto", vocab_threshold=1)
     assert forced.take_all() == j_rows
+
+
+def test_new_ops_block_layout_independence(ray_session):
+    """The round-5 session-6 operators must return identical results
+    under a radically different block layout (tiny target block size =>
+    many small blocks => different per-batch combiner groupings and
+    shuffle partition contents) — the partitioning-independence claim
+    their integer-unit staging exists to guarantee."""
+    import ray.data as rd
+
+    from opentelemetry_collector_symbolicator_ray.pipelines import analytics, text
+
+    sf = "/root/testdata/sf0.001"
+
+    def run_all():
+        return {
+            "pagerank": analytics.purchase_graph_pagerank(sf, iterations=4).to_pylist(),
+            "salted": analytics.salted_type_counts(sf).to_pylist(),
+            "incr": analytics.incremental_daily_agg(sf).to_pylist(),
+            "lm": text.lm_perplexity(sf).take_all(),
+        }
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    baseline = run_all()
+    try:
+        ctx.target_max_block_size = 16 * 1024  # ~100x smaller blocks
+        tiny = run_all()
+    finally:
+        ctx.target_max_block_size = old
+    for k in baseline:
+        assert tiny[k] == baseline[k], k
