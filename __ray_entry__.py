@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": lambda sf: analytics.purchase_graph_pagerank(sf),
         "events_salted_agg": lambda sf: analytics.salted_type_counts(sf),
         "events_incremental_agg": lambda sf: analytics.incremental_daily_agg(sf),
+        "customer_order_distribution": lambda sf: analytics.customer_order_distribution(sf),
+        "large_volume_customers": lambda sf: analytics.large_volume_customers(sf),
+        "top_supplier_revenue": lambda sf: analytics.top_supplier_revenue(sf),
     }
 
 
@@ -2073,5 +2076,54 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(value, 2) * 100 AS BIGINT))::BIGINT
                      AS total_value_cents
             FROM events GROUP BY day_id ORDER BY day_id
+        """,
+        # TPC-H Q13 shape (analytics.customer_order_distribution): the
+        # LEFT JOIN's zero bucket equals total customers minus customers
+        # with a qualifying order — the engine derives it arithmetically.
+        "customer_order_distribution": """
+            WITH per_c AS (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            SELECT n_orders, count(*)::BIGINT AS custdist
+            FROM per_c GROUP BY n_orders ORDER BY n_orders
+        """,
+        # TPC-H Q18 shape (analytics.large_volume_customers): quantity
+        # sums are integer-valued doubles, so CAST AS BIGINT is exact;
+        # the (sum_qty DESC, o_orderkey) key is unique -> stable LIMIT.
+        "large_volume_customers": """
+            SELECT c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(ROUND(o_totalprice, 2) * 100 AS BIGINT)
+                     AS total_price_cents,
+                   CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM (
+              SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 250.0
+            ) q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 100
+        """,
+        # TPC-H Q15 shape (analytics.top_supplier_revenue): revenue per
+        # supplier over the ship-date window, max with ties; cents at
+        # the END of the sum (the local_supplier_volume convention).
+        "top_supplier_revenue": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                          * 100 AS BIGINT) AS revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey::BIGINT AS s_suppkey, s_name, revenue_cents
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM r)
+            ORDER BY s_suppkey
         """,
     }

@@ -1817,3 +1817,176 @@ def incremental_daily_agg(sf_dir: str) -> pa.Table:
             "total_value_cents": pa.array([merged[d][1] for d in days], type=pa.int64()),
         }
     )
+
+
+def customer_order_distribution(sf_dir: str, exclude_priority: str = "1-URGENT") -> pa.Table:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly N qualifying orders, including the
+    customers who placed none (sourcemap of Q13's LEFT JOIN).
+
+    Ray shape: the orders fact stream never joins customer at all — one
+    ``groupby(o_custkey).count()`` (map-side partials) produces the
+    customer-count-sized per-customer table, a second tiny
+    ``groupby(n_orders).count()`` produces the distribution, and the
+    zero bucket is derived arithmetically (total customers − customers
+    with ≥1 qualifying order; o_custkey ⊆ c_custkey by construction).
+    At 100 TB the only shuffle ships (custkey, partial-count) pairs;
+    the distribution itself is histogram-sized."""
+    import pyarrow.dataset as pads
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pads.field("o_orderpriority") != exclude_priority,
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    dist = per_cust.groupby("n_orders").aggregate(Count(alias_name="custdist"))
+    rows = {int(r["n_orders"]): int(r["custdist"]) for r in dist.take_all()}
+    total_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = total_customers - sum(rows.values())
+    if zero:
+        rows[0] = rows.get(0, 0) + zero
+    ks = sorted(rows)
+    return pa.table(
+        {
+            "n_orders": pa.array(ks, type=pa.int64()),
+            "custdist": pa.array([rows[k] for k in ks], type=pa.int64()),
+        }
+    )
+
+
+def large_volume_customers(
+    sf_dir: str, min_quantity: float = 250.0, limit: int = 100
+) -> pa.Table:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    lineitem quantity exceeds ``min_quantity``, with customer names.
+
+    Ray shape: quantity sums reduce map-side in the ``groupby``
+    (orderkey-sized output), the HAVING filter shrinks that to the far
+    tail BEFORE any join, and the one distributed join
+    (survivors × orders, ``safe_join``) ships only survivor keys plus
+    the orders projection.  Customer names attach AFTER the sort/limit
+    (the ``top_customers`` convention: dimension strings never enter
+    the shuffle or the sort, and the post-limit lookup is ≤``limit``
+    rows)."""
+    qty = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {min_quantity}")
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    from ._join import safe_join
+
+    joined = safe_join(
+        qty, orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    top = joined.sort(["sum_qty", "l_orderkey"], descending=[True, False]).limit(limit)
+    rows = top.take_all()  # ≤ limit rows
+
+    # post-limit dimension lookup: fetch ONLY the ≤limit customer names
+    need = sorted({int(r["o_custkey"]) for r in rows})
+    import pyarrow.dataset as pads
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(need),
+    ).take_all()
+    names = {int(c["c_custkey"]): str(c["c_name"]) for c in cust}
+    return pa.table(
+        {
+            "c_name": pa.array([names[int(r["o_custkey"])] for r in rows], type=pa.string()),
+            "o_orderkey": pa.array([int(r["l_orderkey"]) for r in rows], type=pa.int64()),
+            "o_orderdate": pa.array(
+                [r["o_orderdate"].strftime("%Y-%m-%d") for r in rows], type=pa.string()
+            ),
+            "total_price_cents": pa.array(
+                [_cents(r["o_totalprice"]) for r in rows], type=pa.int64()
+            ),
+            # quantities are integer-valued doubles, so the sum is exact
+            "sum_qty": pa.array([int(r["sum_qty"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def top_supplier_revenue(
+    sf_dir: str, ship_from: str = "1996-01-01", ship_to: str = "1996-04-01"
+) -> pa.Table:
+    """TPC-H Q15-style top supplier(s): the supplier(s) with the maximum
+    revenue over a 3-month ship-date window, ties included (Q15's
+    view + MAX subquery semantics).
+
+    Ray shape: the date window prunes at the parquet scan, revenue
+    partials reduce map-side into a supplier-count-sized table, the MAX
+    is one tiny ``aggregate``, and the equality filter + name attach
+    touch only the winner rows.  Revenue stays double until ONE final
+    cents conversion per supplier (the ``local_supplier_volume``
+    convention), so the comparison key is the integer the oracle also
+    computes."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max
+
+    lo = pa.scalar(datetime.datetime.fromisoformat(ship_from))
+    hi = pa.scalar(datetime.datetime.fromisoformat(ship_to))
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_suppkey": batch.column("l_suppkey"), "revenue": rev})
+
+    per_supp = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+        )
+        .map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_suppkey": b.column("l_suppkey"),
+                    "revenue_cents": _cents_array(b.column("revenue")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    best = per_supp.aggregate(Max("revenue_cents", alias_name="best"))["best"]
+    winners = sorted(
+        per_supp.filter(expr=f"revenue_cents == {int(best)}").take_all(),
+        key=lambda r: int(r["l_suppkey"]),
+    )
+    need = [int(r["l_suppkey"]) for r in winners]
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(need),
+    ).take_all()
+    names = {int(s["s_suppkey"]): str(s["s_name"]) for s in supp}
+    return pa.table(
+        {
+            "s_suppkey": pa.array(need, type=pa.int64()),
+            "s_name": pa.array([names[k] for k in need], type=pa.string()),
+            "revenue_cents": pa.array(
+                [int(r["revenue_cents"]) for r in winners], type=pa.int64()
+            ),
+        }
+    )
