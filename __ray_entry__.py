@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": lambda sf: analytics.customer_order_distribution(sf),
         "large_volume_customers": lambda sf: analytics.large_volume_customers(sf),
         "top_supplier_revenue": lambda sf: analytics.top_supplier_revenue(sf),
+        "events_pattern_matches": lambda sf: streaming.pattern_match_counts(sf),
+        "graph_triangle_count": lambda sf: analytics.copurchase_triangle_count(sf),
     }
 
 
@@ -2125,5 +2127,44 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier ON s_suppkey = l_suppkey
             WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM r)
             ORDER BY s_suppkey
+        """,
+        # MATCH_RECOGNIZE-style sequence pattern (streaming.
+        # pattern_match_counts): the CASE map mirrors _EVENT_SYMBOLS
+        # verbatim; (ts, event_id) is unique per user, so both sides
+        # build the same symbol string; 'vc+p' has an unambiguous match
+        # extent, so RE2 and Python re agree on non-overlapping counts.
+        "events_pattern_matches": """
+            WITH seq AS (
+              SELECT user_id,
+                     string_agg(
+                       CASE event_type
+                         WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                         WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                         ELSE 's' END,
+                       '' ORDER BY ts, event_id) AS s
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, len(regexp_extract_all(s, 'vc+p'))::BIGINT AS n_matches
+            FROM seq
+            WHERE len(regexp_extract_all(s, 'vc+p')) > 0
+            ORDER BY user_id
+        """,
+        # Triangle count over the part co-purchase graph (analytics.
+        # copurchase_triangle_count): the u<v<w three-way self-join
+        # counts each triangle once, independent of the engine's
+        # degree orientation.
+        "graph_triangle_count": """
+            WITH pp AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            edges AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM pp a JOIN pp b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*)::BIGINT AS triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
     }

@@ -1233,3 +1233,58 @@ def watermarked_window_counts(
     return _compact_sort(
         agg.map_batches(finish, batch_format="pyarrow"), ["window_id", "event_type"]
     )
+
+
+# event_type -> one-char symbol for sequence-pattern matching; the
+# first letters of the generator's five types are distinct, and the
+# oracle's CASE expression mirrors this map verbatim.
+_EVENT_SYMBOLS = {"view": "v", "click": "c", "purchase": "p", "error": "e", "signup": "s"}
+
+
+def pattern_match_counts(
+    sf_dir: str, pattern: str = "vc+p"
+) -> "ray.data.Dataset":
+    """MATCH_RECOGNIZE-style sequence-pattern detection: per user, order
+    the event log by (ts, event_id), map each event to a one-character
+    symbol, and count NON-OVERLAPPING regex matches of ``pattern``
+    (default: a view, one or more clicks, then a purchase).
+
+    Ray shape: one ``groupby(user_id).map_groups`` — the same per-key
+    full-log partitioning as ``user_sessions`` — with the ordering done
+    by ``np.lexsort`` inside the group and the pattern pre-compiled per
+    task.  Output is match-carrying users only (user-count-bounded).
+    The (ts, event_id) key is unique per user, so the symbol string —
+    and therefore the count — is independent of physical row order.
+    Leftmost non-overlapping semantics match DuckDB's
+    ``regexp_extract_all`` (the pattern's extent is unambiguous: ``c+``
+    can never absorb the terminating ``p``)."""
+    import re
+
+    rx = re.compile(pattern)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def count_matches(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        types = group.column("event_type").to_pylist()
+        s = "".join(_EVENT_SYMBOLS[types[i]] for i in order)
+        n = len(rx.findall(s))
+        if not n:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "n_matches": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], type=pa.int64()),
+                "n_matches": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return _compact_sort(
+        ds.groupby("user_id").map_groups(count_matches, batch_format="pyarrow"),
+        "user_id",
+    )

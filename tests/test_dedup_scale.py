@@ -523,3 +523,54 @@ def test_new_ops_block_layout_independence(ray_session):
         ctx.target_max_block_size = old
     for k in baseline:
         assert tiny[k] == baseline[k], k
+
+
+def test_triangle_count_bruteforce_and_join_path(ray_session, tmp_path):
+    """Crafted co-purchase graph: the oriented-wedge count equals a
+    brute-force enumeration, and the web-scale degree-join path
+    (broadcast_max_nodes=0) reproduces the broadcast path exactly.
+    Duplicate (order, part) rows must not inflate edges."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        copurchase_triangle_count,
+    )
+
+    orders = {
+        1: [1, 2, 3],
+        2: [2, 3, 4],
+        3: [1, 4],
+        4: [5, 6],       # disconnected edge, no triangle
+        5: [1, 2, 3],    # duplicate co-purchases of order 1
+        6: [7],          # single-part order: no edges
+    }
+    ok, pk = [], []
+    for o, parts in orders.items():
+        for p in parts:
+            ok.append(o); pk.append(p)
+            ok.append(o); pk.append(p)  # exact duplicate rows
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, type=pa.int64()),
+                  "l_partkey": pa.array(pk, type=pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    edges = set()
+    for parts in orders.values():
+        for u, v in combinations(sorted(set(parts)), 2):
+            edges.add((u, v))
+    nodes = sorted({n for e in edges for n in e})
+    expect = sum(
+        1
+        for u, v, w in combinations(nodes, 3)
+        if (u, v) in edges and (u, w) in edges and (v, w) in edges
+    )
+    assert expect == 4  # (1,2,3) (2,3,4) (1,3,4) (1,2,4)
+
+    got_b = copurchase_triangle_count(str(tmp_path)).to_pylist()
+    got_j = copurchase_triangle_count(str(tmp_path), broadcast_max_nodes=0).to_pylist()
+    assert got_b == [{"triangles": expect}]
+    assert got_j == got_b

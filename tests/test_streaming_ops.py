@@ -394,3 +394,43 @@ def test_watermarked_counts_drops_late_events(ray_session, tmp_path):
         results[bs] = got
         assert got == expect, f"bucket_size={bs}: {got} != {expect}"
     assert results[1024] == results[3] == results[1]
+
+
+def test_pattern_match_counts_crafted(ray_session, tmp_path):
+    """Non-overlapping 'vc+p' semantics on a crafted log: ties in ts
+    resolve by event_id, physical row order is shuffled, and matchless
+    users are excluded from the output."""
+    import numpy as np
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import (
+        pattern_match_counts,
+    )
+
+    t0 = 1_700_000_000_000_000
+    # user 1: v c p v c c p  -> 2 matches
+    # user 2: v c v c p      -> 1 match (leftmost-nonoverlap starts at idx 2)
+    # user 3: c p v          -> 0 matches (excluded)
+    # user 4: v c p with ALL ts equal -> order comes from event_id alone
+    rows = []
+    for i, ty in enumerate(["view", "click", "purchase", "view", "click", "click", "purchase"]):
+        rows.append((100 + i, 1, t0 + i, ty))
+    for i, ty in enumerate(["view", "click", "view", "click", "purchase"]):
+        rows.append((200 + i, 2, t0 + i, ty))
+    for i, ty in enumerate(["click", "purchase", "view"]):
+        rows.append((300 + i, 3, t0 + i, ty))
+    for i, ty in enumerate(["view", "click", "purchase"]):
+        rows.append((400 + i, 4, t0, ty))  # identical ts: event_id breaks the tie
+    rng = np.random.default_rng(7)
+    rows = [rows[i] for i in rng.permutation(len(rows))]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {r["user_id"]: r["n_matches"] for r in pattern_match_counts(str(tmp_path)).take_all()}
+    assert got == {1: 2, 2: 1, 4: 1}
