@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": lambda sf: analytics.top_supplier_revenue(sf),
         "events_pattern_matches": lambda sf: streaming.pattern_match_counts(sf),
         "graph_triangle_count": lambda sf: analytics.copurchase_triangle_count(sf),
+        "events_type_trend": lambda sf: analytics.type_value_trend(sf),
+        "events_transition_matrix": lambda sf: streaming.event_type_transitions(sf),
+        "events_percent_rank": lambda sf: streaming.global_percent_rank(sf),
     }
 
 
@@ -2166,5 +2169,82 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e1
             JOIN edges e2 ON e2.u = e1.v
             JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Grouped OLS trend (analytics.type_value_trend): identical
+        # integer sufficient statistics both sides; the normal-equation
+        # products run in HUGEINT (mirroring Python bigints) and the
+        # slope/intercept are ONE shared staged-IEEE expression.
+        "events_type_trend": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS x,
+                     CAST(ROUND(value, 2) * 100 AS BIGINT) AS y
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM c GROUP BY event_type
+            ),
+            f AS (
+              SELECT event_type, n, sx, sy,
+                     CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                     CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+              FROM s
+            )
+            SELECT event_type, n,
+                   CASE WHEN den = 0 THEN NULL
+                        ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS slope_cents_per_day,
+                   CASE WHEN den = 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                   END AS intercept_cents
+            FROM f ORDER BY event_type
+        """,
+        # Markov transition matrix (streaming.event_type_transitions):
+        # lead() replays the per-user (ts, event_id) ordering; the row
+        # normalization is the same count/total double division.
+        "events_transition_matrix": """
+            WITH seq AS (
+              SELECT event_type AS prev_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM events
+            ),
+            p AS (
+              SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+              FROM seq WHERE next_type IS NOT NULL
+              GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type, n_transitions,
+                   CAST(n_transitions AS DOUBLE)
+                     / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                            AS DOUBLE) AS prob
+            FROM p ORDER BY prev_type, next_type
+        """,
+        # Global percent rank (streaming.global_percent_rank): explicit
+        # CDF join instead of percent_rank() so BOTH sides compute
+        # below/(N-1) with the same quantization and staged division.
+        "events_percent_rank": """
+            WITH c AS (
+              SELECT event_id, CAST(ROUND(value, 2) * 100 AS BIGINT) AS cents
+              FROM events
+            ),
+            d AS (SELECT cents, count(*)::BIGINT AS n FROM c GROUP BY cents),
+            cdf AS (
+              SELECT cents,
+                     CAST(SUM(n) OVER (ORDER BY cents) - n AS BIGINT) AS below
+              FROM d
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n_total FROM c)
+            SELECT c.event_id,
+                   CAST(below AS DOUBLE) / CAST(n_total - 1 AS DOUBLE) AS pct_rank
+            FROM c JOIN cdf USING (cents) CROSS JOIN tot
+            ORDER BY c.event_id
         """,
     }

@@ -2214,3 +2214,84 @@ def copurchase_triangle_count(
     )
     total = closed.aggregate(Sum("t", alias_name="triangles"))["triangles"]
     return pa.table({"triangles": pa.array([int(total or 0)], type=pa.int64())})
+
+
+def type_value_trend(sf_dir: str) -> pa.Table:
+    """Grouped OLS regression (per-event-type trend of ``value`` over
+    time) from EXACT sufficient statistics — the distributed-regression
+    pattern: one streaming pass emits per-batch integer partials
+    (n, Σx, Σy, Σxy, Σx²) per type with x = whole days since epoch and
+    y = integer cents, a type-count-sized table reaches the driver, and
+    the normal-equation arithmetic runs in arbitrary-precision Python
+    ints (n·Σxy overflows int64 at billions of rows; the PARTIALS never
+    do — per-block sums are block-bounded).  slope/intercept then come
+    from ONE staged IEEE-double expression shared with the oracle
+    (HUGEINT arithmetic + CAST AS DOUBLE on the SQL side), so the float
+    output is bit-identical.  No shuffle at all: partials -> driver.
+    Same moments discipline as ``zscore_by_type`` above."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        days = (
+            pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+        types = np.asarray(batch.column("event_type").to_pylist())
+        rows = []
+        for t in np.unique(types):
+            m = types == t
+            x, y = days[m], cents[m]
+            rows.append(
+                (
+                    str(t),
+                    int(m.sum()),
+                    int(x.sum()),
+                    int(y.sum()),
+                    int((x * y).sum()),
+                    int((x * x).sum()),
+                )
+            )
+        names = ["event_type", "n", "sx", "sy", "sxy", "sxx"]
+        return pa.table(
+            {
+                nm: pa.array(
+                    [r[i] for r in rows],
+                    type=pa.string() if i == 0 else pa.int64(),
+                )
+                for i, nm in enumerate(names)
+            }
+        )
+
+    stats: dict[str, list[int]] = {}
+    for row in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        s = stats.setdefault(row["event_type"], [0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxy", "sxx")):
+            s[i] += int(row[k])
+
+    out = []
+    for t in sorted(stats):
+        n, sx, sy, sxy, sxx = stats[t]
+        num = n * sxy - sx * sy  # exact bigints — the overflow-free zone
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope, intercept = None, None
+        else:
+            slope = float(num) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+        out.append((t, n, slope, intercept))
+    return pa.table(
+        {
+            "event_type": pa.array([o[0] for o in out], type=pa.string()),
+            "n": pa.array([o[1] for o in out], type=pa.int64()),
+            "slope_cents_per_day": pa.array([o[2] for o in out], type=pa.float64()),
+            "intercept_cents": pa.array([o[3] for o in out], type=pa.float64()),
+        }
+    )

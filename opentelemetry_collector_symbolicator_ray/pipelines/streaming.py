@@ -1288,3 +1288,129 @@ def pattern_match_counts(
         ds.groupby("user_id").map_groups(count_matches, batch_format="pyarrow"),
         "user_id",
     )
+
+
+def event_type_transitions(sf_dir: str) -> pa.Table:
+    """First-order Markov transition matrix over per-user event
+    sequences: order each user's log by (ts, event_id), count adjacent
+    (prev, next) event-type bigrams, and attach row-normalized
+    transition probabilities.  Ray shape: ONE user shuffle
+    (``groupby(user_id).map_groups``) where each group emits its bigram
+    PARTIAL counts (≤ |types|² rows, not one row per transition), a
+    global pair groupby over the tiny partial stream, and a driver-side
+    row normalization of the |types|²-sized matrix.  The probability is
+    one staged IEEE division shared with the oracle (count/total, both
+    cast to double), so floats are bit-identical to the SQL
+    lead()-window replay."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def bigrams(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        types = np.asarray(group.column("event_type").to_pylist())[order]
+        if len(types) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        # integer-coded bigrams (numpy fixed-width unicode strips NULs,
+        # so string concatenation with a separator is NOT safe)
+        vocab, codes = np.unique(types, return_inverse=True)
+        k = len(vocab)
+        pair_codes = codes[:-1] * k + codes[1:]
+        uniq, counts = np.unique(pair_codes, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(vocab[uniq // k], type=pa.string()),
+                "next_type": pa.array(vocab[uniq % k], type=pa.string()),
+                "n": pa.array(counts.astype("int64"), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(bigrams, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+    )
+    rows = sorted(
+        agg.take_all(), key=lambda r: (r["prev_type"], r["next_type"])
+    )  # |types|²-sized
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["prev_type"]] = totals.get(r["prev_type"], 0) + int(r["n_transitions"])
+    return pa.table(
+        {
+            "prev_type": pa.array([r["prev_type"] for r in rows], type=pa.string()),
+            "next_type": pa.array([r["next_type"] for r in rows], type=pa.string()),
+            "n_transitions": pa.array(
+                [int(r["n_transitions"]) for r in rows], type=pa.int64()
+            ),
+            "prob": pa.array(
+                [
+                    float(int(r["n_transitions"])) / float(totals[r["prev_type"]])
+                    for r in rows
+                ],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def global_percent_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Exact global percent_rank of every event's ``value`` WITHOUT a
+    global sort — the distributed-CDF pattern: quantize values to
+    integer cents, ONE ``groupby(cents)`` builds the value-cardinality-
+    sized count table (bounded by the value RANGE, not by N), the
+    driver turns it into an exclusive prefix-sum CDF and broadcasts it
+    once via ``ray.put``, and a second streaming pass assigns each row
+    ``below/(N-1)`` by vectorized ``searchsorted`` lookup.  The division
+    is the SAME staged IEEE expression as the oracle's explicit CDF
+    join, so the float column hashes identically.  Total shuffle:
+    cents-cardinality rows; the event stream itself never shuffles."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def cents_of(batch: pa.Table) -> "np.ndarray":
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        return np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(cents_of(batch), type=pa.int64())})
+
+    counts = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    counts.sort(key=lambda r: int(r["cents"]))
+    uniq = np.array([int(r["cents"]) for r in counts], dtype=np.int64)
+    n_per = np.array([int(r["n"]) for r in counts], dtype=np.int64)
+    below = np.concatenate(([0], np.cumsum(n_per)[:-1]))
+    total = int(n_per.sum())
+    cdf_ref = ray.put((uniq, below, total))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        u, b, tot = ray.get(cdf_ref)
+        cents = cents_of(batch)
+        idx = np.searchsorted(u, cents)
+        blw = b[idx].astype(np.float64)
+        denom = float(tot - 1)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "pct_rank": pa.array(blw / denom, type=pa.float64()),
+            }
+        )
+
+    return _compact_sort(ds.map_batches(rank, batch_format="pyarrow"), "event_id")
