@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_trend": lambda sf: analytics.type_value_trend(sf),
         "events_transition_matrix": lambda sf: streaming.event_type_transitions(sf),
         "events_percent_rank": lambda sf: streaming.global_percent_rank(sf),
+        "docs_editdist_dupes": lambda sf: dedup.editdist_dupes(sf),
     }
 
 
@@ -1351,6 +1352,22 @@ def oracle_sql() -> dict[str, str]:
         # connected components, serving BOTH the driver-union-find and
         # the distributed label-propagation engine variants
         "docs_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),
+        # Edit-distance near-dup (dedup.editdist_dupes): the SAME
+        # MinHash band-bucket candidate CTEs, with the Jaccard verify
+        # swapped for DuckDB's levenshtein — the engine's DP kernel is
+        # fuzz-matched against it (test_dedup_scale.py).
+        "docs_editdist_dupes": (
+            "WITH "
+            + _minhash_pairs_oracle_sql()
+            + """
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+            WHERE levenshtein(da.text, db.text) <= 40
+            ORDER BY doc_a, doc_b
+        """
+        ),
         "docs_near_dedup_keep": _near_dedup_keep_oracle_sql(),
         "docs_near_dedup_keep_dcc": _near_dedup_keep_oracle_sql(),
         # Duplicate k-word spans (k=8): a window position is duplicated

@@ -1078,3 +1078,127 @@ def jaccard_prefix_pairs(
     pairs = posts.groupby("tok").map_groups(verify, batch_format="pyarrow")
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
     return uniq.select_columns(["doc_a", "doc_b"]).sort(["doc_a", "doc_b"])
+
+
+def _levenshtein(a: str, b: str, bchars: "np.ndarray | None" = None) -> int:
+    """Unit-cost Levenshtein distance over UTF-8 BYTES — DuckDB's
+    ``levenshtein`` is byte-level (verified: multibyte chars count once
+    per byte), and the oracle swaps that function in for the Jaccard
+    verify, so the engine kernel must match byte-for-byte.  Row-DP with
+    the insertion chain vectorized via the ``minimum.accumulate(g - j)``
+    trick — O(len(a)) Python iterations of O(len(b)) numpy work instead
+    of a scalar double loop."""
+    if a == b:
+        return 0
+    if bchars is None:
+        bchars = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    abytes = a.encode("utf-8")
+    lb = len(bchars)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ca in enumerate(abytes, 1):
+        sub = prev[:-1] + (bchars != ca)
+        t = np.minimum(prev[1:] + 1, sub)
+        full = np.concatenate(([np.int64(i)], t))
+        prev = np.minimum.accumulate(full - idx) + idx
+    return int(prev[-1])
+
+
+def editdist_dupes(
+    sf_dir: str,
+    max_dist: int = 40,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 256,
+) -> pa.Table:
+    """Edit-distance-verified near-duplicate pairs — the THIRD verify
+    kernel over the shared banded-LSH candidate engine (exact Jaccard =
+    ``minhash_lsh_pairs_ds``, Hamming = ``simhash_dupes``, Levenshtein
+    = here): MinHash band buckets generate candidates with the SAME
+    permutation constants / band keys / >max_bucket star-cap, band rows
+    carry the raw text as the shuffle payload, and verification runs
+    IN the bucket shuffle (``groupby(bucket).map_groups``) as a banded
+    DP — no corpus state on the driver, no re-join to fetch texts.  A
+    ``|len(a)-len(b)| > max_dist`` pre-filter skips the DP for
+    length-divergent candidates (pure pruning: length difference lower-
+    bounds the distance).  Pairs verified in several bands collapse in
+    one pairs-sized distributed groupby.
+
+    Oracle: the shared MinHash-candidate CTE chain with the Jaccard
+    verify swapped for DuckDB's ``levenshtein(text_a, text_b)``."""
+    from ray.data.aggregate import Count
+
+    rows_per_band = num_perm // bands
+    perm_a, perm_b = _minhash_params(num_perm)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        doc_ids, buckets, texts = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            h = np.unique(_shingle_hashes(text, k).view(np.int64)).astype(np.uint64)
+            perm = (perm_a[:, None] * h[None, :] + perm_b[:, None]) % _MERSENNE
+            sig = perm.min(axis=1).astype(np.int64)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band: (band + 1) * rows_per_band]
+                key = _md5_lower64(str(band) + ":" + ",".join(map(str, chunk)))
+                doc_ids.append(int(ids[i]))
+                buckets.append(key - (1 << 64) if key >= (1 << 63) else key)
+                texts.append(text)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    band_rows = (
+        _read_docs(sf_dir).map_batches(to_buckets, batch_format="pyarrow").repartition(8)
+    )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        txts = group.column("text").to_pylist()
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        txts = [txts[i] for i in order]
+        if len(ids) > max_bucket:
+            cand = [(0, j) for j in range(1, len(ids))]
+        else:
+            cand = [(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        blens = [len(t.encode("utf-8")) for t in txts]
+        chars = [None] * len(ids)  # lazily-built per-doc byte arrays
+        keep_a, keep_b = [], []
+        for i, j in cand:
+            if ids[i] == ids[j]:
+                continue
+            # byte-length difference lower-bounds the byte-level distance
+            if abs(blens[i] - blens[j]) > max_dist:
+                continue
+            if chars[j] is None:
+                chars[j] = np.frombuffer(txts[j].encode("utf-8"), dtype=np.uint8)
+            if _levenshtein(txts[i], txts[j], chars[j]) <= max_dist:
+                keep_a.append(ids[i])
+                keep_b.append(ids[j])
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        band_rows.groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_bands"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    )
+    rows = sorted((int(r["doc_a"]), int(r["doc_b"])) for r in pairs.take_all())
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )

@@ -574,3 +574,50 @@ def test_triangle_count_bruteforce_and_join_path(ray_session, tmp_path):
     got_j = copurchase_triangle_count(str(tmp_path), broadcast_max_nodes=0).to_pylist()
     assert got_b == [{"triangles": expect}]
     assert got_j == got_b
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    """The vectorized DP must equal DuckDB's levenshtein on random
+    strings (incl. empties and unicode) — the oracle swaps this kernel
+    in for the Jaccard verify, so drift here is silent wrongness."""
+    import random
+
+    import duckdb
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import _levenshtein
+
+    rng = random.Random(42)
+    alphabet = "abcx √© 9"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting")]
+    for _ in range(300):
+        a = "".join(rng.choices(alphabet, k=rng.randint(0, 14)))
+        b = "".join(rng.choices(alphabet, k=rng.randint(0, 14)))
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_editdist_dupes_crafted(ray_session, tmp_path):
+    """A one-word edit is caught; an unrelated doc is not; the pair is
+    reported once despite matching in many bands."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import editdist_dupes
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "hazy", 1)       # distance 1
+    far = "completely different text about embeddings " * 8
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([base, near, far]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = editdist_dupes(str(tmp_path), max_dist=5).to_pylist()
+    assert got == [{"doc_a": 1, "doc_b": 2}]
