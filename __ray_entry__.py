@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": lambda sf: streaming.event_type_transitions(sf),
         "events_percent_rank": lambda sf: streaming.global_percent_rank(sf),
         "docs_editdist_dupes": lambda sf: dedup.editdist_dupes(sf),
+        "binational_volume": lambda sf: analytics.binational_volume(sf),
+        "part_skyline": lambda sf: analytics.part_skyline(sf),
     }
 
 
@@ -1356,6 +1358,47 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # TPC-H Q7 (analytics.binational_volume): revenue between
+        # different customer/supplier nations by ship year; same
+        # double-sum-then-one-round convention as local_supplier_volume.
+        "binational_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   COUNT(*)::BIGINT AS n_items,
+                   CAST((SUM(CAST(FLOOR(
+                          l_extendedprice * (1 - l_discount) * 1000000)
+                        AS BIGINT)) + 5000) // 10000
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            WHERE ns.n_name <> nc.n_name
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # Pareto skyline (analytics.part_skyline): NOT-EXISTS dominance
+        # over exact integers — ties and exact duplicates keep both.
+        "part_skyline": """
+            WITH a AS (
+              SELECT l_partkey,
+                     CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS total_qty,
+                     CAST((SUM(CAST(FLOOR(
+                            l_extendedprice * (1 - l_discount) * 1000000)
+                          AS BIGINT)) + 5000) // 10000
+                          AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, total_qty, revenue_cents FROM a p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM a q
+              WHERE q.total_qty >= p.total_qty
+                AND q.revenue_cents >= p.revenue_cents
+                AND (q.total_qty > p.total_qty OR q.revenue_cents > p.revenue_cents)
+            )
+            ORDER BY l_partkey
+        """,
         "docs_editdist_dupes": (
             "WITH "
             + _minhash_pairs_oracle_sql()

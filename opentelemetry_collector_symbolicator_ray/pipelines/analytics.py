@@ -2295,3 +2295,233 @@ def type_value_trend(sf_dir: str) -> pa.Table:
             "intercept_cents": pa.array([o[3] for o in out], type=pa.float64()),
         }
     )
+
+
+def binational_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q7-style international shipping volume: revenue between
+    DIFFERENT customer/supplier nations, grouped by (supplier nation,
+    customer nation, ship year).  Same topology as
+    ``local_supplier_volume`` above (the correlated-dimension fact-fact
+    join): dimension key maps broadcast once via ``ray.put`` and
+    annotate their fact stream inside ``map_batches``, the single real
+    shuffle is the orderkey hash join shipping (orderkey, natkey,
+    year, revenue) tuples, and the inequality filter + nation-pair
+    groupby run on the join output.  Result is nation²·years-sized;
+    names attach to the aggregate, never to the fact stream."""
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).take_all()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    name_of = {int(n["n_nationkey"]): str(n["n_name"]) for n in nations}
+    supp_nat = pa.table(
+        {
+            "l_suppkey": pa.array([s["s_suppkey"] for s in supp], type=pa.int64()),
+            "s_nationkey": pa.array(
+                [int(s["s_nationkey"]) for s in supp], type=pa.int64()
+            ),
+        }
+    )
+    cust_nat = pa.table(
+        {
+            "o_custkey": pa.array([c["c_custkey"] for c in cust], type=pa.int64()),
+            "c_nationkey": pa.array(
+                [int(c["c_nationkey"]) for c in cust], type=pa.int64()
+            ),
+        }
+    )
+    supp_ref, cust_ref = ray.put(supp_nat), ray.put(cust_nat)
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        # per-row contribution floored to int64 MICRO-dollars, so the
+        # group sums are order-independent-exact (the bm25/lm_perplexity
+        # integer-units pattern): Q7 groups are only a few rows each and
+        # a double Sum measurably lands 1 ulp off the oracle's
+        # sequential sum on half-cent boundaries
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        micro = pc.cast(pc.floor(pc.multiply(rev, pa.scalar(1e6))), pa.int64())
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(batch.column("l_shipdate")), pa.int64()),
+                "micro": micro,
+            }
+        )
+        return t.join(
+            ray.get(supp_ref), keys="l_suppkey", join_type="inner"
+        ).drop_columns(["l_suppkey"])
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+            }
+        )
+        return t.join(
+            ray.get(cust_ref), keys="o_custkey", join_type="inner"
+        ).drop_columns(["o_custkey"])
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    from ._join import safe_join
+
+    joined = safe_join(
+        lineitem,
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def international_only(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("s_nationkey"), batch.column("c_nationkey"))
+        kept = batch.filter(mask)
+        return kept.select(["s_nationkey", "c_nationkey", "l_year", "micro"])
+
+    agg = (
+        joined.map_batches(international_only, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "l_year"])
+        .aggregate(Count(alias_name="n_items"), Sum("micro", alias_name="micro"))
+    )
+    rows = sorted(
+        agg.take_all(),
+        key=lambda r: (
+            name_of[int(r["s_nationkey"])],
+            name_of[int(r["c_nationkey"])],
+            int(r["l_year"]),
+        ),
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [name_of[int(r["s_nationkey"])] for r in rows], type=pa.string()
+            ),
+            "cust_nation": pa.array(
+                [name_of[int(r["c_nationkey"])] for r in rows], type=pa.string()
+            ),
+            "l_year": pa.array([int(r["l_year"]) for r in rows], type=pa.int64()),
+            "n_items": pa.array([int(r["n_items"]) for r in rows], type=pa.int64()),
+            # cents from integer micro-units with INTEGER half-up
+            # division — the 4-decimal revenue terms make exact
+            # half-cent sums routine in small groups, where float
+            # ROUND (half-away) and Python round (correctly-rounded
+            # decimal) disagree; integers have no tie ambiguity
+            "revenue_cents": pa.array(
+                [(int(r["micro"]) + 5000) // 10000 for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+def _local_skyline(batch: pa.Table) -> pa.Table:
+    """Vectorized 2-D max-skyline over one block: sort by (qty desc,
+    rev desc); a point is dominated iff the max revenue among STRICTLY
+    greater qty is >= its revenue, or a same-qty point has STRICTLY
+    greater revenue.  Exact-duplicate points dominate nothing (no
+    strict coordinate), matching SQL NOT-EXISTS dominance."""
+    import numpy as np
+
+    if len(batch) == 0:
+        return batch
+    qty = batch.column("total_qty").to_numpy(zero_copy_only=False)
+    rev = batch.column("revenue_cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((-rev, -qty))
+    q, r = qty[order], rev[order]
+    # group boundaries of equal qty in the sorted view
+    new_grp = np.concatenate(([True], q[1:] != q[:-1]))
+    grp = np.cumsum(new_grp) - 1
+    # max rev within each qty group = first element of the group (rev desc)
+    grp_max = r[new_grp][grp]
+    # running max of rev over STRICTLY greater qty groups (exclusive)
+    starts_max = np.maximum.accumulate(r[new_grp])  # inclusive per group
+    m1 = np.where(grp == 0, np.int64(-1), starts_max[np.maximum(grp - 1, 0)])
+    dominated = (m1 >= r) | (grp_max > r)
+    keep = order[~dominated]
+    keep.sort()
+    return batch.take(pa.array(keep))
+
+
+def part_skyline(sf_dir: str) -> pa.Table:
+    """Pareto frontier (2-D max-skyline) of parts by (total quantity,
+    total revenue) — the distributed-skyline pattern: any globally
+    non-dominated point is non-dominated in every subset containing it,
+    so a per-block LOCAL skyline pass prunes the part table down to
+    block-skyline survivors (tiny), and ONE coalesced final pass over
+    the union computes the exact global frontier.  No all-pairs work
+    ever leaves a block; the driver never sees the part table.
+    Dominance runs on exact integers (integral quantities; per-part
+    revenue rounded ONCE to cents with the shared ``_cents`` rule), so
+    engine and oracle agree on every tie."""
+    def project(batch: pa.Table) -> pa.Table:
+        # int64 micro-dollar contributions: dominance needs EXACT group
+        # revenues — a 1-ulp double-sum divergence can flip a tie and
+        # change the frontier membership (same discipline as Q7 above)
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty": batch.column("l_quantity"),
+                "micro": pc.cast(pc.floor(pc.multiply(rev, pa.scalar(1e6))), pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="qty"), Sum("micro", alias_name="micro"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # integer half-up cents (see binational_volume: float rounding
+        # is tie-ambiguous exactly where dominance needs exactness)
+        cents = pc.divide(
+            pc.add(batch.column("micro"), pa.scalar(5000, pa.int64())),
+            pa.scalar(10000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "total_qty": pc.cast(pc.round(batch.column("qty")), pa.int64()),
+                "revenue_cents": cents,
+            }
+        )
+
+    survivors = (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .map_batches(_local_skyline, batch_format="pyarrow")  # local prune
+        .repartition(1)
+        .map_batches(_local_skyline, batch_format="pyarrow")  # exact global pass
+    )
+    rows = sorted(survivors.take_all(), key=lambda r: int(r["l_partkey"]))
+    return pa.table(
+        {
+            "l_partkey": pa.array([int(r["l_partkey"]) for r in rows], type=pa.int64()),
+            "total_qty": pa.array([int(r["total_qty"]) for r in rows], type=pa.int64()),
+            "revenue_cents": pa.array(
+                [int(r["revenue_cents"]) for r in rows], type=pa.int64()
+            ),
+        }
+    )

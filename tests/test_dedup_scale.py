@@ -621,3 +621,40 @@ def test_editdist_dupes_crafted(ray_session, tmp_path):
     )
     got = editdist_dupes(str(tmp_path), max_dist=5).to_pylist()
     assert got == [{"doc_a": 1, "doc_b": 2}]
+
+
+def test_local_skyline_matches_bruteforce():
+    """The vectorized block-skyline must equal NOT-EXISTS dominance on
+    random data dense with ties and exact duplicates (duplicates
+    dominate nothing — both must survive)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        _local_skyline,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        qty = rng.integers(0, 6, size=n).astype("int64")   # small range => ties
+        rev = rng.integers(0, 6, size=n).astype("int64")
+        tbl = pa.table(
+            {
+                "l_partkey": pa.array(np.arange(n), type=pa.int64()),
+                "total_qty": pa.array(qty, type=pa.int64()),
+                "revenue_cents": pa.array(rev, type=pa.int64()),
+            }
+        )
+        got = sorted(r["l_partkey"] for r in _local_skyline(tbl).to_pylist())
+        want = [
+            int(i)
+            for i in range(n)
+            if not any(
+                qty[j] >= qty[i]
+                and rev[j] >= rev[i]
+                and (qty[j] > qty[i] or rev[j] > rev[i])
+                for j in range(n)
+            )
+        ]
+        assert got == want, (trial, got, want)
