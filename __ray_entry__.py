@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_editdist_dupes": lambda sf: dedup.editdist_dupes(sf),
         "binational_volume": lambda sf: analytics.binational_volume(sf),
         "part_skyline": lambda sf: analytics.part_skyline(sf),
+        "docs_stratified_sample": lambda sf: text.stratified_sample(sf),
+        "events_validity_intervals": lambda sf: streaming.validity_intervals(sf),
+        "events_moving_avg": lambda sf: streaming.moving_avg_per_user(sf),
     }
 
 
@@ -1358,6 +1361,46 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Stratified fixed-size sample (text.stratified_sample):
+        # ROW_NUMBER over the same content key; hex md5 compares
+        # lexicographically identically in SQL and Python.
+        "docs_stratified_sample": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY md5(text), doc_id
+                     ) AS rn
+              FROM documents
+            )
+            SELECT lang, doc_id FROM r WHERE rn <= 25 ORDER BY lang, doc_id
+        """,
+        # SCD-2 validity intervals (streaming.validity_intervals).
+        "events_validity_intervals": """
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   lead(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to_us
+            FROM events ORDER BY event_id
+        """,
+        # Rolling moving average (streaming.moving_avg_per_user):
+        # integer-cents window sums, one staged sum/count division.
+        "events_moving_avg": """
+            WITH c AS (
+              SELECT event_id, user_id, ts,
+                     CAST(ROUND(value, 2) * 100 AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(SUM(cents) OVER w AS DOUBLE)
+                     / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_cents
+            FROM c
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY event_id
+        """,
         # TPC-H Q7 (analytics.binational_volume): revenue between
         # different customer/supplier nations by ship year; same
         # double-sum-then-one-round convention as local_supplier_volume.

@@ -1414,3 +1414,83 @@ def global_percent_rank(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _compact_sort(ds.map_batches(rank, batch_format="pyarrow"), "event_id")
+
+
+def validity_intervals(sf_dir: str) -> "ray.data.Dataset":
+    """SCD-2-style validity intervals: each event's type is valid from
+    its own timestamp until the user's NEXT event (NULL for the open
+    current row) — the slowly-changing-dimension build a warehouse runs
+    to temporalize a change log.  Ray shape: one user shuffle, a
+    vectorized shift inside ``map_groups`` (no per-row Python); output
+    is event-sized with integer-µs bounds, so the interval math is
+    exact and layout-independent."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def intervals(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_o, eid_o = ts[order], eid[order]
+        valid_to = np.empty(len(ts_o), dtype=object)
+        valid_to[:-1] = ts_o[1:]
+        valid_to[-1] = None
+        return pa.table(
+            {
+                "event_id": pa.array(eid_o, type=pa.int64()),
+                "user_id": pa.array(
+                    np.repeat(group.column("user_id")[0].as_py(), len(ts_o)),
+                    type=pa.int64(),
+                ),
+                "event_type": pa.array(
+                    np.asarray(group.column("event_type").to_pylist())[order],
+                    type=pa.string(),
+                ),
+                "valid_from_us": pa.array(ts_o, type=pa.int64()),
+                "valid_to_us": pa.array(valid_to.tolist(), type=pa.int64()),
+            }
+        )
+
+    return _compact_sort(
+        ds.groupby("user_id").map_groups(intervals, batch_format="pyarrow"),
+        "event_id",
+    )
+
+
+def moving_avg_per_user(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
+    """Rolling moving average of ``value`` over each user's last
+    ``window`` events (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW):
+    integer-cents prefix sums inside ``map_groups`` make the window sums
+    EXACT and order-independent, and the average is one staged IEEE
+    division (sum/count doubles) shared with the SQL window oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        vals = group.column("value").to_numpy(zero_copy_only=False)[order]
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - (window - 1), 0)
+        wsum = csum[np.arange(n) + 1] - csum[lo]
+        wcnt = np.arange(n) + 1 - lo
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "avg_cents": pa.array(
+                    wsum.astype(np.float64) / wcnt.astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return _compact_sort(
+        ds.groupby("user_id").map_groups(roll, batch_format="pyarrow"), "event_id"
+    )

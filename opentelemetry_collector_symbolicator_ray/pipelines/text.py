@@ -2431,3 +2431,58 @@ def bpe_encode(
         .map_batches(EncodeStage, batch_format="pyarrow", concurrency=(1, 8))
         .sort("doc_id")
     )
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 25) -> pa.Table:
+    """Exact fixed-size stratified sample: the ``n_per_group`` documents
+    per language with the smallest (md5(text) hex, doc_id) key —
+    content-keyed, so the sample is stable under re-partitioning and
+    resumption (the ``hash_sample`` convention) but with an EXACT count
+    per stratum instead of a rate.
+
+    Ray shape: the classic distributed per-group top-N — every block
+    keeps its LOCAL smallest-N per language (vectorized lexsort), so
+    only ``N x n_blocks`` candidate rows per language reach the single
+    ``groupby(lang)`` selection pass; the corpus itself never shuffles
+    and no group is ever sorted whole."""
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "text"])
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch.column("lang").to_pylist())
+        keys = np.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        )
+        keep = np.zeros(len(ids), dtype=bool)
+        for lang in np.unique(langs):
+            m = np.flatnonzero(langs == lang)
+            order = np.lexsort((ids[m], keys[m]))[:n_per_group]
+            keep[m[order]] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "lang": pa.array(langs[keep], type=pa.string()),
+                "h": pa.array(keys[keep], type=pa.string()),
+            }
+        )
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.asarray(group.column("h").to_pylist())
+        order = np.lexsort((ids, keys))[:n_per_group]
+        order.sort()
+        return group.take(pa.array(order)).select(["doc_id", "lang"])
+
+    rows = sorted(
+        ds.map_batches(local_topn, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topn, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: (r["lang"], int(r["doc_id"])),
+    )
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+            "doc_id": pa.array([int(r["doc_id"]) for r in rows], type=pa.int64()),
+        }
+    )
