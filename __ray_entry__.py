@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": lambda sf: text.stratified_sample(sf),
         "events_validity_intervals": lambda sf: streaming.validity_intervals(sf),
         "events_moving_avg": lambda sf: streaming.moving_avg_per_user(sf),
+        "emb_covariance": lambda sf: similarity.embedding_covariance(sf),
     }
 
 
@@ -1361,6 +1362,34 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Distributed covariance (similarity.embedding_covariance):
+        # identical micro-unit flooring and ONE staged IEEE covariance
+        # expression; integer Gram sums are order-independent-exact.
+        "emb_covariance": """
+            WITH m AS (
+              SELECT list_transform(
+                       embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     ) AS v
+              FROM embeddings
+            ),
+            e AS (
+              SELECT i.i AS i, j.j AS j, v[i.i + 1] * v[j.j + 1] AS p
+              FROM m, range(0, 64) i(i), range(0, 64) j(j)
+              WHERE j.j >= i.i
+            ),
+            s AS (SELECT i, j, SUM(p) AS sij, COUNT(*) AS n FROM e GROUP BY i, j),
+            d AS (
+              SELECT i.i AS i, SUM(v[i.i + 1]) AS si
+              FROM m, range(0, 64) i(i) GROUP BY 1
+            )
+            SELECT s.i, s.j,
+                   (CAST(sij AS DOUBLE) / s.n
+                    - (CAST(da.si AS DOUBLE) / s.n)
+                      * (CAST(db.si AS DOUBLE) / s.n)) / 1000000000000.0 AS cov
+            FROM s JOIN d da ON da.i = s.i JOIN d db ON db.i = s.j
+            ORDER BY s.i, s.j
+        """,
         # Stratified fixed-size sample (text.stratified_sample):
         # ROW_NUMBER over the same content key; hex md5 compares
         # lexicographically identically in SQL and Python.

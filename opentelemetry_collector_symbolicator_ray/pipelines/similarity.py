@@ -817,3 +817,60 @@ def ivf_recall(
             "n_probe": pa.array([n_probe] * len(qs), type=pa.int64()),
         }
     )
+
+
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Distributed covariance (Gram) matrix of the embedding columns —
+    the one-pass distributed-linear-algebra pattern: each block
+    contributes an EXACT int64 ``E.T @ E`` partial (elements floored to
+    integer micro-units first, so the matmul is integer arithmetic and
+    the reduction is order-independent), plus per-dim sums and a count;
+    d x d partials reduce on the driver (d²=4096 ints per block — the
+    vectors themselves never shuffle), and the final population
+    covariance is ONE staged IEEE expression shared with the SQL oracle
+    ((Sij/n - (Si/n)(Sj/n)) / 1e12).  Output: the upper triangle as
+    (i, j, cov) rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        dim = len(col[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.floor(flat * 1e6).astype(np.int64).reshape(-1, dim)
+        gram = m.T @ m  # int64-exact
+        return pa.table(
+            {
+                "n": pa.array([len(m)], type=pa.int64()),
+                "sums": pa.array([m.sum(axis=0).tolist()], type=pa.list_(pa.int64())),
+                "gram": pa.array([gram.reshape(-1).tolist()], type=pa.list_(pa.int64())),
+            }
+        )
+
+    n_total = 0
+    sums = None
+    gram = None
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n_total += int(row["n"])
+        s = np.array(row["sums"], dtype=object)  # Python ints: no overflow
+        g = np.array(row["gram"], dtype=object)
+        sums = s if sums is None else sums + s
+        gram = g if gram is None else gram + g
+    dim = int(round(len(gram) ** 0.5))
+    gram = gram.reshape(dim, dim)
+
+    ii, jj, cov = [], [], []
+    n = float(n_total)
+    for i in range(dim):
+        mean_i = float(sums[i]) / n
+        for j in range(i, dim):
+            c = (float(gram[i][j]) / n - mean_i * (float(sums[j]) / n)) / 1e12
+            ii.append(i)
+            jj.append(j)
+            cov.append(c)
+    return pa.table(
+        {
+            "i": pa.array(ii, type=pa.int64()),
+            "j": pa.array(jj, type=pa.int64()),
+            "cov": pa.array(cov, type=pa.float64()),
+        }
+    )
