@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_validity_intervals": lambda sf: streaming.validity_intervals(sf),
         "events_moving_avg": lambda sf: streaming.moving_avg_per_user(sf),
         "emb_covariance": lambda sf: similarity.embedding_covariance(sf),
+        "docs_pmi_collocations": lambda sf: text.pmi_collocations(sf),
     }
 
 
@@ -1362,6 +1363,30 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # PMI collocations (text.pmi_collocations): exact integer
+        # counts both sides; ln() is libm on both; same DESC/ASC ties.
+        "docs_pmi_collocations": """
+            WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bi AS (
+              SELECT w[g.i] AS w1, w[g.i + 1] AS w2
+              FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) g
+            ),
+            bc AS (SELECT w1, w2, COUNT(*)::BIGINT AS cxy FROM bi GROUP BY 1, 2),
+            nb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM bc),
+            uc AS (
+              SELECT wrd AS word, COUNT(*)::BIGINT AS c
+              FROM (SELECT unnest(w) AS wrd FROM ws) GROUP BY 1
+            )
+            SELECT b.w1, b.w2, b.cxy AS n_pairs,
+                   ln((CAST(b.cxy AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                      / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) AS pmi
+            FROM bc b
+            CROSS JOIN nb
+            JOIN uc ca ON ca.word = b.w1
+            JOIN uc cb ON cb.word = b.w2
+            WHERE b.cxy >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
         # Distributed covariance (similarity.embedding_covariance):
         # identical micro-unit flooring and ONE staged IEEE covariance
         # expression; integer Gram sums are order-independent-exact.

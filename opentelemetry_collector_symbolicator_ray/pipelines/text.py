@@ -2486,3 +2486,100 @@ def stratified_sample(sf_dir: str, n_per_group: int = 25) -> pa.Table:
             "doc_id": pa.array([int(r["doc_id"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def pmi_collocations(
+    sf_dir: str, min_count: int = 5, top_k: int = 50
+) -> pa.Table:
+    """Collocation extraction by pointwise mutual information over
+    adjacent word bigrams — count-ratio PMI
+    ``ln(c_xy * N_bigrams / (c_x * c_y))`` on exact integer counts,
+    ``math.log`` per candidate (libm — DuckDB's ``ln``), tie-broken by
+    (pmi DESC, w1, w2).
+
+    Ray shape: per-block bigram AND unigram partial counts (map-side
+    combine), two small groupbys; the ``min_count`` floor shrinks the
+    bigram table to a candidate set whose WORDS alone are fetched from
+    the unigram stream via a broadcast membership filter — so driver
+    state is candidate-sized, never vocabulary-sized, and the corpus is
+    read once."""
+    import math
+
+    from ray.data.aggregate import Sum as AggSum
+
+    ds = _read_documents(sf_dir, ["text"])
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for t in batch.column("text").to_pylist():
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in counts], type=pa.string()),
+                "w2": pa.array([k[1] for k in counts], type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    def unigram_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts), type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    bigrams = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(AggSum("n", alias_name="cxy"))
+        .materialize()  # bigram-type-sized; read twice (total + filter)
+    )
+    n_bigrams = int(bigrams.sum("cxy") or 0)
+    cand = [
+        r
+        for r in bigrams.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("cxy"), pa.scalar(min_count))),
+            batch_format="pyarrow",
+        ).take_all()
+    ]
+    words = {r["w1"] for r in cand} | {r["w2"] for r in cand}
+    words_ref = ray.put(words)
+
+    def member(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(words_ref)
+        keep = [w in wanted for w in batch.column("word").to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    uni = {
+        r["word"]: int(r["n"])
+        for r in ds.map_batches(unigram_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(AggSum("n", alias_name="n"))
+        .map_batches(member, batch_format="pyarrow")
+        .take_all()
+    }
+
+    scored = []
+    for r in cand:
+        cxy, w1, w2 = int(r["cxy"]), r["w1"], r["w2"]
+        pmi = math.log(
+            (float(cxy) * float(n_bigrams)) / (float(uni[w1]) * float(uni[w2]))
+        )
+        scored.append((w1, w2, cxy, pmi))
+    scored.sort(key=lambda s: (-s[3], s[0], s[1]))
+    scored = scored[:top_k]
+    return pa.table(
+        {
+            "w1": pa.array([s[0] for s in scored], type=pa.string()),
+            "w2": pa.array([s[1] for s in scored], type=pa.string()),
+            "n_pairs": pa.array([s[2] for s in scored], type=pa.int64()),
+            "pmi": pa.array([s[3] for s in scored], type=pa.float64()),
+        }
+    )
