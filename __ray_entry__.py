@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": lambda sf: streaming.moving_avg_per_user(sf),
         "emb_covariance": lambda sf: similarity.embedding_covariance(sf),
         "docs_pmi_collocations": lambda sf: text.pmi_collocations(sf),
+        "docs_bigram_lm": lambda sf: text.bigram_lm_perplexity(sf),
     }
 
 
@@ -1363,6 +1364,41 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Bigram LM scoring (text.bigram_lm_perplexity): the
+        # lm_perplexity micro-unit/libm discipline over conditional
+        # counts; scoring the training corpus itself, so inner joins.
+        "docs_bigram_lm": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            bi AS (
+              SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+              FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) g
+            ),
+            bc AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw FROM bc GROUP BY 1),
+            vv AS (
+              SELECT COUNT(DISTINCT wrd)::BIGINT AS v
+              FROM (SELECT unnest(w) AS wrd FROM ws)
+            ),
+            sc AS (
+              SELECT b.doc_id,
+                     CAST(FLOOR(ln(CAST(bc.c + 1 AS DOUBLE)
+                                   / CAST(ctx.cw + vv.v AS DOUBLE))
+                                * 1000000) AS BIGINT) AS micro
+              FROM bi b
+              JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+              JOIN ctx ON ctx.w1 = b.w1
+              CROSS JOIN vv
+            ),
+            s AS (
+              SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS m,
+                     COUNT(*)::BIGINT AS n
+              FROM sc GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_bigrams,
+                   (CAST(m AS DOUBLE) / 1000000) / n AS avg_logprob,
+                   exp(-((CAST(m AS DOUBLE) / 1000000) / n)) AS ppl
+            FROM s ORDER BY doc_id
+        """,
         # PMI collocations (text.pmi_collocations): exact integer
         # counts both sides; ln() is libm on both; same DESC/ASC ties.
         "docs_pmi_collocations": """

@@ -2583,3 +2583,151 @@ def pmi_collocations(
             "pmi": pa.array([s[3] for s in scored], type=pa.float64()),
         }
     )
+
+
+def bigram_lm_perplexity(sf_dir: str, join_partitions: int = 16) -> "ray.data.Dataset":
+    """Bigram (conditional) LM quality scoring — the order-sensitive
+    extension of ``lm_perplexity``: train ``c(prev, w)`` and context
+    counts ``c(prev)`` over the corpus in one distributed pass, then
+    score each document by its average ``ln P(w | prev)`` with Laplace
+    add-1 smoothing ``(c(prev,w)+1)/(c(prev)+V)``.
+
+    Exactness contract (the ``lm_perplexity`` discipline, verbatim):
+    each bigram contributes ``floor(1e6 * ln((c+1)/(cw+V)))`` as an
+    int64 micro-unit — order-independent per-doc sums — and
+    ``avg_logprob`` / ``ppl = exp(-avg)`` are the same staged IEEE +
+    libm expressions as the SQL oracle.
+
+    Scale shape: bigram counts come from map-side dict combiners ->
+    ONE ``groupby(w1, w2)``; context counts DERIVE from that table
+    (``groupby(w1)`` over the vocab²-bounded counts — no second corpus
+    pass); scoring hash-joins the exploded (doc_id, w1, w2) stream
+    against the two count tables with ``safe_join`` (each join in its
+    own executed plan), so neither table ever materializes on the
+    driver.  Scoring the training corpus itself means every lookup
+    hits (inner joins are exact); held-out scoring would switch to
+    left joins with c=0 defaults."""
+    import math
+
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Sum as AggSum
+
+    from ._join import safe_join
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        dids, w1s, w2s = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                dids.append(did)
+                w1s.append(a)
+                w2s.append(b)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, type=pa.int64()),
+                "w1": pa.array(w1s, type=pa.string()),
+                "w2": pa.array(w2s, type=pa.string()),
+            }
+        )
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for t in batch.column("text").to_pylist():
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in counts], type=pa.string()),
+                "w2": pa.array([k[1] for k in counts], type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        words = set()
+        for t in batch.column("text").to_pylist():
+            words.update(t.split(" "))
+        return pa.table({"word": pa.array(sorted(words), type=pa.string())})
+
+    bc = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(AggSum("n", alias_name="c"))
+        .materialize()  # vocab²-bounded; feeds ctx AND the score join
+    )
+    ctx = (
+        bc.groupby("w1")
+        .aggregate(AggSum("c", alias_name="cw"))
+        .map_batches(
+            lambda b: pa.table({"cw_w1": b.column("w1"), "cw": b.column("cw")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    v_total = int(
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(AggCount(alias_name="_n"))
+        .count()
+    )
+
+    scored = safe_join(
+        ds.map_batches(bigram_rows, batch_format="pyarrow"),
+        bc,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("w1", "w2"),
+    ).materialize()
+    scored = safe_join(
+        scored,
+        ctx,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("w1",),
+        right_on=("cw_w1",),
+    )
+
+    def micro(batch: pa.Table) -> pa.Table:
+        cs = batch.column("c").to_pylist()
+        cws = batch.column("cw").to_pylist()
+        vals = [
+            int(
+                math.floor(
+                    1e6 * math.log(float(c + 1) / float(cw + v_total))
+                )
+            )
+            for c, cw in zip(cs, cws)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "micro": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        scored.map_batches(micro, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(AggSum("micro", alias_name="m"), AggCount(alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ms = batch.column("m").to_pylist()
+        ns = batch.column("n").to_pylist()
+        avg = [(float(m) / 1e6) / n for m, n in zip(ms, ns)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array([int(n) for n in ns], type=pa.int64()),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+                "ppl": pa.array([math.exp(-a) for a in avg], type=pa.float64()),
+            }
+        )
+
+    from .streaming import _compact_sort
+
+    return _compact_sort(agg.map_batches(finish, batch_format="pyarrow"), "doc_id")
