@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": lambda sf: similarity.embedding_covariance(sf),
         "docs_pmi_collocations": lambda sf: text.pmi_collocations(sf),
         "docs_bigram_lm": lambda sf: text.bigram_lm_perplexity(sf),
+        "orders_priority_pivot": lambda sf: analytics.orders_priority_pivot(sf),
     }
 
 
@@ -1364,6 +1365,20 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # PIVOT/crosstab (analytics.orders_priority_pivot): fixed
+        # 1995-2001 year span of the generated data.
+        "orders_priority_pivot": """
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN year(o_orderdate) = 1995 THEN 1 END)::BIGINT AS y1995,
+                   COUNT(CASE WHEN year(o_orderdate) = 1996 THEN 1 END)::BIGINT AS y1996,
+                   COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END)::BIGINT AS y1997,
+                   COUNT(CASE WHEN year(o_orderdate) = 1998 THEN 1 END)::BIGINT AS y1998,
+                   COUNT(CASE WHEN year(o_orderdate) = 1999 THEN 1 END)::BIGINT AS y1999,
+                   COUNT(CASE WHEN year(o_orderdate) = 2000 THEN 1 END)::BIGINT AS y2000,
+                   COUNT(CASE WHEN year(o_orderdate) = 2001 THEN 1 END)::BIGINT AS y2001,
+                   COUNT(*)::BIGINT AS total
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         # Bigram LM scoring (text.bigram_lm_perplexity): the
         # lm_perplexity micro-unit/libm discipline over conditional
         # counts; scoring the training corpus itself, so inner joins.

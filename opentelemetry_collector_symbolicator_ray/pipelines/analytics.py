@@ -2525,3 +2525,48 @@ def part_skyline(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def orders_priority_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT / crosstab: order counts as (priority rows) x (year
+    columns) — the BI-shaped wide output.  Ray shape: ONE long-format
+    ``groupby(priority, year)`` count (priorities x years partials;
+    map-side combined), then the priority-count-sized pivot happens on
+    the driver — the wide schema is metadata, never a shuffle.  Year
+    columns are the fixed 1995-2001 span of the generated data (a
+    static schema is what makes the result SQL-checkable; out-of-span
+    years would add columns, not break rows)."""
+    years = list(range(1995, 2002))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "priority": batch.column("o_orderpriority"),
+                "y": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["priority", "y"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    cells: dict[str, dict[int, int]] = {}
+    for r in agg:
+        cells.setdefault(r["priority"], {})[int(r["y"])] = int(r["n"])
+    prios = sorted(cells)
+    cols: dict[str, pa.Array] = {
+        "o_orderpriority": pa.array(prios, type=pa.string())
+    }
+    for y in years:
+        cols[f"y{y}"] = pa.array(
+            [cells[p].get(y, 0) for p in prios], type=pa.int64()
+        )
+    cols["total"] = pa.array(
+        [sum(cells[p].values()) for p in prios], type=pa.int64()
+    )
+    return pa.table(cols)
