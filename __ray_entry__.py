@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_collocations": lambda sf: text.pmi_collocations(sf),
         "docs_bigram_lm": lambda sf: text.bigram_lm_perplexity(sf),
         "orders_priority_pivot": lambda sf: analytics.orders_priority_pivot(sf),
+        "events_zorder_codes": lambda sf: streaming.zorder_codes(sf),
     }
 
 
@@ -1365,6 +1366,26 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Z-order codes (streaming.zorder_codes): the bit interleave
+        # replayed as a 16-term SUM over generate_series.
+        "events_zorder_codes": """
+            WITH c AS (
+              SELECT event_id,
+                     CAST(user_id AS BIGINT) & 65535 AS x,
+                     (epoch_us(ts) // 3600000000) & 65535 AS y
+              FROM events
+            ),
+            z AS (
+              SELECT event_id,
+                     CAST(SUM((((x >> g.i) & 1) << (2 * g.i))
+                              + (((y >> g.i) & 1) << (2 * g.i + 1)))
+                          AS BIGINT) AS zcode
+              FROM c CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+              GROUP BY event_id
+            )
+            SELECT event_id, zcode, zcode >> 20 AS cluster
+            FROM z ORDER BY event_id
+        """,
         # PIVOT/crosstab (analytics.orders_priority_pivot): fixed
         # 1995-2001 year span of the generated data.
         "orders_priority_pivot": """

@@ -1494,3 +1494,47 @@ def moving_avg_per_user(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
     return _compact_sort(
         ds.groupby("user_id").map_groups(roll, batch_format="pyarrow"), "event_id"
     )
+
+
+def zorder_codes(sf_dir: str, cluster_shift: int = 20) -> "ray.data.Dataset":
+    """Z-order (Morton) clustering codes over (user_id, event-hour) —
+    the lakehouse OPTIMIZE ZORDER primitive: interleaving the bits of
+    the two query dimensions gives a 1-D sort key whose ranges are
+    2-D-compact, so files clustered by ``zcode`` prune on BOTH user
+    predicates and time predicates.  Fully vectorized numpy bit
+    spreading per batch; no shuffle at all (the code is a projection —
+    the clustered WRITE is ``sort("zcode")`` + partitioned export, the
+    ``daily_partition_export`` machinery).  16 low bits of each
+    dimension interleave to a 32-bit code; ``cluster`` is the top bits
+    (``zcode >> cluster_shift``), the file-assignment granularity."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def codes(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hour = (
+            pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // US_PER_HOUR
+        ).astype(np.uint64)
+        x = user & np.uint64(0xFFFF)
+        y = hour & np.uint64(0xFFFF)
+
+        def spread(v: "np.ndarray") -> "np.ndarray":
+            # 16 -> 32 bit interleave spreading (classic magic numbers)
+            v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+            v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+            v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+            v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+            return v
+
+        z = (spread(x) | (spread(y) << np.uint64(1))).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "zcode": pa.array(z, type=pa.int64()),
+                "cluster": pa.array(z >> cluster_shift, type=pa.int64()),
+            }
+        )
+
+    return _compact_sort(ds.map_batches(codes, batch_format="pyarrow"), "event_id")

@@ -434,3 +434,52 @@ def test_pattern_match_counts_crafted(ray_session, tmp_path):
 
     got = {r["user_id"]: r["n_matches"] for r in pattern_match_counts(str(tmp_path)).take_all()}
     assert got == {1: 2, 2: 1, 4: 1}
+
+
+def test_zorder_clusters_prune_better_than_time_clustering(ray_session):
+    """The point of Z-ordering: for a 2-D box query (user range x time
+    range), z-code clusters intersect the box in fewer clusters than
+    pure time-ordered clustering of the same granularity."""
+    import numpy as np
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.streaming import (
+        US_PER_HOUR,
+        zorder_codes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = zorder_codes(sf).take_all()
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    user = dict(zip(ev.column("event_id").to_pylist(), ev.column("user_id").to_pylist()))
+    ts_us = pa.compute.cast(ev.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    hour = dict(
+        zip(ev.column("event_id").to_pylist(), (ts_us // US_PER_HOUR).tolist())
+    )
+    users = np.array([user[r["event_id"]] for r in rows])
+    hours = np.array([hour[r["event_id"]] for r in rows])
+    zcode = np.array([r["zcode"] for r in rows])
+    # adaptive granularity: the coarsest shift that still yields >=32
+    # clusters on this corpus (sf0.001 spans few user/hour bits)
+    for shift in range(24, -1, -1):
+        zc = zcode >> shift
+        if len(np.unique(zc)) >= 32:
+            break
+
+    u_lo, u_hi = np.percentile(users, [30, 70])
+    h_lo, h_hi = np.percentile(hours, [30, 70])
+    box = (users >= u_lo) & (users <= u_hi) & (hours >= h_lo) & (hours <= h_hi)
+    assert box.sum() > 0
+
+    # same cluster-count granularity for the time-ordered baseline
+    n_clusters = len(np.unique(zc))
+    t_order = np.argsort(hours, kind="stable")
+    t_cluster = np.empty(len(rows), dtype=np.int64)
+    t_cluster[t_order] = np.arange(len(rows)) * n_clusters // len(rows)
+
+    z_touched = len(np.unique(zc[box]))
+    t_touched = len(np.unique(t_cluster[box]))
+    # time clustering must scan every time-slice cluster inside the time
+    # range regardless of user filter; z-order prunes on both dims
+    assert z_touched < t_touched, (z_touched, t_touched)
