@@ -2164,54 +2164,96 @@ def copurchase_triangle_count(
         batch_format="pyarrow",
     )
 
-    def wedge_filter(batch: pa.Table) -> pa.Table:
-        x = batch.column("x").to_numpy(zero_copy_only=False)
-        y = batch.column("y").to_numpy(zero_copy_only=False)
-        dx = batch.column("dx").to_numpy(zero_copy_only=False)
-        dy = batch.column("dy").to_numpy(zero_copy_only=False)
-        keep = (dx < dy) | ((dx == dy) & (x < y))  # same total order as orient
-        n = int(keep.sum())
-        return pa.table(
-            {
-                "x": pa.array(x[keep], type=pa.int64()),
-                "y": pa.array(y[keep], type=pa.int64()),
-                "wedge": pa.array(np.ones(n, dtype=np.int64)),
-                "edge": pa.array(np.zeros(n, dtype=np.int64)),
-            }
+    # --- close the wedges.  The wedge stream is the blow-up point
+    # (Σ outdeg² rows ≈ 130x the edge count on the sf0.01 graph), so it
+    # must NEVER feed a global shuffle raw.  Two closers, auto-switched
+    # exactly like the degree attach:
+    #   broadcast close (edge set fits + node ids pack into 32 bits):
+    #     the closing-edge membership test runs INSIDE the wedge join's
+    #     own map_batches via searchsorted on a ray.put sorted edge-code
+    #     array — per-batch scalar counts are all that leave the tasks;
+    #   join close (the scale path): wedges pre-aggregate per batch
+    #     (lexsort-unique pair counts — the map-side combiner), then an
+    #     INNER safe_join against the DISTINCT edge list keeps only
+    #     closing pairs, and a Sum finishes.  No global pair groupby in
+    #     either path (a union+groupby close measured 70s of the 82s
+    #     total at sf0.01; the broadcast close runs the same graph in
+    #     seconds).
+    edge_arr = None
+    n_edges = oriented.count()
+    max_node = int(
+        max(
+            degrees.max("node") if n_nodes else 0,
+            0,
         )
-
-    wedge_ds = safe_join(
-        w_left, w_right, join_type="inner", num_partitions=8,
-        on=("lo_l",), right_on=("lo_r",),
-    ).map_batches(wedge_filter, batch_format="pyarrow")
-
-    edge_keys = oriented.map_batches(
-        lambda b: pa.table(
-            {
-                "x": b.column("lo"),
-                "y": b.column("hi"),
-                "wedge": pa.array(np.zeros(len(b), dtype=np.int64)),
-                "edge": pa.array(np.ones(len(b), dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
     )
-    closed = (
-        wedge_ds.union(edge_keys)
-        .groupby(["x", "y"])
-        .aggregate(Sum("wedge", alias_name="n_wedges"), Sum("edge", alias_name="has_edge"))
-        .map_batches(
-            lambda b: pa.table(
+    use_broadcast_close = (
+        n_edges <= broadcast_max_nodes and 0 <= max_node < (1 << 31)
+    )
+    if use_broadcast_close:
+        ed = oriented.take_all()
+        edge_arr = np.sort(
+            np.array(
+                [(int(r["lo"]) << 32) | int(r["hi"]) for r in ed], dtype=np.int64
+            )
+        )
+        edges_ref = ray.put(edge_arr)
+
+        def count_closed(batch: pa.Table) -> pa.Table:
+            codes = ray.get(edges_ref)
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            y = batch.column("y").to_numpy(zero_copy_only=False)
+            dx = batch.column("dx").to_numpy(zero_copy_only=False)
+            dy = batch.column("dy").to_numpy(zero_copy_only=False)
+            keep = (dx < dy) | ((dx == dy) & (x < y))  # orient's total order
+            probe = (x[keep] << 32) | y[keep]
+            idx = np.searchsorted(codes, probe)
+            idx[idx >= len(codes)] = len(codes) - 1 if len(codes) else 0
+            n = int((codes[idx] == probe).sum()) if len(codes) else 0
+            return pa.table({"t": pa.array([n], type=pa.int64())})
+
+        closed = safe_join(
+            w_left, w_right, join_type="inner", num_partitions=8,
+            on=("lo_l",), right_on=("lo_r",),
+        ).map_batches(count_closed, batch_format="pyarrow")
+    else:
+        def wedge_partials(batch: pa.Table) -> pa.Table:
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            y = batch.column("y").to_numpy(zero_copy_only=False)
+            dx = batch.column("dx").to_numpy(zero_copy_only=False)
+            dy = batch.column("dy").to_numpy(zero_copy_only=False)
+            keep = (dx < dy) | ((dx == dy) & (x < y))
+            xk, yk = x[keep], y[keep]
+            order = np.lexsort((yk, xk))
+            xs, ys = xk[order], yk[order]
+            new = np.concatenate(
+                ([True], (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1]))
+            ) if len(xs) else np.zeros(0, dtype=bool)
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate((starts, [len(xs)])))
+            return pa.table(
                 {
-                    "t": pc.multiply(
-                        b.column("n_wedges"),
-                        pc.min_element_wise(b.column("has_edge"), pa.scalar(1, pa.int64())),
-                    )
+                    "x": pa.array(xs[starts], type=pa.int64()),
+                    "y": pa.array(ys[starts], type=pa.int64()),
+                    "n_wedges": pa.array(counts, type=pa.int64()),
                 }
-            ),
+            )
+
+        wedge_ds = safe_join(
+            w_left, w_right, join_type="inner", num_partitions=8,
+            on=("lo_l",), right_on=("lo_r",),
+        ).map_batches(wedge_partials, batch_format="pyarrow").materialize()
+
+        edge_pairs = oriented.map_batches(
+            lambda b: pa.table({"ex": b.column("lo"), "ey": b.column("hi")}),
             batch_format="pyarrow",
         )
-    )
+        closed = safe_join(
+            wedge_ds, edge_pairs, join_type="inner", num_partitions=8,
+            on=("x", "y"), right_on=("ex", "ey"),
+        ).map_batches(
+            lambda b: pa.table({"t": b.column("n_wedges")}), batch_format="pyarrow"
+        )
     total = closed.aggregate(Sum("t", alias_name="triangles"))["triangles"]
     return pa.table({"triangles": pa.array([int(total or 0)], type=pa.int64())})
 
