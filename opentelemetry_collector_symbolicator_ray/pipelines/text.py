@@ -2046,7 +2046,11 @@ def length_ntile(sf_dir: str, tiles: int = 10) -> "ray.data.Dataset":
 
 
 def bpe_train(
-    sf_dir: str, n_merges: int = 40, min_freq: int = 2
+    sf_dir: str,
+    n_merges: int = 40,
+    min_freq: int = 2,
+    mode: str = "auto",
+    driver_vocab_threshold: int = 500_000,
 ) -> pa.Table:
     """Distributed BPE tokenizer TRAINING (the SentencePiece/GPT-2
     recipe): learn merge rules from corpus word frequencies.
@@ -2064,7 +2068,16 @@ def bpe_train(
     corpus.  Words end with the classic '</w>' marker so merges cannot
     cross word boundaries.  Returns the merge table (rank, left,
     right, pair_freq); rows-only driver check — the pytest gate pins
-    equality with a single-process reference implementation."""
+    equality with a single-process reference implementation.
+
+    ``mode``: the lm_perplexity auto-switch — the iterative loop pays
+    2-3 Ray plan executions per merge (~1s each of pure scheduling on
+    a vocab table that is kilobytes), so when the vocab fits
+    (<= ``driver_vocab_threshold`` words, the common case even for
+    web corpora) "auto" pulls the (word, freq) table ONCE and runs the
+    IDENTICAL merge loop in-process; "distributed" keeps every
+    iteration on the cluster (the adversarial-vocab path — the result
+    is the same merge list either way, pinned by test)."""
     from collections import Counter
 
     from ray.data.aggregate import Sum as AggSum
@@ -2125,6 +2138,44 @@ def bpe_train(
         )
 
     merges: list[tuple[int, str, str, int]] = []
+    if mode == "driver" or (mode == "auto" and vocab.count() <= driver_vocab_threshold):
+        rows = vocab.take_all()
+        words = [list(r["symbols"]) for r in rows]
+        freqs = [int(r["freq"]) for r in rows]
+        for rank in range(n_merges):
+            c: Counter = Counter()
+            for syms, f in zip(words, freqs):
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += f
+            if not c:
+                break
+            (left, right), freq = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if freq < min_freq:
+                break
+            merges.append((rank, left, right, freq))
+            merged = left + right
+            for wi, syms in enumerate(words):
+                i, new = 0, []
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        new.append(merged)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                words[wi] = new
+        return pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+                "left": pa.array([m[1] for m in merges], type=pa.string()),
+                "right": pa.array([m[2] for m in merges], type=pa.string()),
+                "pair_freq": pa.array([m[3] for m in merges], type=pa.int64()),
+            }
+        )
+
     for rank in range(n_merges):
         best = (
             vocab.map_batches(pair_partials, batch_format="pyarrow")

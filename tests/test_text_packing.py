@@ -331,3 +331,14 @@ def test_bpe_encode_matches_single_process_reference(ray_session):
     # compression sanity: merges actually fire (tokens < raw chars+1)
     raw = sum(len(w) + 1 for t in tbl.column("text").to_pylist() for w in t.split(" "))
     assert sum(r["n_tokens"] for r in got) < raw
+
+
+def test_bpe_train_driver_mode_equals_distributed(ray_session):
+    """The auto-switch driver-local merge loop must reproduce the
+    distributed iteration bit-for-bit (same tie-breaks, same stop)."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.text import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    a = bpe_train(sf, n_merges=12, mode="driver")
+    b = bpe_train(sf, n_merges=12, mode="distributed")
+    assert a.equals(b)
