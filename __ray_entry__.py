@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_lm": lambda sf: text.bigram_lm_perplexity(sf),
         "orders_priority_pivot": lambda sf: analytics.orders_priority_pivot(sf),
         "events_zorder_codes": lambda sf: streaming.zorder_codes(sf),
+        "events_windowed_dedup": lambda sf: streaming.windowed_dedup(sf),
+        "docs_top_terms_by_source": lambda sf: text.top_terms_by_source(sf),
     }
 
 
@@ -1366,6 +1368,38 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Grouped top-k terms (text.top_terms_by_source).
+        "docs_top_terms_by_source": """
+            WITH w AS (
+              SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            c AS (SELECT source, word, COUNT(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+            r AS (
+              SELECT source, word, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, word
+                     )::BIGINT AS rnk
+              FROM c
+            )
+            SELECT source, word, n, rnk FROM r WHERE rnk <= 5
+            ORDER BY source, rnk
+        """,
+        # Windowed dedup (streaming.windowed_dedup): first event per
+        # (user, type, hour window) by (ts, event_id).
+        "events_windowed_dedup": """
+            WITH r AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) // 3600000000 AS window_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type, epoch_us(ts) // 3600000000
+                       ORDER BY ts, event_id
+                     ) AS rn
+              FROM events
+            )
+            SELECT event_id, user_id, event_type, window_id
+            FROM r WHERE rn = 1 ORDER BY event_id
+        """,
         # Z-order codes (streaming.zorder_codes): the bit interleave
         # replayed as a 16-term SUM over generate_series.
         "events_zorder_codes": """

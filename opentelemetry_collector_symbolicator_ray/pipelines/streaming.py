@@ -1538,3 +1538,40 @@ def zorder_codes(sf_dir: str, cluster_shift: int = 20) -> "ray.data.Dataset":
         )
 
     return _compact_sort(ds.map_batches(codes, batch_format="pyarrow"), "event_id")
+
+
+def windowed_dedup(sf_dir: str, window_us: int = US_PER_HOUR) -> "ray.data.Dataset":
+    """Stream-hygiene windowed deduplication: within each (user,
+    event_type, hour-window) cell keep only the FIRST event by
+    (ts, event_id) — the at-least-once-delivery collapse every event
+    pipeline runs before aggregation.  Ray shape: derive the window key
+    in-stream, then ONE ``groupby(user, type, window)`` with a
+    vectorized per-group argmin — no sort of the full log, no state
+    store; the group key bounds memory to the cell size."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def with_window(batch: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(window_us))
+        return batch.append_column("window_id", pc.cast(w, pa.int64()))
+
+    def first_only(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        k = int(np.lexsort((eid, ts))[0])
+        return pa.table(
+            {
+                "event_id": pa.array([int(eid[k])], type=pa.int64()),
+                "user_id": pa.array([group.column("user_id")[0].as_py()], type=pa.int64()),
+                "event_type": pa.array([group.column("event_type")[0].as_py()], type=pa.string()),
+                "window_id": pa.array([group.column("window_id")[0].as_py()], type=pa.int64()),
+            }
+        )
+
+    return _compact_sort(
+        ds.map_batches(with_window, batch_format="pyarrow")
+        .groupby(["user_id", "event_type", "window_id"])
+        .map_groups(first_only, batch_format="pyarrow"),
+        "event_id",
+    )

@@ -2782,3 +2782,73 @@ def bigram_lm_perplexity(sf_dir: str, join_partitions: int = 16) -> "ray.data.Da
     from .streaming import _compact_sort
 
     return _compact_sort(agg.map_batches(finish, batch_format="pyarrow"), "doc_id")
+
+
+def top_terms_by_source(sf_dir: str, k: int = 5) -> pa.Table:
+    """Grouped top-k terms: the ``k`` most frequent words per document
+    source, ranked (n DESC, word ASC) — the per-stratum variant of
+    ``top_ngrams``.  Ray shape: map-side (source, word) combiners ->
+    ONE vocab x sources groupby -> per-block LOCAL top-k prune (only
+    k x blocks candidate rows per source survive) -> per-source final
+    selection; the full count table never converges on one node, the
+    same distributed top-N discipline as ``stratified_sample``."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as AggSum
+
+    ds = _read_documents(sf_dir, ["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in t.split(" "):
+                c[(s, w)] += 1
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([x[0] for x in ks], type=pa.string()),
+                "word": pa.array([x[1] for x in ks], type=pa.string()),
+                "n": pa.array([c[x] for x in ks], type=pa.int64()),
+            }
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source").to_pylist())
+        keep = np.zeros(len(batch), dtype=bool)
+        words = np.asarray(batch.column("word").to_pylist())
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        for s in np.unique(srcs):
+            m = np.flatnonzero(srcs == s)
+            order = np.lexsort((words[m], -ns[m]))[:k]
+            keep[m[order]] = True
+        return batch.filter(pa.array(keep))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        words = np.asarray(group.column("word").to_pylist())
+        ns = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((words, -ns))[:k]
+        out = group.take(pa.array(order))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(out) + 1), type=pa.int64())
+        )
+
+    rows = sorted(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(AggSum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: (r["source"], int(r["rnk"])),
+    )
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], type=pa.string()),
+            "word": pa.array([r["word"] for r in rows], type=pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], type=pa.int64()),
+            "rnk": pa.array([int(r["rnk"]) for r in rows], type=pa.int64()),
+        }
+    )
