@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_codes": lambda sf: streaming.zorder_codes(sf),
         "events_windowed_dedup": lambda sf: streaming.windowed_dedup(sf),
         "docs_top_terms_by_source": lambda sf: text.top_terms_by_source(sf),
+        "lineitem_weighted_quantiles": lambda sf: analytics.weighted_price_quantiles(sf),
+        "supplier_acctbal_histogram": lambda sf: analytics.acctbal_histogram(sf),
     }
 
 
@@ -1368,6 +1370,35 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Weighted order statistics (analytics.weighted_price_quantiles):
+        # all-integer threshold crossing, no interpolation.
+        "lineitem_weighted_quantiles": """
+            WITH c AS (
+              SELECT CAST(ROUND(l_extendedprice, 2) * 100 AS BIGINT) AS cents,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS w
+              FROM lineitem
+            ),
+            g AS (SELECT cents, CAST(SUM(w) AS BIGINT) AS w FROM c GROUP BY cents),
+            a AS (
+              SELECT cents,
+                     CAST(SUM(w) OVER (ORDER BY cents) AS BIGINT) AS cum,
+                     (SELECT CAST(SUM(w) AS BIGINT) FROM g) AS tot
+              FROM g
+            )
+            SELECT (SELECT MIN(cents) FROM a WHERE 4 * cum >= 1 * tot) AS p25_cents,
+                   (SELECT MIN(cents) FROM a WHERE 4 * cum >= 2 * tot) AS median_cents,
+                   (SELECT MIN(cents) FROM a WHERE 4 * cum >= 3 * tot) AS p75_cents
+        """,
+        # Equi-width histogram (analytics.acctbal_histogram): DuckDB //
+        # truncates toward zero — the engine mirrors it sign-aware.
+        "supplier_acctbal_histogram": """
+            WITH b AS (
+              SELECT CAST(ROUND(s_acctbal, 2) * 100 AS BIGINT) // 100000 AS bin
+              FROM supplier
+            )
+            SELECT bin, bin * 100000 AS lo_cents, COUNT(*)::BIGINT AS n_suppliers
+            FROM b GROUP BY bin ORDER BY bin
+        """,
         # Grouped top-k terms (text.top_terms_by_source).
         "docs_top_terms_by_source": """
             WITH w AS (

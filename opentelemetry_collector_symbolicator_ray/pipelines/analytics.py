@@ -2612,3 +2612,105 @@ def orders_priority_pivot(sf_dir: str) -> pa.Table:
         [sum(cells[p].values()) for p in prios], type=pa.int64()
     )
     return pa.table(cols)
+
+
+def weighted_price_quantiles(sf_dir: str) -> pa.Table:
+    """Exact WEIGHTED order statistics (p25/median/p75 of extended
+    price, weighted by quantity) without a global sort — the weighted
+    twin of ``global_value_quantiles``: ONE ``groupby(cents)`` bounded
+    by the price RANGE (not row count) sums integer weights per value,
+    the driver prefix-sums the tiny table, and each quantile is the
+    SMALLEST value whose cumulative weight crosses the exact integer
+    threshold ``4*cum >= k*total`` — all-integer comparisons, no
+    interpolation, no float anywhere."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+        w = np.round(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        order = np.argsort(cents, kind="stable")
+        cs, ws = cents[order], w[order]
+        new = np.concatenate(([True], cs[1:] != cs[:-1])) if len(cs) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(ws, starts) if len(cs) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "cents": pa.array(cs[starts], type=pa.int64()),
+                "w": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("w", alias_name="w"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["cents"]))
+    cents = np.array([int(r["cents"]) for r in rows], dtype=np.int64)
+    cum = np.cumsum(np.array([int(r["w"]) for r in rows], dtype=np.int64))
+    tot = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for name, k in (("p25_cents", 1), ("median_cents", 2), ("p75_cents", 3)):
+        idx = int(np.searchsorted(4 * cum, k * tot))  # first 4*cum >= k*tot
+        out[name] = int(cents[idx]) if len(cents) else None
+    return pa.table(
+        {
+            "p25_cents": pa.array([out["p25_cents"]], type=pa.int64()),
+            "median_cents": pa.array([out["median_cents"]], type=pa.int64()),
+            "p75_cents": pa.array([out["p75_cents"]], type=pa.int64()),
+        }
+    )
+
+
+def acctbal_histogram(sf_dir: str, width_cents: int = 100_000) -> pa.Table:
+    """Equi-width histogram of supplier account balances: fixed $1000
+    bins via TRUNCATING integer division (DuckDB ``//`` truncates
+    toward zero on negatives — numpy floors, so the engine mirrors
+    truncation explicitly with sign-aware division).  One map-side
+    combined groupby over bin ids; bin-count-sized result."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+        bins = np.sign(cents) * (np.abs(cents) // width_cents)  # trunc division
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+        .take_all(),
+        key=lambda r: int(r["bin"]),
+    )
+    return pa.table(
+        {
+            "bin": pa.array([int(r["bin"]) for r in rows], type=pa.int64()),
+            "lo_cents": pa.array(
+                [int(r["bin"]) * width_cents for r in rows], type=pa.int64()
+            ),
+            "n_suppliers": pa.array(
+                [int(r["n_suppliers"]) for r in rows], type=pa.int64()
+            ),
+        }
+    )
