@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms_by_source": lambda sf: text.top_terms_by_source(sf),
         "lineitem_weighted_quantiles": lambda sf: analytics.weighted_price_quantiles(sf),
         "supplier_acctbal_histogram": lambda sf: analytics.acctbal_histogram(sf),
+        "graph_top_pairs": lambda sf: analytics.copurchase_top_pairs(sf),
+        "graph_degree_distribution": lambda sf: analytics.copurchase_degree_distribution(sf),
+        "graph_bfs_depths": lambda sf: analytics.copurchase_bfs_depths(sf),
     }
 
 
@@ -1370,6 +1373,61 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Distributed BFS (analytics.copurchase_bfs_depths): the
+        # recursive CTE's UNION dedups (node, depth) pairs.
+        "graph_bfs_depths": """
+            WITH RECURSIVE pp AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM pp a JOIN pp b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            bidir AS (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v, u FROM e
+            ),
+            s AS (SELECT MIN(u) AS s0 FROM e),
+            bfs(node, d) AS (
+              SELECT s0, 0 FROM s
+              UNION
+              SELECT b.dst, bfs.d + 1
+              FROM bfs JOIN bidir b ON b.src = bfs.node
+              WHERE bfs.d < 4
+            )
+            SELECT node, MIN(d)::BIGINT AS depth
+            FROM bfs GROUP BY node ORDER BY node
+        """,
+        # Frequent-itemset pairs (analytics.copurchase_top_pairs).
+        "graph_top_pairs": """
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v,
+                     COUNT(*)::BIGINT AS support
+              FROM pp a JOIN pp b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            )
+            SELECT u, v, support FROM e WHERE support >= 2
+            ORDER BY support DESC, u, v LIMIT 25
+        """,
+        # Degree distribution (analytics.copurchase_degree_distribution).
+        "graph_degree_distribution": """
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM pp a JOIN pp b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            d AS (
+              SELECT node, COUNT(*)::BIGINT AS deg
+              FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node
+            )
+            SELECT deg, COUNT(*)::BIGINT AS n_nodes
+            FROM d GROUP BY deg ORDER BY deg
+        """,
         # Weighted order statistics (analytics.weighted_price_quantiles):
         # all-integer threshold crossing, no interpolation.
         "lineitem_weighted_quantiles": """

@@ -2714,3 +2714,200 @@ def acctbal_histogram(sf_dir: str, width_cents: int = 100_000) -> pa.Table:
             ),
         }
     )
+
+
+def _copurchase_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Shared co-purchase edge build (see copurchase_triangle_count
+    step 1): distinct (order, part) pairs self-joined on the order key,
+    u < v, with per-edge SUPPORT (number of distinct orders containing
+    both parts) — the frequent-itemset count.  Edge-sized, materialized
+    by callers that consume it more than once."""
+    from ._join import safe_join
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    left = pairs.map_batches(
+        lambda b: pa.table({"ok_l": b.column("l_orderkey"), "u": b.column("l_partkey")}),
+        batch_format="pyarrow",
+    )
+    right = pairs.map_batches(
+        lambda b: pa.table({"ok_r": b.column("l_orderkey"), "v": b.column("l_partkey")}),
+        batch_format="pyarrow",
+    )
+    return (
+        safe_join(
+            left, right, join_type="inner", num_partitions=8,
+            on=("ok_l",), right_on=("ok_r",),
+        )
+        .map_batches(
+            lambda b: b.filter(pc.less(b.column("u"), b.column("v"))).select(["u", "v"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="support"))
+    )
+
+
+def copurchase_top_pairs(sf_dir: str, min_support: int = 2, k: int = 25) -> pa.Table:
+    """Frequent-itemset mining, pair stage (the A-Priori L2 step):
+    part pairs co-purchased in >= ``min_support`` distinct orders,
+    top-``k`` by (support DESC, u, v).  The support counting IS the
+    relational edge build (one self-join + one pair groupby); the
+    top-k is a distributed sort/limit over the min_support-filtered
+    pair table — never the raw pair stream."""
+    ds = (
+        _copurchase_edges(sf_dir)
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("support"), pa.scalar(min_support))
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["support", "u", "v"], descending=[True, False, False])
+        .limit(k)
+    )
+    rows = ds.take_all()
+    return pa.table(
+        {
+            "u": pa.array([int(r["u"]) for r in rows], type=pa.int64()),
+            "v": pa.array([int(r["v"]) for r in rows], type=pa.int64()),
+            "support": pa.array([int(r["support"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def copurchase_degree_distribution(sf_dir: str) -> pa.Table:
+    """Degree distribution of the co-purchase graph: nodes-per-degree —
+    the graph-shape profile (power-law check) every graph pipeline
+    starts with.  Two nested groupbys over edge-/node-sized tables;
+    the endpoint explode is a zero-copy concat."""
+    degrees = (
+        _copurchase_edges(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            b.column("u").combine_chunks().cast(pa.int64()),
+                            b.column("v").combine_chunks().cast(pa.int64()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    rows = sorted(
+        degrees.groupby("deg").aggregate(Count(alias_name="n_nodes")).take_all(),
+        key=lambda r: int(r["deg"]),
+    )
+    return pa.table(
+        {
+            "deg": pa.array([int(r["deg"]) for r in rows], type=pa.int64()),
+            "n_nodes": pa.array([int(r["n_nodes"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def copurchase_bfs_depths(sf_dir: str, max_depth: int = 4) -> pa.Table:
+    """Distributed BFS: minimum hop distance from the graph's min part
+    id over co-purchase edges, out to ``max_depth`` — the iterative
+    frontier-expansion shape (the message-passing loop shared with
+    ``dedup.connected_components``): each round is ONE ``safe_join`` of
+    the current frontier against the materialized adjacency plus a
+    ``groupby(node).min(depth)`` fold of new reaches into the label
+    table; per-round state is node-sized, the driver sees one count per
+    round, and the loop stops early when a round reaches nobody new.
+
+    Oracle: a recursive CTE whose UNION dedups (node, depth) pairs —
+    the same min-depth fixpoint."""
+    import numpy as np
+
+    from ray.data.aggregate import Min as AggMin
+
+    from ._join import safe_join
+
+    edges = _copurchase_edges(sf_dir).drop_columns(["support"])
+    adj = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b.column("u").combine_chunks().cast(pa.int64()),
+                        b.column("v").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "peer": pa.concat_arrays(
+                    [
+                        b.column("v").combine_chunks().cast(pa.int64()),
+                        b.column("u").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    src = adj.min("node")
+    if src is None:
+        return pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "depth": pa.array([], type=pa.int64()),
+            }
+        )
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([int(src)], type=pa.int64()),
+                "depth": pa.array([0], type=pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = labels
+    n_labeled = 1
+    for d in range(1, max_depth + 1):
+        reached = safe_join(
+            adj, frontier, join_type="inner", num_partitions=4, on=("node",)
+        ).map_batches(
+            lambda b, d=d: pa.table(
+                {
+                    "node": b.column("peer"),
+                    "depth": pa.array(
+                        np.full(len(b), d, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(reached)
+            .groupby("node")
+            .aggregate(AggMin("depth", alias_name="depth"))
+            .materialize()
+        )
+        new_count = labels.count()
+        if new_count == n_labeled:
+            break
+        # next frontier: exactly the nodes first reached THIS round
+        frontier = labels.map_batches(
+            lambda b, d=d: b.filter(pc.equal(b.column("depth"), pa.scalar(d))),
+            batch_format="pyarrow",
+        ).materialize()
+        n_labeled = new_count
+
+    rows = sorted(labels.take_all(), key=lambda r: int(r["node"]))
+    return pa.table(
+        {
+            "node": pa.array([int(r["node"]) for r in rows], type=pa.int64()),
+            "depth": pa.array([int(r["depth"]) for r in rows], type=pa.int64()),
+        }
+    )
