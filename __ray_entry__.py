@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_top_pairs": lambda sf: analytics.copurchase_top_pairs(sf),
         "graph_degree_distribution": lambda sf: analytics.copurchase_degree_distribution(sf),
         "graph_bfs_depths": lambda sf: analytics.copurchase_bfs_depths(sf),
+        # rows-only: iterative peeling fixpoint isn't SQL-expressible;
+        # pytest pins equality with a single-process peeling reference
+        "graph_kcore": lambda sf: analytics.copurchase_kcore(sf),
     }
 
 

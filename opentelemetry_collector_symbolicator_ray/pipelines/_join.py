@@ -26,6 +26,15 @@ partition sees at least a typed zero-row slice.  Both sides must be
 treated.  The merge pass is one extra linear read of each side; for the
 small/medium tables these joins handle that is noise, and it removes the
 scale-dependent crash class entirely.
+
+LIMITATION: a FULLY empty side (every block filtered to zero rows, e.g.
+an empty LSH pair set on a dup-free corpus) still crashes — there is no
+schema-carrying block for ``repartition`` to coalesce.  Callers whose
+side can legitimately be empty must guard with ``count() == 0`` and
+short-circuit to the trivially-known result (precedents:
+``dedup.connected_components`` empty-adjacency guard,
+``dedup.near_dedup_keep`` empty-drops guard,
+``analytics.copurchase_kcore`` empty-survivors guard).
 """
 
 from __future__ import annotations

@@ -2911,3 +2911,104 @@ def copurchase_bfs_depths(sf_dir: str, max_depth: int = 4) -> pa.Table:
             "depth": pa.array([int(r["depth"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def copurchase_kcore(sf_dir: str, k: int = 6, max_rounds: int = 30) -> pa.Table:
+    """k-core decomposition by distributed peeling: iteratively delete
+    every node with degree < ``k`` (and its edges) until the remaining
+    subgraph is stable — the classic graph-sparsification pass before
+    community/cohesion analysis.  Each round is: one ``groupby(node)``
+    degree count, a vectorized survivor filter, and TWO ``safe_join``
+    semi-joins pruning the edge list to surviving endpoints (each join
+    in its own executed plan, the chained-join discipline); the edge
+    table shrinks monotonically and the driver sees one edge count per
+    round.  Returns the surviving (node, degree-in-core) rows.  Not
+    SQL-expressible (iterative fixpoint over a shrinking multiset) —
+    gated by a single-process peeling reference in pytest."""
+    from ray.data.aggregate import Count as AggCount
+
+    from ._join import safe_join
+
+    edges = _copurchase_edges(sf_dir).drop_columns(["support"]).materialize()
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        degrees = (
+            edges.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pa.concat_arrays(
+                            [
+                                b.column("u").combine_chunks().cast(pa.int64()),
+                                b.column("v").combine_chunks().cast(pa.int64()),
+                            ]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(AggCount(alias_name="deg"))
+            .materialize()
+        )
+        survivors = degrees.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("deg"), pa.scalar(k))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if survivors.count() == 0:
+            # a FULLY empty join side defeats even safe_join's
+            # repartition coalescing (no schema-carrying block exists
+            # to coalesce) — and the answer is already known
+            n_edges = 0
+            break
+        pruned_u = safe_join(
+            edges, survivors, join_type="inner", num_partitions=4,
+            on=("u",), right_on=("node",),
+        ).map_batches(
+            lambda b: b.select(["u", "v"]), batch_format="pyarrow"
+        ).materialize()
+        pruned = safe_join(
+            pruned_u, survivors, join_type="inner", num_partitions=4,
+            on=("v",), right_on=("node",),
+        ).map_batches(
+            lambda b: b.select(["u", "v"]), batch_format="pyarrow"
+        ).materialize()
+        new_edges = pruned.count()
+        if new_edges == n_edges:
+            break
+        edges, n_edges = pruned, new_edges
+
+    if n_edges == 0:
+        return pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "core_deg": pa.array([], type=pa.int64()),
+            }
+        )
+    final = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            b.column("u").combine_chunks().cast(pa.int64()),
+                            b.column("v").combine_chunks().cast(pa.int64()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(AggCount(alias_name="core_deg"))
+    )
+    rows = sorted(final.take_all(), key=lambda r: int(r["node"]))
+    return pa.table(
+        {
+            "node": pa.array([int(r["node"]) for r in rows], type=pa.int64()),
+            "core_deg": pa.array([int(r["core_deg"]) for r in rows], type=pa.int64()),
+        }
+    )

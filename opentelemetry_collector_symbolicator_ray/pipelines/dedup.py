@@ -471,6 +471,18 @@ def connected_components(
         )
 
     adj = edges.map_batches(to_adj, batch_format="pyarrow").materialize()
+    if adj.count() == 0:
+        # a FULLY empty side defeats even safe_join's repartition
+        # coalescing (there is no schema-carrying block to coalesce) —
+        # and a graph with no edges has no non-trivial components
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "component": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     def seed(batch: pa.Table) -> pa.Table:
         label = pc.min_element_wise(
@@ -765,7 +777,12 @@ def near_dedup_keep(
         comps = connected_components(pairs_ds)
         # survivors of the pair graph are nodes labeling themselves;
         # everything else in a component drops
-        drops = comps.filter(expr="node != component")
+        drops = comps.filter(expr="node != component").materialize()
+        if drops.count() == 0:
+            # dup-free corpus: nothing to anti-join away (and a fully
+            # empty right side would crash the hash join — see
+            # connected_components' empty-adjacency guard)
+            return docs.sort("doc_id")
         return safe_join(
             docs, drops, join_type="left_anti", num_partitions=8,
             on=("doc_id",), right_on=("node",),

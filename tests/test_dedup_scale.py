@@ -658,3 +658,88 @@ def test_local_skyline_matches_bruteforce():
             )
         ]
         assert got == want, (trial, got, want)
+
+
+def test_kcore_matches_reference_peeling(ray_session):
+    """Distributed k-core peeling must equal single-process peeling on
+    the real sf0.001 graph for several k, including a k that empties
+    the graph."""
+    import duckdb
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        copurchase_kcore,
+    )
+
+    edges = duckdb.sql("""
+        WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                                  AND a.l_partkey < b.l_partkey)
+        SELECT u, v FROM e
+    """).fetchall()
+
+    def reference_kcore(k):
+        es = set(map(tuple, edges))
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                break
+            es = {(u, v) for u, v in es if u not in drop and v not in drop}
+            if not es:
+                break
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        return dict(sorted(deg.items()))
+
+    for k in (2, 6, 10_000):
+        got = {
+            r["node"]: r["core_deg"]
+            for r in copurchase_kcore("/root/testdata/sf0.001", k=k).to_pylist()
+        }
+        assert got == reference_kcore(k), k
+
+
+def test_near_dedup_keep_distributed_dup_free_corpus(ray_session, tmp_path):
+    """A corpus with NO near-duplicates must pass through cc='distributed'
+    unharmed (an empty pair set previously crashed the anti-join with
+    the schema-less empty-partition ArrowInvalid)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.dedup import (
+        connected_components,
+        near_dedup_keep,
+    )
+    import ray.data as rd
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon",
+                        "completely different words in here",
+                        "third unrelated document text body",
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    kept = [r["doc_id"] for r in near_dedup_keep(str(tmp_path), cc="distributed").take_all()]
+    assert kept == [1, 2, 3]
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+        )
+    )
+    assert connected_components(empty).take_all() == []
