@@ -619,6 +619,17 @@ def bloom_semijoin_revenue(
             keys = batch.column("o_orderkey").to_numpy().astype(np.uint64)
             for m in mults:
                 bits[((keys * m) >> np.uint64(44)) % nbits] = True
+    if not bits.any():
+        # empty small side: every probe batch would filter to zero rows
+        # and a FULLY empty join side crashes the hash join (see
+        # _join.safe_join LIMITATION) — and the answer is known
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], type=pa.string()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+            }
+        )
     bloom_ref = ray.put(np.packbits(bits))
 
     def probe(batch: pa.Table) -> pa.Table:

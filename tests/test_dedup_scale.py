@@ -743,3 +743,15 @@ def test_near_dedup_keep_distributed_dup_free_corpus(ray_session, tmp_path):
         )
     )
     assert connected_components(empty).take_all() == []
+
+
+def test_bloom_semijoin_empty_small_side(ray_session):
+    """A priority matching NO orders returns an empty typed table
+    instead of feeding a fully-empty side into the hash join."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        bloom_semijoin_revenue,
+    )
+
+    out = bloom_semijoin_revenue("/root/testdata/sf0.001", priority="NO-SUCH-PRIORITY")
+    assert out.num_rows == 0
+    assert out.column_names == ["l_returnflag", "n_rows", "revenue_cents"]
