@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative peeling fixpoint isn't SQL-expressible;
         # pytest pins equality with a single-process peeling reference
         "graph_kcore": lambda sf: analytics.copurchase_kcore(sf),
+        "events_asof_snapshot": lambda sf: streaming.asof_snapshot(sf),
+        "docs_source_divergence": lambda sf: text.source_divergence(sf),
     }
 
 
@@ -1376,6 +1378,56 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Time travel (streaming.asof_snapshot): integer-µs midpoint
+        # cutoff computed identically both sides.
+        "events_asof_snapshot": """
+            WITH c AS (
+              SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT)
+                      + CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS cutoff
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, event_type, event_id,
+                     CAST(ROUND(value, 2) * 100 AS BIGINT) AS value_cents,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+                     ) AS rn
+              FROM events, c WHERE epoch_us(ts) <= c.cutoff
+            )
+            SELECT user_id, event_type, event_id, value_cents
+            FROM f WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        # Source divergence (text.source_divergence): coverage-
+        # restricted KL; floor(1e9·p·ln(p/q)) micro-units both sides.
+        "docs_source_divergence": """
+            WITH w AS (
+              SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            sw AS (SELECT source, word, COUNT(*)::BIGINT AS c_sw FROM w GROUP BY 1, 2),
+            vocab AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+            tot AS (
+              SELECT (SELECT CAST(SUM(c_w) AS BIGINT) FROM vocab) AS n_total,
+                     (SELECT COUNT(*)::BIGINT FROM vocab) AS v_total
+            ),
+            ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+            t AS (
+              SELECT sw.source,
+                     CAST(FLOOR(1000000000 * (
+                       (CAST(sw.c_sw AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                       * ln((CAST(sw.c_sw AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                            / (CAST(vocab.c_w + 1 AS DOUBLE)
+                               / CAST(tot.n_total + tot.v_total AS DOUBLE)))
+                     )) AS BIGINT) AS micro
+              FROM sw
+              JOIN vocab USING (word)
+              JOIN ns ON ns.source = sw.source
+              CROSS JOIN tot
+            )
+            SELECT source,
+                   CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000000 AS divergence
+            FROM t GROUP BY source ORDER BY source
+        """,
         # Distributed BFS (analytics.copurchase_bfs_depths): the
         # recursive CTE's UNION dedups (node, depth) pairs.
         "graph_bfs_depths": """

@@ -1575,3 +1575,53 @@ def windowed_dedup(sf_dir: str, window_us: int = US_PER_HOUR) -> "ray.data.Datas
         .map_groups(first_only, batch_format="pyarrow"),
         "event_id",
     )
+
+
+def asof_snapshot(sf_dir: str) -> "ray.data.Dataset":
+    """Time travel: reconstruct the compacted per-(user, type) state AS
+    OF a cutoff instant (the midpoint of the log's time span — computed
+    distributed, mirrored exactly by the oracle's integer midpoint) —
+    the lakehouse ``VERSION AS OF`` read expressed over a changelog.
+    Same one-key-shuffle argmax shape as ``latest_event_compaction``,
+    with the cutoff predicate pushed into the scan pass."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "event_id", "ts", "value"],
+    )
+    lo = pc.cast(
+        pa.scalar(ds.min("ts")), pa.int64()
+    ).as_py()
+    hi = pc.cast(pa.scalar(ds.max("ts")), pa.int64()).as_py()
+    cutoff = (lo + hi) // 2  # integer µs midpoint, same both sides
+
+    def upto(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less_equal(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(cutoff))
+        )
+
+    def newest(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[-1])
+        val = group.column("value")[i].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[i].as_py()], type=pa.int64()
+                ),
+                "event_type": pa.array(
+                    [group.column("event_type")[i].as_py()], type=pa.string()
+                ),
+                "event_id": pa.array([int(eid[i])], type=pa.int64()),
+                "value_cents": pa.array(
+                    [int(round(round(float(val), 2) * 100))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(upto, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(newest, batch_format="pyarrow")
+        .sort(["user_id", "event_type"])
+    )

@@ -2852,3 +2852,105 @@ def top_terms_by_source(sf_dir: str, k: int = 5) -> pa.Table:
             "rnk": pa.array([int(r["rnk"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def source_divergence(sf_dir: str) -> pa.Table:
+    """Per-source vocabulary divergence: for each document source,
+    ``Σ_{w∈source} p(w|s) · ln(p(w|s) / q(w))`` over the words PRESENT
+    in the source, with ``q`` the add-1-smoothed corpus distribution —
+    the distribution-drift score a mixture pipeline watches per shard
+    (a coverage-restricted KL; absent-word mass is deliberately
+    excluded and the restriction is part of the contract).
+
+    Exactness: integer counts everywhere; each word's contribution is
+    ``floor(1e9 · p · ln(p/q))`` (libm, per value) so per-source sums
+    are order-independent int64; the final score divides the two exact
+    integers once.  Shape: two count groupbys (map-side combined), ONE
+    ``safe_join`` of the sparse (source, word) table against the
+    corpus-vocab counts, and a source-count-sized final fold."""
+    import math
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as AggSum
+
+    from ._join import safe_join
+
+    ds = _read_documents(sf_dir, ["source", "text"])
+
+    def sw_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in t.split(" "):
+                c[(s, w)] += 1
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([x[0] for x in ks], type=pa.string()),
+                "word": pa.array([x[1] for x in ks], type=pa.string()),
+                "c_sw": pa.array([c[x] for x in ks], type=pa.int64()),
+            }
+        )
+
+    sw = (
+        ds.map_batches(sw_partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(AggSum("c_sw", alias_name="c_sw"))
+        .materialize()
+    )
+    vocab = (
+        sw.groupby("word")
+        .aggregate(AggSum("c_sw", alias_name="c_w"))
+        .map_batches(
+            lambda b: pa.table({"vw": b.column("word"), "c_w": b.column("c_w")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    v_total = vocab.count()
+    n_total = int(vocab.sum("c_w") or 0)
+    n_s = {
+        r["source"]: int(r["c_sw"])
+        for r in sw.groupby("source").aggregate(AggSum("c_sw", alias_name="c_sw")).take_all()
+    }
+    ns_ref = ray.put(n_s)
+
+    joined = safe_join(
+        sw, vocab, join_type="inner", num_partitions=8, on=("word",), right_on=("vw",)
+    )
+
+    def terms(batch: pa.Table) -> pa.Table:
+        ns = ray.get(ns_ref)
+        out = []
+        for s, c_sw, c_w in zip(
+            batch.column("source").to_pylist(),
+            batch.column("c_sw").to_pylist(),
+            batch.column("c_w").to_pylist(),
+        ):
+            p = float(c_sw) / float(ns[s])
+            q = float(c_w + 1) / float(n_total + v_total)
+            out.append(int(math.floor(1e9 * (p * math.log(p / q)))))
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "micro": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        joined.map_batches(terms, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(AggSum("micro", alias_name="m"))
+        .take_all(),
+        key=lambda r: r["source"],
+    )
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], type=pa.string()),
+            "divergence": pa.array(
+                [float(int(r["m"])) / 1e9 for r in rows], type=pa.float64()
+            ),
+        }
+    )
