@@ -381,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lambda sf: analytics.copurchase_kcore(sf),
         "events_asof_snapshot": lambda sf: streaming.asof_snapshot(sf),
         "docs_source_divergence": lambda sf: text.source_divergence(sf),
+        "orders_with_all_flags": lambda sf: analytics.orders_with_all_flags(sf),
+        "orders_ivm_by_nation": lambda sf: analytics.orders_ivm_by_nation(sf),
     }
 
 
@@ -1378,6 +1380,28 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Relational division (analytics.orders_with_all_flags).
+        "orders_with_all_flags": """
+            WITH pf AS (
+              SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem
+            ),
+            nf AS (SELECT COUNT(DISTINCT l_returnflag)::BIGINT AS n FROM lineitem)
+            SELECT (SELECT COUNT(*)::BIGINT FROM (
+                      SELECT l_orderkey FROM pf
+                      GROUP BY l_orderkey HAVING COUNT(*) = (SELECT n FROM nf)
+                    )) AS n_orders,
+                   (SELECT n FROM nf) AS n_flags
+        """,
+        # Incremental view maintenance (analytics.orders_ivm_by_nation):
+        # the merged base+delta must equal this full recompute.
+        "orders_ivm_by_nation": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   COUNT(*)::BIGINT AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice, 2) * 100 AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
         # Time travel (streaming.asof_snapshot): integer-µs midpoint
         # cutoff computed identically both sides.
         "events_asof_snapshot": """

@@ -3023,3 +3023,121 @@ def copurchase_kcore(sf_dir: str, k: int = 6, max_rounds: int = 30) -> pa.Table:
             "core_deg": pa.array([int(r["core_deg"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def orders_with_all_flags(sf_dir: str) -> pa.Table:
+    """Relational DIVISION (the 'suppliers who stock ALL parts' shape):
+    orders whose lineitems span every return flag present in the
+    corpus.  Two-stage distinct aggregate — per-batch (order, flag)
+    pre-dedup, one pair groupby, then an order-level flag count
+    compared to the GLOBAL distinct flag count (computed from the same
+    pair table, no second corpus pass); output is the qualifying order
+    count plus the flag cardinality it divided by."""
+    import numpy as np
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        )
+        .groupby(["l_orderkey", "l_returnflag"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    n_flags = pairs.groupby("l_returnflag").aggregate(Count(alias_name="_n")).count()
+    per_order = pairs.groupby("l_orderkey").aggregate(Count(alias_name="n_flags"))
+    qualifying = per_order.map_batches(
+        lambda b: b.filter(pc.equal(b.column("n_flags"), pa.scalar(n_flags))),
+        batch_format="pyarrow",
+    ).count()
+    return pa.table(
+        {
+            "n_orders": pa.array([int(qualifying)], type=pa.int64()),
+            "n_flags": pa.array([int(n_flags)], type=pa.int64()),
+        }
+    )
+
+
+def orders_ivm_by_nation(sf_dir: str, delta_days: int = 90) -> pa.Table:
+    """Incremental view maintenance for a JOIN view — maintain
+    ``orders ⋈ customer -> per-nation (n_orders, total_cents)`` when a
+    delta of new orders arrives, WITHOUT recomputing the base: the
+    view's delta is ``delta_orders ⋈ customer`` aggregated (the
+    classic dV = dA ⋈ B for an insert-only delta into a key-joined
+    view), merged into the base aggregate by integer addition.  The
+    base/delta split here is the last ``delta_days`` of order dates
+    (integer day arithmetic, identical in the oracle); the merged
+    result must equal the full recompute — which is exactly what the
+    oracle computes, so the incremental path is verified against the
+    batch semantics it must preserve.  Customer nation keys broadcast
+    once; each side is one scan + one nation-sized aggregate."""
+    import numpy as np
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    cmap_keys = np.array([int(c["c_custkey"]) for c in cust], dtype=np.int64)
+    cmap_nat = np.array([int(c["c_nationkey"]) for c in cust], dtype=np.int64)
+    order_c = np.argsort(cmap_keys)
+    cref = ray.put((cmap_keys[order_c], cmap_nat[order_c]))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    hi_day = pc.cast(pa.scalar(orders.max("o_orderdate")), pa.int64()).as_py() // 86_400_000_000
+    cutoff = hi_day - delta_days  # day > cutoff => delta partition
+
+    def agg_side(is_delta: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ck, cn = ray.get(cref)
+            days = (
+                pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                // 86_400_000_000
+            )
+            m = (days > cutoff) if is_delta else (days <= cutoff)
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)[m]
+            vals = batch.column("o_totalprice").to_numpy(zero_copy_only=False)[m]
+            cents = np.array(
+                [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+            )
+            nat = cn[np.searchsorted(ck, keys)]
+            uniq, inv = np.unique(nat, return_inverse=True)
+            n = np.bincount(inv)
+            s = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(s, inv, cents)  # integer scatter-add — exact
+            return pa.table(
+                {
+                    "nation": pa.array(uniq, type=pa.int64()),
+                    "n_orders": pa.array(n.astype(np.int64), type=pa.int64()),
+                    "cents": pa.array(s, type=pa.int64()),
+                }
+            )
+
+        return (
+            orders.map_batches(fn, batch_format="pyarrow")
+            .groupby("nation")
+            .aggregate(
+                Sum("n_orders", alias_name="n_orders"), Sum("cents", alias_name="cents")
+            )
+        )
+
+    base = {  # the standing view (nation-sized)
+        int(r["nation"]): [int(r["n_orders"]), int(r["cents"])]
+        for r in agg_side(False).take_all()
+    }
+    # delta maintenance: add dV into the view by key
+    for r in agg_side(True).take_all():
+        v = base.setdefault(int(r["nation"]), [0, 0])
+        v[0] += int(r["n_orders"])
+        v[1] += int(r["cents"])
+    nations = sorted(base)
+    return pa.table(
+        {
+            "nation": pa.array(nations, type=pa.int64()),
+            "n_orders": pa.array([base[n][0] for n in nations], type=pa.int64()),
+            "total_cents": pa.array([base[n][1] for n in nations], type=pa.int64()),
+        }
+    )
