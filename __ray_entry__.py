@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_divergence": lambda sf: text.source_divergence(sf),
         "orders_with_all_flags": lambda sf: analytics.orders_with_all_flags(sf),
         "orders_ivm_by_nation": lambda sf: analytics.orders_ivm_by_nation(sf),
+        "orders_delayed_by_priority": lambda sf: analytics.orders_delayed_by_priority(sf),
     }
 
 
@@ -1380,6 +1381,19 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Q4-shaped delayed-order EXISTS (analytics.
+        # orders_delayed_by_priority): integer day arithmetic.
+        "orders_delayed_by_priority": """
+            WITH ls AS (
+              SELECT l_orderkey,
+                     MAX(epoch_us(l_shipdate) // 86400000000) AS max_ship_day
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n_delayed
+            FROM orders JOIN ls ON ls.l_orderkey = o_orderkey
+            WHERE ls.max_ship_day > epoch_us(o_orderdate) // 86400000000 + 60
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         # Relational division (analytics.orders_with_all_flags).
         "orders_with_all_flags": """
             WITH pf AS (

@@ -3141,3 +3141,85 @@ def orders_ivm_by_nation(sf_dir: str, delta_days: int = 90) -> pa.Table:
             "total_cents": pa.array([base[n][1] for n in nations], type=pa.int64()),
         }
     )
+
+
+def orders_delayed_by_priority(sf_dir: str, grace_days: int = 60) -> pa.Table:
+    """TPC-H Q4-shaped EXISTS semi-join with a cross-table predicate:
+    count orders, by priority, having ANY lineitem shipped more than
+    ``grace_days`` after the order date.  Shape: the per-order
+    ``MAX(l_shipdate)`` pre-aggregate FIRST collapses the fact stream
+    to an order-sized table (the semi-join's EXISTS needs only the
+    max), then ONE order-key ``safe_join`` against orders applies the
+    day-arithmetic predicate vectorized and a priority-sized groupby
+    finishes.  Day math is integer µs//86400e6 on both sides."""
+    from ray.data.aggregate import Max
+
+    from ._join import safe_join
+
+    last_ship = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "ship_day": pc.cast(
+                        pc.divide(
+                            pc.cast(b.column("l_shipdate"), pa.int64()),
+                            pa.scalar(86_400_000_000),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_day", alias_name="max_ship_day"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "order_day": pc.cast(
+                    pc.divide(
+                        pc.cast(b.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000),
+                    ),
+                    pa.int64(),
+                ),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = safe_join(
+        orders, last_ship, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    agg = (
+        joined.map_batches(
+            lambda b: b.filter(
+                pc.greater(
+                    b.column("max_ship_day"),
+                    pc.add(b.column("order_day"), pa.scalar(grace_days)),
+                )
+            ).select(["o_orderpriority"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_delayed"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["o_orderpriority"])
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                [r["o_orderpriority"] for r in rows], type=pa.string()
+            ),
+            "n_delayed": pa.array([int(r["n_delayed"]) for r in rows], type=pa.int64()),
+        }
+    )
