@@ -1600,7 +1600,11 @@ def suppliers_kept_waiting(sf_dir: str, limit: int = 20) -> pa.Table:
 
 
 def purchase_graph_pagerank(
-    sf_dir: str, iterations: int = 10, limit: int = 30
+    sf_dir: str,
+    iterations: int = 10,
+    limit: int = 30,
+    mode: str = "auto",
+    driver_edge_threshold: int = 20_000_000,
 ) -> pa.Table:
     """Distributed PageRank over the customer<->supplier purchase graph
     (an undirected edge per distinct (customer, supplier) order
@@ -1620,7 +1624,15 @@ def purchase_graph_pagerank(
     orderkey) runs ONCE to derive distinct edges; each iteration is one
     edge-vs-ranks hash join on ``src`` plus one ``groupby(dst)`` sum —
     node-sized rank tables roll forward on the cluster, never the
-    driver; the driver sees only scalar n_nodes and the final top-k."""
+    driver; the driver sees only scalar n_nodes and the final top-k.
+
+    ``mode``: the bpe_train auto-switch — each distributed iteration
+    costs ~2-3s of Ray scheduling on a join whose inputs are kilobytes
+    here, and the fixpoint is PURE INTEGER math, so a driver-local
+    numpy loop over the (src, dst, deg) arrays produces the bit-same
+    ranks (scatter-adds commute).  "auto" switches when the edge list
+    fits (<= ``driver_edge_threshold``); "distributed" keeps the
+    cluster loop (the adversarial-graph path; same oracle)."""
     from ._join import safe_join
 
     def li_project(batch: pa.Table) -> pa.Table:
@@ -1675,6 +1687,37 @@ def purchase_graph_pagerank(
     edges_deg = safe_join(
         edges, degrees, join_type="inner", num_partitions=8, on=("src",)
     ).materialize()
+
+    if mode == "driver" or (
+        mode == "auto" and edges_deg.count() <= driver_edge_threshold
+    ):
+        import numpy as np
+
+        rows_ed = edges_deg.take_all()
+        src_a = np.array([int(r["src"]) for r in rows_ed], dtype=np.int64)
+        dst_a = np.array([int(r["dst"]) for r in rows_ed], dtype=np.int64)
+        deg_a = np.array([int(r["deg"]) for r in rows_ed], dtype=np.int64)
+        nodes = np.unique(np.concatenate((src_a, dst_a)))
+        src_i = np.searchsorted(nodes, src_a)
+        dst_i = np.searchsorted(nodes, dst_a)
+        ranks_v = np.full(len(nodes), mass, dtype=np.int64)
+        for _ in range(iterations):
+            contrib = ranks_v[src_i] // deg_a
+            s = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(s, dst_i, contrib)
+            ranks_v = base + (s * 17) // 20
+        order = np.lexsort((nodes, -ranks_v))[:limit]
+        top_nodes, top_ranks = nodes[order], ranks_v[order]
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["customer" if n % 2 == 0 else "supplier" for n in top_nodes],
+                    type=pa.string(),
+                ),
+                "key": pa.array(top_nodes // 2, type=pa.int64()),
+                "rank_micro": pa.array(top_ranks, type=pa.int64()),
+            }
+        )
 
     def seed(batch: pa.Table) -> pa.Table:
         return pa.table(

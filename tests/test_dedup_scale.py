@@ -755,3 +755,16 @@ def test_bloom_semijoin_empty_small_side(ray_session):
     out = bloom_semijoin_revenue("/root/testdata/sf0.001", priority="NO-SUCH-PRIORITY")
     assert out.num_rows == 0
     assert out.column_names == ["l_returnflag", "n_rows", "revenue_cents"]
+
+
+def test_pagerank_driver_mode_equals_distributed(ray_session):
+    """The driver-local integer PageRank loop must be bit-identical to
+    the distributed iteration (scatter-adds commute; all-int math)."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        purchase_graph_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = purchase_graph_pagerank(sf, iterations=4, mode="driver")
+    b = purchase_graph_pagerank(sf, iterations=4, mode="distributed")
+    assert a.equals(b)
