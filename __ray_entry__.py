@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_all_flags": lambda sf: analytics.orders_with_all_flags(sf),
         "orders_ivm_by_nation": lambda sf: analytics.orders_ivm_by_nation(sf),
         "orders_delayed_by_priority": lambda sf: analytics.orders_delayed_by_priority(sf),
+        "docs_cross_source_leaks": lambda sf: dedup.cross_source_leaks(sf),
     }
 
 
@@ -1381,6 +1382,18 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Cross-partition leak detection (dedup.cross_source_leaks).
+        "docs_cross_source_leaks": """
+            WITH p AS (
+              SELECT md5(text) AS text_md5, source,
+                     MIN(doc_id)::BIGINT AS doc_id
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT text_md5, COUNT(*)::BIGINT AS n_sources,
+                   MIN(doc_id)::BIGINT AS min_doc
+            FROM p GROUP BY text_md5 HAVING COUNT(*) > 1
+            ORDER BY text_md5
+        """,
         # Q4-shaped delayed-order EXISTS (analytics.
         # orders_delayed_by_priority): integer day arithmetic.
         "orders_delayed_by_priority": """

@@ -1219,3 +1219,57 @@ def editdist_dupes(
             "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
         }
     )
+
+
+def cross_source_leaks(sf_dir: str) -> pa.Table:
+    """Cross-partition leak detection: exact texts appearing in MORE
+    THAN ONE source — the train/eval-shard contamination check a
+    mixture pipeline runs before freezing splits (same failure class as
+    benchmark contamination, but between the pipeline's own strata).
+    Ray shape: digest projection -> per-batch (digest, source) pre-dedup
+    -> one pair groupby -> digest-level distinct-source count > 1; the
+    leaked set is duplicate-sized, with min doc_id and source span per
+    digest for triage."""
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Min as AggMin
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_md5": pa.array(hashes, type=pa.string()),
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby(["text_md5", "source"])
+        .aggregate(AggMin("doc_id", alias_name="doc_id"))
+    )
+    leaks = (
+        pairs.groupby("text_md5")
+        .aggregate(
+            AggCount(alias_name="n_sources"), AggMin("doc_id", alias_name="min_doc")
+        )
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("n_sources"), pa.scalar(1))),
+            batch_format="pyarrow",
+        )
+    )
+    rows = sorted(leaks.take_all(), key=lambda r: r["text_md5"])
+    return pa.table(
+        {
+            "text_md5": pa.array([r["text_md5"] for r in rows], type=pa.string()),
+            "n_sources": pa.array([int(r["n_sources"]) for r in rows], type=pa.int64()),
+            "min_doc": pa.array([int(r["min_doc"]) for r in rows], type=pa.int64()),
+        }
+    )
