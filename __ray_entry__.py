@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ivm_by_nation": lambda sf: analytics.orders_ivm_by_nation(sf),
         "orders_delayed_by_priority": lambda sf: analytics.orders_delayed_by_priority(sf),
         "docs_cross_source_leaks": lambda sf: dedup.cross_source_leaks(sf),
+        "events_user_entropy": lambda sf: streaming.user_type_entropy(sf),
+        "docs_length_diversity_corr": lambda sf: text.length_diversity_correlation(sf),
     }
 
 
@@ -1382,6 +1384,56 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Pearson correlation (text.length_diversity_correlation):
+        # HUGEINT moments; IEEE sqrt is correctly rounded both sides.
+        "docs_length_diversity_corr": """
+            WITH d AS (
+              SELECT CAST(n_chars AS BIGINT) AS x,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+              FROM documents
+            ),
+            s AS (
+              SELECT COUNT(*)::BIGINT AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM d
+            )
+            SELECT n AS n_docs,
+                   CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                          OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+                        THEN NULL
+                        ELSE CAST(CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                          - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                                * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                            - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                   END AS pearson_r
+            FROM s
+        """,
+        # Behavioral entropy (streaming.user_type_entropy):
+        # floor(1e9·p·ln p) micro-units, one staged negate/divide.
+        "events_user_entropy": """
+            WITH pc_ AS (
+              SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            tt AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM pc_ GROUP BY 1),
+            t AS (
+              SELECT pc_.user_id,
+                     CAST(FLOOR(1000000000 * (
+                       (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     )) AS BIGINT) AS micro
+              FROM pc_ JOIN tt USING (user_id)
+            )
+            SELECT user_id, COUNT(*)::BIGINT AS n_types,
+                   -(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000000)
+                     AS entropy
+            FROM t GROUP BY user_id ORDER BY user_id
+        """,
         # Cross-partition leak detection (dedup.cross_source_leaks).
         "docs_cross_source_leaks": """
             WITH p AS (

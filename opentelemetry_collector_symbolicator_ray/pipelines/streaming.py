@@ -1625,3 +1625,65 @@ def asof_snapshot(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(newest, batch_format="pyarrow")
         .sort(["user_id", "event_type"])
     )
+
+
+def user_type_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user behavioral entropy: Shannon entropy of each user's
+    event-type distribution (``-Σ p ln p``, nats) — the diversity
+    signal behind bot detection and engagement scoring.  Exactness:
+    per-(user, type) integer counts; each type's contribution floors
+    ``1e9 · (c/n) · ln(c/n)`` to an int64 micro-unit (libm), so
+    per-user sums are order-independent and the final negate/divide is
+    one staged IEEE step shared with the oracle.  Shape: one pair
+    groupby (map-side combinable), a user-sized second groupby, no
+    raw-event shuffle beyond the first."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    pair_counts = (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="c"))
+        .materialize()  # pair-sized; feeds totals AND terms
+    )
+    totals = pair_counts.groupby("user_id").aggregate(Sum("c", alias_name="n"))
+    tot_map = {int(r["user_id"]): int(r["n"]) for r in totals.take_all()}
+    import ray as _ray
+
+    tmap = _ray.put(tot_map)  # user-sized; broadcast once
+
+    def terms(batch: pa.Table) -> pa.Table:
+        tm = _ray.get(tmap)
+        out = []
+        for u, c in zip(
+            batch.column("user_id").to_pylist(), batch.column("c").to_pylist()
+        ):
+            p = float(c) / float(tm[int(u)])
+            out.append(int(math.floor(1e9 * (p * math.log(p)))))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "micro": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        pair_counts.map_batches(terms, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("micro", alias_name="m"), Count(alias_name="n_types"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ms = batch.column("m").to_pylist()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_types": pc.cast(batch.column("n_types"), pa.int64()),
+                "entropy": pa.array(
+                    [-(float(int(m)) / 1e9) for m in ms], type=pa.float64()
+                ),
+            }
+        )
+
+    return _compact_sort(agg.map_batches(finish, batch_format="pyarrow"), "user_id")

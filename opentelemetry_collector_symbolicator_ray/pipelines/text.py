@@ -2954,3 +2954,53 @@ def source_divergence(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def length_diversity_correlation(sf_dir: str) -> pa.Table:
+    """Corpus-level Pearson correlation between document length
+    (n_chars) and lexical diversity (distinct word count) — the
+    two-variable extension of the integer-sufficient-statistics
+    pattern (``type_value_trend``): one streaming pass emits per-block
+    (n, Σx, Σy, Σxy, Σx², Σy²) int64 partials, the driver reduces in
+    arbitrary-precision Python ints, and r is ONE staged IEEE
+    expression — num / (sqrt(a)·sqrt(b)) — where IEEE-754 sqrt is
+    correctly rounded, so libm and DuckDB agree always."""
+    import math
+
+    ds = _read_documents(sf_dir, ["n_chars", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.array(
+            [len(set(t.split(" "))) for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            }
+        )
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += int(r["n"]); sx += int(r["sx"]); sy += int(r["sy"])
+        sxy += int(r["sxy"]); sxx += int(r["sxx"]); syy += int(r["syy"])
+    num = n * sxy - sx * sy
+    a = n * sxx - sx * sx
+    b = n * syy - sy * sy
+    r_val = (
+        None
+        if a == 0 or b == 0
+        else float(num) / (math.sqrt(float(a)) * math.sqrt(float(b)))
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "pearson_r": pa.array([r_val], type=pa.float64()),
+        }
+    )
