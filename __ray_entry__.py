@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cross_source_leaks": lambda sf: dedup.cross_source_leaks(sf),
         "events_user_entropy": lambda sf: streaming.user_type_entropy(sf),
         "docs_length_diversity_corr": lambda sf: text.length_diversity_correlation(sf),
+        "returned_item_customers": lambda sf: analytics.returned_item_customers(sf),
     }
 
 
@@ -1384,6 +1385,28 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # TPC-H Q10 (analytics.returned_item_customers): micro-unit
+        # revenue; top-k ties break by custkey; ORDER BY on the
+        # integer micro sum so ranking matches exactly.
+        "returned_item_customers": """
+            WITH m AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(FLOOR(
+                         l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS micro
+              FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY o_custkey
+              ORDER BY micro DESC, o_custkey LIMIT 20
+            )
+            SELECT m.o_custkey AS c_custkey, n_name,
+                   CAST((micro + 5000) // 10000 AS BIGINT) AS revenue_cents
+            FROM m
+            JOIN customer ON c_custkey = m.o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue_cents DESC, c_custkey
+        """,
         # Pearson correlation (text.length_diversity_correlation):
         # HUGEINT moments; IEEE sqrt is correctly rounded both sides.
         "docs_length_diversity_corr": """

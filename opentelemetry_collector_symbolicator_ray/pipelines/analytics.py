@@ -3266,3 +3266,87 @@ def orders_delayed_by_priority(sf_dir: str, grace_days: int = 60) -> pa.Table:
             "n_delayed": pa.array([int(r["n_delayed"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def returned_item_customers(sf_dir: str, k: int = 20) -> pa.Table:
+    """TPC-H Q10-shaped returned-item ranking: top-``k`` customers by
+    revenue lost to returned lineitems (``l_returnflag = 'R'``).  The
+    return-flag predicate pushes into the parquet scan, per-row
+    contributions floor to int64 micro-dollars (the Q7 discipline — an
+    integer-exact sum at any grouping), ONE orderkey ``safe_join``
+    attaches customers, and the customer-sized aggregate sorts
+    distributed for the top-k; nation names attach to the k rows on
+    the driver."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ._join import safe_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "micro": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            pc.multiply(
+                                b.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                            ),
+                            pa.scalar(1e6),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = safe_join(
+        lineitem, orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    top = (
+        joined.groupby("o_custkey")
+        .aggregate(Sum("micro", alias_name="micro"))
+        .sort(["micro", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nation_of = {int(c["c_custkey"]): int(c["c_nationkey"]) for c in cust}
+    name_of = {int(n["n_nationkey"]): str(n["n_name"]) for n in nat}
+    # presentation order matches the oracle's final ORDER BY on ROUNDED
+    # cents (micro order can differ from cents order on rounding ties)
+    rows = sorted(
+        (
+            (
+                int(r["o_custkey"]),
+                (int(r["micro"]) + 5000) // 10000,
+            )
+            for r in top
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array([t[0] for t in rows], type=pa.int64()),
+            "n_name": pa.array(
+                [name_of[nation_of[t[0]]] for t in rows], type=pa.string()
+            ),
+            "revenue_cents": pa.array([t[1] for t in rows], type=pa.int64()),
+        }
+    )
