@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": lambda sf: streaming.user_type_entropy(sf),
         "docs_length_diversity_corr": lambda sf: text.length_diversity_correlation(sf),
         "returned_item_customers": lambda sf: analytics.returned_item_customers(sf),
+        "segment_status_matrix": lambda sf: analytics.segment_status_matrix(sf),
+        "events_weekly_change": lambda sf: streaming.weekly_change(sf),
     }
 
 
@@ -1385,6 +1387,29 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Segment-status matrix (analytics.segment_status_matrix).
+        "segment_status_matrix": """
+            SELECT c_mktsegment AS segment, o_orderstatus AS status,
+                   COUNT(*)::BIGINT AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice, 2) * 100 AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Week-over-week change (streaming.weekly_change): CALENDAR
+        # lag (join on week-1, not row LAG), one staged division.
+        "events_weekly_change": """
+            WITH w AS (
+              SELECT epoch_us(ts) // 604800000000 AS week,
+                     COUNT(*)::BIGINT AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT a.week, a.n_events, b.n_events AS prev_week,
+                   CAST(a.n_events AS DOUBLE) / CAST(b.n_events AS DOUBLE)
+                     AS wow_ratio
+            FROM w a LEFT JOIN w b ON b.week = a.week - 1
+            ORDER BY a.week
+        """,
         # TPC-H Q10 (analytics.returned_item_customers): micro-unit
         # revenue; top-k ties break by custkey; ORDER BY on the
         # integer micro sum so ranking matches exactly.

@@ -3350,3 +3350,56 @@ def returned_item_customers(sf_dir: str, k: int = 20) -> pa.Table:
             "revenue_cents": pa.array([t[1] for t in rows], type=pa.int64()),
         }
     )
+
+
+def segment_status_matrix(sf_dir: str) -> pa.Table:
+    """Two-dimension dimensional aggregate: order counts and exact
+    total cents per (market segment, order status) — the
+    segment-health matrix a BI layer serves.  Customer segment map
+    broadcasts once via ``ray.put``; one annotated scan of orders and
+    one (segments x statuses)-sized groupby."""
+    import numpy as np
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).take_all()
+    keys = np.array([int(c["c_custkey"]) for c in cust], dtype=np.int64)
+    segs = np.array([str(c["c_mktsegment"]) for c in cust])
+    order = np.argsort(keys)
+    seg_ref = ray.put((keys[order], segs[order]))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        ck, sg = ray.get(seg_ref)
+        custkeys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        vals = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "segment": pa.array(sg[np.searchsorted(ck, custkeys)], type=pa.string()),
+                "status": batch.column("o_orderstatus"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(annotate, batch_format="pyarrow")
+        .groupby(["segment", "status"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+    )
+    rows = sorted(agg.take_all(), key=lambda r: (r["segment"], r["status"]))
+    return pa.table(
+        {
+            "segment": pa.array([r["segment"] for r in rows], type=pa.string()),
+            "status": pa.array([r["status"] for r in rows], type=pa.string()),
+            "n_orders": pa.array([int(r["n_orders"]) for r in rows], type=pa.int64()),
+            "total_cents": pa.array(
+                [int(r["total_cents"]) for r in rows], type=pa.int64()
+            ),
+        }
+    )

@@ -1687,3 +1687,43 @@ def user_type_entropy(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _compact_sort(agg.map_batches(finish, batch_format="pyarrow"), "user_id")
+
+
+def weekly_change(sf_dir: str) -> pa.Table:
+    """Period-over-period reporting: weekly event counts with the
+    previous week's count and the week-over-week ratio — the LAG-based
+    trend readout of every operational dashboard.  One derived-week-key
+    groupby (map-side combined); the week-count-sized series LAGs on
+    the driver; the ratio is one staged IEEE division (NULL for the
+    first week), bit-shared with the SQL window oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        w = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()),
+            pa.scalar(7 * 24 * 3600 * 1_000_000),
+        )
+        return pa.table({"week": pc.cast(w, pa.int64())})
+
+    rows = sorted(
+        ds.map_batches(to_week, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(Count(alias_name="n"))
+        .take_all(),
+        key=lambda r: int(r["week"]),
+    )
+    weeks = [int(r["week"]) for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    by_week = dict(zip(weeks, ns))
+    prev = [by_week.get(w - 1) for w in weeks]  # LAG by calendar week
+    ratio = [
+        None if p is None else float(n) / float(p) for n, p in zip(ns, prev)
+    ]
+    return pa.table(
+        {
+            "week": pa.array(weeks, type=pa.int64()),
+            "n_events": pa.array(ns, type=pa.int64()),
+            "prev_week": pa.array(prev, type=pa.int64()),
+            "wow_ratio": pa.array(ratio, type=pa.float64()),
+        }
+    )
