@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_customers": lambda sf: analytics.returned_item_customers(sf),
         "segment_status_matrix": lambda sf: analytics.segment_status_matrix(sf),
         "events_weekly_change": lambda sf: streaming.weekly_change(sf),
+        "events_cms_counts": lambda sf: analytics.cms_user_counts(sf),
     }
 
 
@@ -1387,6 +1388,65 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Count-min sketch (analytics.cms_user_counts): splitmix64 via
+        # the HUGEINT chain + Kirsch-Mitzenmacher double hashing.
+        "events_cms_counts": """
+            WITH uu AS (
+              SELECT DISTINCT CAST(user_id AS HUGEINT) AS v, user_id FROM events
+            ),
+            z1 AS (
+              SELECT user_id,
+                     (v + CAST('11400714819323198485' AS HUGEINT))
+                       % CAST('18446744073709551616' AS HUGEINT) AS z
+              FROM uu
+            ),
+            z1x AS (SELECT user_id, xor(z, z // 1073741824) AS x FROM z1),
+            z2 AS (
+              SELECT user_id,
+                     ((x % 4294967296) * CAST('13787848793156543929' AS HUGEINT)
+                      + (((x // 4294967296) * CAST('13787848793156543929' AS HUGEINT))
+                         % 4294967296) * 4294967296
+                     ) % CAST('18446744073709551616' AS HUGEINT) AS z
+              FROM z1x
+            ),
+            z2x AS (SELECT user_id, xor(z, z // 134217728) AS x FROM z2),
+            z3 AS (
+              SELECT user_id,
+                     ((x % 4294967296) * CAST('10723151780598845931' AS HUGEINT)
+                      + (((x // 4294967296) * CAST('10723151780598845931' AS HUGEINT))
+                         % 4294967296) * 4294967296
+                     ) % CAST('18446744073709551616' AS HUGEINT) AS z
+              FROM z2x
+            ),
+            uh AS (
+              SELECT user_id,
+                     xor(z, z // 2147483648) % 4294967296 AS h1,
+                     xor(z, z // 2147483648) // 4294967296 AS h2
+              FROM z3
+            ),
+            rr AS (SELECT unnest(range(0, 4)) AS r),
+            cells AS (
+              SELECT rr.r, CAST((uh.h1 + rr.r * uh.h2) % 512 AS BIGINT) AS b
+              FROM events e JOIN uh USING (user_id) CROSS JOIN rr
+            ),
+            counters AS (
+              SELECT r, b, COUNT(*)::BIGINT AS c FROM cells GROUP BY r, b
+            ),
+            exact AS (
+              SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+              GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+            )
+            SELECT exact.user_id, exact.n AS exact_n,
+                   CAST(MIN(c.c) AS BIGINT) AS cms_estimate
+            FROM exact
+            JOIN uh USING (user_id)
+            CROSS JOIN rr
+            JOIN counters c
+              ON c.r = rr.r
+             AND c.b = CAST((uh.h1 + rr.r * uh.h2) % 512 AS BIGINT)
+            GROUP BY exact.user_id, exact.n
+            ORDER BY exact_n DESC, exact.user_id
+        """,
         # Segment-status matrix (analytics.segment_status_matrix).
         "segment_status_matrix": """
             SELECT c_mktsegment AS segment, o_orderstatus AS status,

@@ -3403,3 +3403,71 @@ def segment_status_matrix(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def cms_user_counts(
+    sf_dir: str, width: int = 512, depth: int = 4, n_probe: int = 20
+) -> pa.Table:
+    """Count-min sketch of per-user event counts — the THIRD mergeable
+    sketch family (HLL = distinct, Misra-Gries = heavy hitters, CMS =
+    point frequency): each block scatter-adds its events into a d x w
+    int64 counter array (no keys in the partial — the sketch IS the
+    partial), arrays merge by elementwise addition through a (r, b)
+    groupby, and point estimates are ``min_r counter[r][h_r(key)]``,
+    an overestimate by construction.  Hashing is splitmix64 +
+    Kirsch-Mitzenmacher double hashing (``(h1 + r*h2) mod w`` with
+    h1/h2 the 32-bit halves — small-integer arithmetic the SQL oracle
+    replays exactly).  Output: the ``n_probe`` most active users with
+    exact count and CMS estimate; the est >= exact invariant is part
+    of the contract (asserted in pytest at any width)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(users)
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h2 = (h >> np.uint64(32)).astype(np.int64)
+        counters = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            np.add.at(counters[r], (h1 + r * h2) % width, 1)
+        rs, bs = np.nonzero(counters)
+        return pa.table(
+            {
+                "r": pa.array(rs.astype(np.int64), type=pa.int64()),
+                "b": pa.array(bs.astype(np.int64), type=pa.int64()),
+                "c": pa.array(counters[rs, bs], type=pa.int64()),
+            }
+        )
+
+    sketch_rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for row in sketch_rows:
+        counters[int(row["r"]), int(row["b"])] = int(row["c"])
+
+    exact = (
+        ds.groupby("user_id").aggregate(Count(alias_name="n"))
+        .sort(["n", "user_id"], descending=[True, False])
+        .limit(n_probe)
+        .take_all()
+    )
+    users = np.array([int(r["user_id"]) for r in exact], dtype=np.int64)
+    h = _splitmix64(users)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = (h >> np.uint64(32)).astype(np.int64)
+    ests = np.min(
+        np.stack([counters[r][(h1 + r * h2) % width] for r in range(depth)]), axis=0
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(users, type=pa.int64()),
+            "exact_n": pa.array([int(r["n"]) for r in exact], type=pa.int64()),
+            "cms_estimate": pa.array(ests, type=pa.int64()),
+        }
+    )

@@ -768,3 +768,19 @@ def test_pagerank_driver_mode_equals_distributed(ray_session):
     a = purchase_graph_pagerank(sf, iterations=4, mode="driver")
     b = purchase_graph_pagerank(sf, iterations=4, mode="distributed")
     assert a.equals(b)
+
+
+def test_cms_overestimates_and_tightens_with_width(ray_session):
+    """CMS point estimates are >= exact by construction (tested at a
+    tiny width that forces collisions) and exact at a width with
+    negligible collision mass."""
+    from opentelemetry_collector_symbolicator_ray.pipelines.analytics import (
+        cms_user_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tight = cms_user_counts(sf, width=8, depth=4).to_pylist()
+    assert all(r["cms_estimate"] >= r["exact_n"] for r in tight)
+    assert any(r["cms_estimate"] > r["exact_n"] for r in tight)  # collisions real
+    wide = cms_user_counts(sf, width=1 << 14, depth=4).to_pylist()
+    assert all(r["cms_estimate"] == r["exact_n"] for r in wide)
