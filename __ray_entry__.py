@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_status_matrix": lambda sf: analytics.segment_status_matrix(sf),
         "events_weekly_change": lambda sf: streaming.weekly_change(sf),
         "events_cms_counts": lambda sf: analytics.cms_user_counts(sf),
+        "events_user_timelines": lambda sf: streaming.user_timelines(sf),
     }
 
 
@@ -1388,6 +1389,17 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Grouped ordered collect (streaming.user_timelines).
+        "events_user_timelines": """
+            SELECT user_id, COUNT(*)::BIGINT AS n_events,
+                   (array_agg(event_id ORDER BY ts, event_id))[1]::BIGINT
+                     AS first_event,
+                   (array_agg(event_id ORDER BY ts DESC, event_id DESC))[1]::BIGINT
+                     AS last_event,
+                   md5(string_agg(event_type || '@' || epoch_us(ts)::VARCHAR,
+                                  ',' ORDER BY ts, event_id)) AS timeline_md5
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         # Count-min sketch (analytics.cms_user_counts): splitmix64 via
         # the HUGEINT chain + Kirsch-Mitzenmacher double hashing.
         "events_cms_counts": """

@@ -1727,3 +1727,44 @@ def weekly_change(sf_dir: str) -> pa.Table:
             "wow_ratio": pa.array(ratio, type=pa.float64()),
         }
     )
+
+
+def user_timelines(sf_dir: str) -> "ray.data.Dataset":
+    """Secondary sort / grouped ordered collect: each user's full event
+    sequence serialized in (ts, event_id) order — the session-replay
+    export shape.  The timeline leaves the group as an md5 digest plus
+    first/last anchors (constant row width; the serialized string never
+    enters the shuffle), so the operator stays user-count-sized no
+    matter how long the histories get.  The oracle rebuilds the same
+    canonical string with ``string_agg(... ORDER BY ts, event_id)``."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def timeline(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        types = np.asarray(group.column("event_type").to_pylist())[order]
+        canon = ",".join(
+            f"{t}@{int(s)}" for t, s in zip(types, ts[order])
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[0].as_py()], type=pa.int64()
+                ),
+                "n_events": pa.array([len(order)], type=pa.int64()),
+                "first_event": pa.array([int(eid[order[0]])], type=pa.int64()),
+                "last_event": pa.array([int(eid[order[-1]])], type=pa.int64()),
+                "timeline_md5": pa.array(
+                    [hashlib.md5(canon.encode()).hexdigest()], type=pa.string()
+                ),
+            }
+        )
+
+    return _compact_sort(
+        ds.groupby("user_id").map_groups(timeline, batch_format="pyarrow"), "user_id"
+    )
