@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_change": lambda sf: streaming.weekly_change(sf),
         "events_cms_counts": lambda sf: analytics.cms_user_counts(sf),
         "events_user_timelines": lambda sf: streaming.user_timelines(sf),
+        "events_session_features": lambda sf: streaming.session_features(sf),
+        "events_daily_cusum": lambda sf: streaming.daily_cusum(sf),
     }
 
 
@@ -1389,6 +1391,62 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # CUSUM change-point fold (streaming.daily_cusum): integer
+        # fold replayed as a recursive CTE in HUGEINT.
+        "events_daily_cusum": """
+            WITH RECURSIVE d AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ),
+            g AS (
+              SELECT (SELECT COUNT(*)::BIGINT FROM d) AS nd,
+                     (SELECT CAST(SUM(n) AS BIGINT) FROM d) AS tot
+            ),
+            p AS (
+              SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d
+            ),
+            c(rn, day, n, s) AS (
+              SELECT p.rn, p.day, p.n,
+                     GREATEST(CAST(0 AS HUGEINT),
+                              CAST(g.nd AS HUGEINT) * p.n - g.tot - g.nd)
+              FROM p CROSS JOIN g WHERE p.rn = 1
+              UNION ALL
+              SELECT p.rn, p.day, p.n,
+                     GREATEST(CAST(0 AS HUGEINT),
+                              c.s + CAST(g.nd AS HUGEINT) * p.n - g.tot - g.nd)
+              FROM c JOIN p ON p.rn = c.rn + 1 CROSS JOIN g
+            )
+            SELECT c.day, c.n AS n_events, CAST(c.s AS BIGINT) AS cusum_scaled,
+                   c.s > 2 * CAST(g.tot AS HUGEINT) AS alarm
+            FROM c CROSS JOIN g ORDER BY c.day
+        """,
+        # Session feature table (streaming.session_features).
+        "events_session_features": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, t, event_type,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS session_seq
+              FROM o
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(t)::BIGINT AS start_us, MAX(t)::BIGINT AS end_us,
+                   (MAX(t) - MIN(t))::BIGINT AS duration_us,
+                   COUNT(*)::BIGINT AS n_events,
+                   bool_or(event_type = 'purchase') AS has_purchase
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
         # Grouped ordered collect (streaming.user_timelines).
         "events_user_timelines": """
             SELECT user_id, COUNT(*)::BIGINT AS n_events,

@@ -1768,3 +1768,101 @@ def user_timelines(sf_dir: str) -> "ray.data.Dataset":
     return _compact_sort(
         ds.groupby("user_id").map_groups(timeline, batch_format="pyarrow"), "user_id"
     )
+
+
+def session_features(sf_dir: str, gap_us: int = 1800 * 1_000_000) -> "ray.data.Dataset":
+    """Per-SESSION feature table (the feature-engineering export behind
+    engagement models): gap-based sessionization with one row per
+    session carrying start/end/duration, event count and a conversion
+    flag.  Session identity is (user_id, session_seq) with the sequence
+    numbered in time order per user — deterministic under any block
+    layout because the whole per-user log co-locates in its group
+    (the ``user_sessions`` shape, emitting session-level rows instead
+    of per-user counts).  Oracle: the lag()-window session numbering."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_o = ts[order]
+        types = np.asarray(group.column("event_type").to_pylist())[order]
+        new = np.concatenate(([True], np.diff(ts_o) > gap_us))
+        seq = np.cumsum(new)  # 1-based session number per event
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(ts_o)])) - 1
+        n_ev = ends - starts + 1
+        has_purchase = np.array(
+            [bool((types[s: e + 1] == "purchase").any()) for s, e in zip(starts, ends)]
+        )
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, len(starts)), type=pa.int64()),
+                "session_seq": pa.array(seq[starts], type=pa.int64()),
+                "start_us": pa.array(ts_o[starts], type=pa.int64()),
+                "end_us": pa.array(ts_o[ends], type=pa.int64()),
+                "duration_us": pa.array(ts_o[ends] - ts_o[starts], type=pa.int64()),
+                "n_events": pa.array(n_ev, type=pa.int64()),
+                "has_purchase": pa.array(has_purchase, type=pa.bool_()),
+            }
+        )
+
+    return _compact_sort(
+        ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow"),
+        ["user_id", "session_seq"],
+    )
+
+
+def daily_cusum(sf_dir: str) -> pa.Table:
+    """CUSUM change-point detection over the daily event-count series —
+    the drift alarm an ingestion pipeline runs on its own volume.  The
+    distributed part is the daily groupby; the sequential fold runs on
+    the day-count-sized series with PURE INTEGER arithmetic (counts
+    scaled by n_days so the mean never becomes a float):
+    ``S_t = max(0, S_{t-1} + n_days*x_t - total - n_days)`` (slack = one
+    event/day, scaled) with alarm at ``S_t > 2*total``.  The oracle
+    replays the fold as a recursive CTE in HUGEINT — bit-identical
+    integers, no epsilon anywhere."""
+    rows = sorted(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pc.cast(
+                        pc.divide(
+                            pc.cast(b.column("ts"), pa.int64()),
+                            pa.scalar(86_400_000_000),
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .take_all(),
+        key=lambda r: int(r["day"]),
+    )
+    nd = len(rows)
+    tot = sum(int(r["n"]) for r in rows)
+    s = 0
+    days, ns, cusums, alarms = [], [], [], []
+    for r in rows:
+        n = int(r["n"])
+        s = max(0, s + nd * n - tot - nd)
+        days.append(int(r["day"]))
+        ns.append(n)
+        cusums.append(s)
+        alarms.append(s > 2 * tot)
+    return pa.table(
+        {
+            "day": pa.array(days, type=pa.int64()),
+            "n_events": pa.array(ns, type=pa.int64()),
+            "cusum_scaled": pa.array(cusums, type=pa.int64()),
+            "alarm": pa.array(alarms, type=pa.bool_()),
+        }
+    )
