@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_timelines": lambda sf: streaming.user_timelines(sf),
         "events_session_features": lambda sf: streaming.session_features(sf),
         "events_daily_cusum": lambda sf: streaming.daily_cusum(sf),
+        "events_daily_autocorr": lambda sf: streaming.daily_autocorrelation(sf),
+        "part_abc_classes": lambda sf: analytics.part_abc_classes(sf),
     }
 
 
@@ -1391,6 +1393,66 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # ABC/Pareto classes (analytics.part_abc_classes): exact
+        # integer threshold compares, no float shares.
+        "part_abc_classes": """
+            WITH a AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(FLOOR(
+                         l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS micro
+              FROM lineitem GROUP BY l_partkey
+            ),
+            c AS (
+              SELECT l_partkey, micro,
+                     CAST(SUM(micro) OVER (
+                       ORDER BY micro DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS HUGEINT) AS cum,
+                     (SELECT CAST(SUM(micro) AS HUGEINT) FROM a) AS tot
+              FROM a
+            )
+            SELECT l_partkey,
+                   CAST((micro + 5000) // 10000 AS BIGINT) AS revenue_cents,
+                   CASE WHEN 5 * cum < 4 * tot THEN 'A'
+                        WHEN 20 * cum < 19 * tot THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c ORDER BY l_partkey
+        """,
+        # Daily autocorrelation (streaming.daily_autocorrelation):
+        # calendar-matched lag pairs, HUGEINT moments, staged r.
+        "events_daily_autocorr": """
+            WITH d AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ),
+            l AS (SELECT unnest(range(1, 8)) AS lag),
+            pr AS (
+              SELECT l.lag, a.n AS x, b.n AS y
+              FROM l JOIN d a ON TRUE JOIN d b ON b.day = a.day + l.lag
+            ),
+            s AS (
+              SELECT lag, COUNT(*)::BIGINT AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM pr GROUP BY lag
+            )
+            SELECT l.lag, COALESCE(s.n, 0)::BIGINT AS n_pairs,
+                   CASE WHEN s.n IS NULL OR s.n < 2
+                          OR CAST(s.n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                          OR CAST(s.n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+                        THEN NULL
+                        ELSE CAST(CAST(s.n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                             / (sqrt(CAST(CAST(s.n AS HUGEINT) * sxx
+                                          - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                                * sqrt(CAST(CAST(s.n AS HUGEINT) * syy
+                                            - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                   END AS autocorr
+            FROM l LEFT JOIN s USING (lag) ORDER BY l.lag
+        """,
         # CUSUM change-point fold (streaming.daily_cusum): integer
         # fold replayed as a recursive CTE in HUGEINT.
         "events_daily_cusum": """

@@ -3471,3 +3471,72 @@ def cms_user_counts(
             "cms_estimate": pa.array(ests, type=pa.int64()),
         }
     )
+
+
+def part_abc_classes(sf_dir: str) -> pa.Table:
+    """ABC / Pareto analysis: classify parts by cumulative revenue
+    share — A while the running share is < 80%, B until < 95%, else C
+    (thresholds compared in EXACT integers: ``5*cum < 4*total`` and
+    ``20*cum < 19*total``, so no float share ever exists).  Shape: the
+    part-revenue aggregate (micro-unit integer sums, the Q7
+    discipline) sorts DISTRIBUTED by (revenue DESC, part), and the
+    classification is a prefix-sum scan of the part-sized result; ties
+    and boundary rows are deterministic because the prefix is over
+    exact integers in a total order."""
+    import numpy as np
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "micro": pc.cast(
+                        pc.floor(
+                            pc.multiply(
+                                pc.multiply(
+                                    b.column("l_extendedprice"),
+                                    pc.subtract(
+                                        pa.scalar(1.0), b.column("l_discount")
+                                    ),
+                                ),
+                                pa.scalar(1e6),
+                            )
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("micro", alias_name="micro"))
+        .sort(["micro", "l_partkey"], descending=[True, False])
+    )
+    rows = agg.take_all()  # part-sized
+    parts = np.array([int(r["l_partkey"]) for r in rows], dtype=np.int64)
+    micro = [int(r["micro"]) for r in rows]
+    total = sum(micro)
+    cum = 0
+    classes = []
+    for m in micro:
+        cum += m
+        if 5 * cum < 4 * total:
+            classes.append("A")
+        elif 20 * cum < 19 * total:
+            classes.append("B")
+        else:
+            classes.append("C")
+    order = np.argsort(parts, kind="stable")
+    return pa.table(
+        {
+            "l_partkey": pa.array(parts[order], type=pa.int64()),
+            "revenue_cents": pa.array(
+                [(micro[i] + 5000) // 10000 for i in order], type=pa.int64()
+            ),
+            "abc_class": pa.array([classes[i] for i in order], type=pa.string()),
+        }
+    )

@@ -1866,3 +1866,65 @@ def daily_cusum(sf_dir: str) -> pa.Table:
             "alarm": pa.array(alarms, type=pa.bool_()),
         }
     )
+
+
+def daily_autocorrelation(sf_dir: str, max_lag: int = 7) -> pa.Table:
+    """Time-series autocorrelation of the daily event-count series at
+    calendar lags 1..``max_lag`` — the seasonality probe behind anomaly
+    baselines.  Distributed part: the daily groupby; the lag-k Pearson
+    runs on the day-count-sized series with exact integer moments over
+    the CALENDAR-matched pairs (day, day+k both present), and r is the
+    same staged num/(sqrt·sqrt) expression as
+    ``length_diversity_correlation`` — IEEE sqrt is correctly rounded,
+    so the floats hash."""
+    import math
+
+    rows = sorted(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pc.cast(
+                        pc.divide(
+                            pc.cast(b.column("ts"), pa.int64()),
+                            pa.scalar(86_400_000_000),
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .take_all(),
+        key=lambda r: int(r["day"]),
+    )
+    by_day = {int(r["day"]): int(r["n"]) for r in rows}
+    lags, rs, ns = [], [], []
+    for k in range(1, max_lag + 1):
+        pairs = [
+            (by_day[d], by_day[d + k]) for d in by_day if d + k in by_day
+        ]
+        n = len(pairs)
+        if n < 2:
+            lags.append(k); rs.append(None); ns.append(n)
+            continue
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs); syy = sum(p[1] * p[1] for p in pairs)
+        num = n * sxy - sx * sy
+        a, b = n * sxx - sx * sx, n * syy - sy * sy
+        lags.append(k)
+        rs.append(
+            None if a == 0 or b == 0
+            else float(num) / (math.sqrt(float(a)) * math.sqrt(float(b)))
+        )
+        ns.append(n)
+    return pa.table(
+        {
+            "lag": pa.array(lags, type=pa.int64()),
+            "n_pairs": pa.array(ns, type=pa.int64()),
+            "autocorr": pa.array(rs, type=pa.float64()),
+        }
+    )
