@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_cusum": lambda sf: streaming.daily_cusum(sf),
         "events_daily_autocorr": lambda sf: streaming.daily_autocorrelation(sf),
         "part_abc_classes": lambda sf: analytics.part_abc_classes(sf),
+        "docs_vocab_growth": lambda sf: text.vocab_growth(sf),
+        "docs_dup_cluster_sizes": lambda sf: dedup.dup_cluster_sizes(sf, threshold=NGRAM_THRESHOLD),
     }
 
 
@@ -513,6 +515,31 @@ def _minhash_pairs_oracle_sql(
             WHERE CAST(icnt AS DOUBLE) / CAST(za.n + zb.n - icnt AS DOUBLE) >= {threshold}
         )
     """
+
+
+def _dup_cluster_sizes_oracle_sql() -> str:
+    """docs_dup_cluster_sizes: LSH pairs -> recursive component closure
+    -> size histogram (the near_dedup_keep CTE chain, re-aggregated)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_oracle_sql()
+        + """,
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+            UNION ALL SELECT doc_b, doc_a FROM lsh_pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS n FROM bidir),
+        reach(n, lab) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.n
+        ),
+        comp AS (SELECT n, MIN(lab) AS c FROM reach GROUP BY n),
+        sz AS (SELECT c, COUNT(*)::BIGINT AS size FROM comp GROUP BY c)
+        SELECT size, COUNT(*)::BIGINT AS n_clusters
+        FROM sz GROUP BY size ORDER BY size
+    """
+    )
 
 
 def _minhash_lsh_oracle_sql() -> str:
@@ -1389,10 +1416,36 @@ def oracle_sql() -> dict[str, str]:
         # connected components, serving BOTH the driver-union-find and
         # the distributed label-propagation engine variants
         "docs_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),
+        "docs_dup_cluster_sizes": _dup_cluster_sizes_oracle_sql(),
         # Edit-distance near-dup (dedup.editdist_dupes): the SAME
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Heaps-law growth (text.vocab_growth): first-occurrence
+        # min(doc) makes the sequential prefix fully distributable.
+        "docs_vocab_growth": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            f AS (SELECT word, MIN(doc_id)::BIGINT AS first_doc FROM w GROUP BY 1),
+            nw AS (SELECT first_doc, COUNT(*)::BIGINT AS n FROM f GROUP BY 1),
+            tk AS (
+              SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+              FROM documents
+            )
+            SELECT tk.doc_id,
+                   CAST(SUM(tk.n_tok) OVER (
+                     ORDER BY tk.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens,
+                   CAST(SUM(COALESCE(nw.n, 0)) OVER (
+                     ORDER BY tk.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_distinct_words
+            FROM tk LEFT JOIN nw ON nw.first_doc = tk.doc_id
+            ORDER BY tk.doc_id
+        """,
         # ABC/Pareto classes (analytics.part_abc_classes): exact
         # integer threshold compares, no float shares.
         "part_abc_classes": """

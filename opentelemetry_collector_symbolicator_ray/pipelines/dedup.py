@@ -1273,3 +1273,28 @@ def cross_source_leaks(sf_dir: str) -> pa.Table:
             "min_doc": pa.array([int(r["min_doc"]) for r in rows], type=pa.int64()),
         }
     )
+
+
+def dup_cluster_sizes(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Duplicate-cluster size histogram: how many near-dup components
+    exist at each size — the dedup-ROI readout (a corpus of pairs saves
+    little; a few giant clusters save a lot).  Composition: LSH pairs
+    -> distributed connected components -> component-size groupby ->
+    size histogram; every intermediate is pair/component-sized."""
+    from ray.data.aggregate import Count as AggCount
+
+    pairs_ds = minhash_lsh_pairs_ds(sf_dir, threshold=threshold)
+    comps = connected_components(pairs_ds)
+    sizes = comps.groupby("component").aggregate(AggCount(alias_name="size"))
+    hist = sorted(
+        sizes.groupby("size").aggregate(AggCount(alias_name="n_clusters")).take_all(),
+        key=lambda r: int(r["size"]),
+    )
+    return pa.table(
+        {
+            "size": pa.array([int(r["size"]) for r in hist], type=pa.int64()),
+            "n_clusters": pa.array(
+                [int(r["n_clusters"]) for r in hist], type=pa.int64()
+            ),
+        }
+    )

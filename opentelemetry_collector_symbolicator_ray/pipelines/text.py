@@ -3004,3 +3004,83 @@ def length_diversity_correlation(sf_dir: str) -> pa.Table:
             "pearson_r": pa.array([r_val], type=pa.float64()),
         }
     )
+
+
+def vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary growth curve: cumulative distinct words and
+    cumulative tokens after each document (in doc_id order) — the
+    corpus-diversity diagnostic behind dedup ROI estimates.  The
+    sequential-looking prefix is computed FULLY distributed: a word's
+    first occurrence is ``min(doc_id)`` over one word groupby, so
+    cumulative distinct at doc d = count of words with first_doc <= d —
+    a doc-keyed count groupby plus a prefix sum over the doc-count-
+    sized series (driver here; the bucketed-partial prefix of
+    ``watermarked_window_counts`` is the >memory path).  Token counts
+    prefix the same way.  All integers."""
+    from collections import Counter
+
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Min as AggMin
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def word_firsts(batch: pa.Table) -> pa.Table:
+        first: dict[str, int] = {}
+        ntok: Counter = Counter()
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = t.split(" ")
+            ntok[did] += len(ws)
+            for w in ws:
+                if w not in first or did < first[w]:
+                    first[w] = did
+        return pa.table(
+            {
+                "word": pa.array(list(first), type=pa.string()),
+                "first_doc": pa.array(list(first.values()), type=pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(word_firsts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(AggMin("first_doc", alias_name="first_doc"))
+    )
+    new_words = {
+        int(r["first_doc"]): int(r["n"])
+        for r in firsts.groupby("first_doc")
+        .aggregate(AggCount(alias_name="n"))
+        .take_all()
+    }
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pa.array(
+                    [len(t.split(" ")) for t in batch.column("text").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    toks = {
+        int(r["doc_id"]): int(r["n_tok"])
+        for r in ds.map_batches(tok_counts, batch_format="pyarrow").take_all()
+    }
+    doc_ids = sorted(toks)
+    cum_v = cum_t = 0
+    vs, ts_ = [], []
+    for d in doc_ids:
+        cum_v += new_words.get(d, 0)
+        cum_t += toks[d]
+        vs.append(cum_v)
+        ts_.append(cum_t)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "cum_tokens": pa.array(ts_, type=pa.int64()),
+            "cum_distinct_words": pa.array(vs, type=pa.int64()),
+        }
+    )
