@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_abc_classes": lambda sf: analytics.part_abc_classes(sf),
         "docs_vocab_growth": lambda sf: text.vocab_growth(sf),
         "docs_dup_cluster_sizes": lambda sf: dedup.dup_cluster_sizes(sf, threshold=NGRAM_THRESHOLD),
+        "events_type_medians": lambda sf: analytics.type_value_medians(sf),
     }
 
 
@@ -1421,6 +1422,29 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Grouped exact medians (analytics.type_value_medians).
+        "events_type_medians": """
+            WITH c AS (
+              SELECT event_type, CAST(ROUND(value, 2) * 100 AS BIGINT) AS cents
+              FROM events
+            ),
+            g AS (
+              SELECT event_type, cents, COUNT(*)::BIGINT AS n
+              FROM c GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT event_type, cents,
+                     CAST(SUM(n) OVER (
+                       PARTITION BY event_type ORDER BY cents
+                     ) AS BIGINT) AS cum,
+                     CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+              FROM g
+            )
+            SELECT event_type, MIN(cents)::BIGINT AS median_cents,
+                   MIN(tot)::BIGINT AS n_events
+            FROM a WHERE 2 * cum >= tot
+            GROUP BY event_type ORDER BY event_type
+        """,
         # Heaps-law growth (text.vocab_growth): first-occurrence
         # min(doc) makes the sequential prefix fully distributable.
         "docs_vocab_growth": """

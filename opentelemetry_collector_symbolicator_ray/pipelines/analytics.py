@@ -3540,3 +3540,56 @@ def part_abc_classes(sf_dir: str) -> pa.Table:
             "abc_class": pa.array([classes[i] for i in order], type=pa.string()),
         }
     )
+
+
+def type_value_medians(sf_dir: str) -> pa.Table:
+    """Exact per-group medians without sorting any group: per
+    (event_type, cents) counts (bounded by types x value RANGE, not by
+    rows), per-type prefix sums on the driver, and the lower median is
+    the smallest value with ``2*cum >= total`` — all-integer threshold
+    crossing, the grouped form of ``weighted_price_quantiles``."""
+    import numpy as np
+
+    def cents_col(batch: pa.Table) -> pa.Table:
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.array(
+            [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(cents_col, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((int(r["cents"]), int(r["n"])))
+    out_t, out_m, out_n = [], [], []
+    for t in sorted(by_type):
+        series = sorted(by_type[t])
+        total = sum(n for _, n in series)
+        cum = 0
+        for c, n in series:
+            cum += n
+            if 2 * cum >= total:
+                out_t.append(t)
+                out_m.append(c)
+                out_n.append(total)
+                break
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, type=pa.string()),
+            "median_cents": pa.array(out_m, type=pa.int64()),
+            "n_events": pa.array(out_n, type=pa.int64()),
+        }
+    )
