@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": lambda sf: text.vocab_growth(sf),
         "docs_dup_cluster_sizes": lambda sf: dedup.dup_cluster_sizes(sf, threshold=NGRAM_THRESHOLD),
         "events_type_medians": lambda sf: analytics.type_value_medians(sf),
+        "nation_balance_comparison": lambda sf: analytics.nation_balance_comparison(sf),
     }
 
 
@@ -1422,6 +1423,35 @@ def oracle_sql() -> dict[str, str]:
         # MinHash band-bucket candidate CTEs, with the Jaccard verify
         # swapped for DuckDB's levenshtein — the engine's DP kernel is
         # fuzz-matched against it (test_dedup_scale.py).
+        # Conformed-dimension two-fact compare (analytics.
+        # nation_balance_comparison): FULL JOIN pivots the two tags.
+        "nation_balance_comparison": """
+            WITH s AS (
+              SELECT CAST(s_nationkey AS BIGINT) AS nation,
+                     COUNT(*)::BIGINT AS n,
+                     CAST(SUM(CAST(ROUND(s_acctbal, 2) * 100 AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM supplier GROUP BY 1
+            ),
+            c AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                     COUNT(*)::BIGINT AS n,
+                     CAST(SUM(CAST(ROUND(c_acctbal, 2) * 100 AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM customer GROUP BY 1
+            )
+            SELECT COALESCE(s.nation, c.nation) AS nation,
+                   COALESCE(s.n, 0)::BIGINT AS n_suppliers,
+                   CASE WHEN s.n IS NULL THEN NULL
+                        ELSE CAST(s.cents AS DOUBLE) / CAST(s.n AS DOUBLE)
+                   END AS supp_avg_cents,
+                   COALESCE(c.n, 0)::BIGINT AS n_customers,
+                   CASE WHEN c.n IS NULL THEN NULL
+                        ELSE CAST(c.cents AS DOUBLE) / CAST(c.n AS DOUBLE)
+                   END AS cust_avg_cents
+            FROM s FULL JOIN c ON c.nation = s.nation
+            ORDER BY nation
+        """,
         # Grouped exact medians (analytics.type_value_medians).
         "events_type_medians": """
             WITH c AS (

@@ -3593,3 +3593,71 @@ def type_value_medians(sf_dir: str) -> pa.Table:
             "n_events": pa.array(out_n, type=pa.int64()),
         }
     )
+
+
+def nation_balance_comparison(sf_dir: str) -> pa.Table:
+    """Conformed-dimension two-fact comparison: supplier vs customer
+    account-balance totals per nation in ONE result — the union-tagged
+    aggregate shape (tag each fact stream, aggregate once, pivot the
+    two tags driver-side) instead of two pipelines and a join.  Cents
+    are exact integers; averages are one staged division per cell."""
+    import numpy as np
+
+    def project(acct_col: str, nat_col: str, tag: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch.column(acct_col).to_numpy(zero_copy_only=False)
+            cents = np.array(
+                [int(round(round(float(v), 2) * 100)) for v in vals], dtype=np.int64
+            )
+            return pa.table(
+                {
+                    "nation": pc.cast(batch.column(nat_col), pa.int64()),
+                    "tag": pa.array([tag] * len(batch), type=pa.string()),
+                    "cents": pa.array(cents, type=pa.int64()),
+                }
+            )
+
+        return fn
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    ).map_batches(project("s_acctbal", "s_nationkey", "supplier"), batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    ).map_batches(project("c_acctbal", "c_nationkey", "customer"), batch_format="pyarrow")
+
+    agg = (
+        supp.union(cust)
+        .groupby(["nation", "tag"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .take_all()
+    )
+    cells: dict[int, dict[str, tuple[int, int]]] = {}
+    for r in agg:
+        cells.setdefault(int(r["nation"]), {})[r["tag"]] = (
+            int(r["n"]),
+            int(r["cents"]),
+        )
+    nations = sorted(cells)
+
+    def avg(nation: int, tag: str):
+        n, c = cells[nation].get(tag, (0, 0))
+        return None if n == 0 else float(c) / float(n)
+
+    return pa.table(
+        {
+            "nation": pa.array(nations, type=pa.int64()),
+            "n_suppliers": pa.array(
+                [cells[n].get("supplier", (0, 0))[0] for n in nations], type=pa.int64()
+            ),
+            "supp_avg_cents": pa.array(
+                [avg(n, "supplier") for n in nations], type=pa.float64()
+            ),
+            "n_customers": pa.array(
+                [cells[n].get("customer", (0, 0))[0] for n in nations], type=pa.int64()
+            ),
+            "cust_avg_cents": pa.array(
+                [avg(n, "customer") for n in nations], type=pa.float64()
+            ),
+        }
+    )
