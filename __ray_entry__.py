@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_cluster_sizes": lambda sf: dedup.dup_cluster_sizes(sf, threshold=NGRAM_THRESHOLD),
         "events_type_medians": lambda sf: analytics.type_value_medians(sf),
         "nation_balance_comparison": lambda sf: analytics.nation_balance_comparison(sf),
+        # rows-only: iterative float fixpoint isn't SQL-expressible;
+        # pytest pins the result against np.linalg.eigh
+        "emb_top_eigvec": lambda sf: similarity.embedding_top_eigvec(sf),
     }
 
 

@@ -874,3 +874,38 @@ def embedding_covariance(sf_dir: str) -> pa.Table:
             "cov": pa.array(cov, type=pa.float64()),
         }
     )
+
+
+def embedding_top_eigvec(sf_dir: str, iterations: int = 500) -> pa.Table:
+    """First principal component of the embedding distribution — power
+    iteration on the EXACT covariance from ``embedding_covariance``
+    (the distributed pass; d² integers reach the driver, the corpus
+    never re-streams).  Deterministic: the start vector is 1/sqrt(d)
+    (no RNG), iteration count fixed, the sign convention pins
+    ``v[argmax |v|] > 0``.  Rows-only driver check (iterative float
+    fixpoints aren't SQL-expressible); pytest verifies unit norm, the
+    Rayleigh quotient against ``np.linalg.eigh``'s top eigenvalue, and
+    alignment |v·v_eigh| ≈ 1."""
+    cov_rows = embedding_covariance(sf_dir).to_pylist()
+    dim = max(int(r["j"]) for r in cov_rows) + 1
+    C = np.zeros((dim, dim), dtype=np.float64)
+    for r in cov_rows:
+        C[int(r["i"]), int(r["j"])] = float(r["cov"])
+        C[int(r["j"]), int(r["i"])] = float(r["cov"])
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iterations):
+        w = C @ v
+        n = np.linalg.norm(w)
+        if n == 0:
+            break
+        v = w / n
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    lam = float(v @ (C @ v))
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(dim), type=pa.int64()),
+            "component": pa.array(v, type=pa.float64()),
+            "eigenvalue": pa.array([lam] * dim, type=pa.float64()),
+        }
+    )

@@ -784,3 +784,30 @@ def test_cms_overestimates_and_tightens_with_width(ray_session):
     assert any(r["cms_estimate"] > r["exact_n"] for r in tight)  # collisions real
     wide = cms_user_counts(sf, width=1 << 14, depth=4).to_pylist()
     assert all(r["cms_estimate"] == r["exact_n"] for r in wide)
+
+
+def test_top_eigvec_matches_numpy_eigh(ray_session):
+    """Power iteration on the exact distributed covariance must align
+    with numpy's dense eigendecomposition: unit norm, top eigenvalue,
+    |cosine| ~ 1."""
+    import numpy as np
+
+    from opentelemetry_collector_symbolicator_ray.pipelines.similarity import (
+        embedding_covariance,
+        embedding_top_eigvec,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_top_eigvec(sf).to_pylist()
+    v = np.array([r["component"] for r in out])
+    lam = out[0]["eigenvalue"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    rows = embedding_covariance(sf).to_pylist()
+    d = max(r["j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)
+    assert abs(lam - evals[-1]) < 1e-6 * max(1.0, abs(evals[-1]))
+    assert abs(abs(v @ evecs[:, -1]) - 1.0) < 1e-6
